@@ -1,0 +1,53 @@
+"""Benchmark harness (driver contract).
+
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
+ "sf": ...}.
+
+Each query is fully materialized through a noop sink (executes the whole
+physical plan, all columns, no driver collect). A warmup pass first touches
+every table so JVM/codegen warmup isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_pipeline_foundations_spark.registry import all_queries
+from data_pipeline_foundations_spark.session import get_spark
+from data_pipeline_foundations_spark.tables import TABLES, load
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    for name in TABLES:  # warmup: JVM, codegen, parquet footers
+        load(spark, sf_dir, name).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(all_queries().items()):
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps({
+        "metric": "total_runtime_all_registered_queries",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,35 @@
+"""Cross-engine deterministic hashing.
+
+MinHash/SimHash/fingerprint operators need hash functions that (a) run
+JVM-side in Spark for speed and (b) can be reproduced exactly by the DuckDB
+oracle. Spark's ``hash()``/``xxhash64()`` are Spark-specific, so the portable
+primitive here is **md5 over utf8**, available and identical in both engines,
+with a 15-hex-digit prefix (60 bits) parsed as a positive bigint.
+
+Spark:  conv(substring(md5(s), 1, 15), 16, 10) → decimal-string → bigint
+DuckDB: CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) — verified in
+tests. 60 bits keeps everything positive and inside int64 in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HEX_DIGITS = 15  # 60 bits < 2^63: positive bigint in both engines
+
+
+def md5_long(col: Column | str, seed: int | None = None) -> Column:
+    """Deterministic 60-bit positive hash of a string column.
+
+    ``seed`` derives an independent hash family member by prefixing the
+    input — the standard trick for MinHash permutations.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = c if seed is None else F.concat(F.lit(f"{seed}|"), c)
+    return F.conv(F.substring(F.md5(s), 1, HEX_DIGITS), 16, 10).cast("long")
+
+
+def oracle_md5_long(sql_expr: str, seed: int | None = None) -> str:
+    s = sql_expr if seed is None else f"('{seed}|' || {sql_expr})"
+    return (f"CAST(('0x' || substring(md5({s}), 1, {HEX_DIGITS})) AS BIGINT)")

@@ -1,0 +1,58 @@
+"""Testdata table access.
+
+The driver provides a deterministic TPC-H-ish star schema plus ``events``
+(stream-shaped), ``documents`` (text corpus) and ``embeddings`` (ANN corpus)
+as one parquet file per table (TESTDATA.md). All queries in ``plans/`` load
+through here so that scan behavior (column pruning, predicate pushdown) is
+uniform and inspectable in one place.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. Plain parquet scan — Catalyst prunes columns and pushes
+    predicates into the scan from whatever the caller composes on top.
+
+    ``events.ts`` is nanosecond-precision parquet, which Spark reads only as
+    long nanos (spark.sql.legacy.parquet.nanosAsLong, set in session.py);
+    convert to a microsecond timestamp here — integer-div truncation, the
+    same conversion DuckDB applies when scanning ns parquet, so the two
+    engines see identical values.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # Set at runtime, not only in the session factory: the driver hands
+        # us ITS OWN SparkSession, which won't have the factory configs.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: tuple[str, ...] = TABLES) -> None:
+    """Register temp views so SQL-form queries can run via ``spark.sql``.
+
+    Views are lazy — registering all of them costs only parquet footer reads.
+    """
+    for name in names:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
