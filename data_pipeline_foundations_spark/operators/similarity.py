@@ -1,0 +1,203 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the BASELINE.json north star:
+  - **Brute-force cosine top-k** — the exactness baseline. Queries are a
+    small set broadcast against the corpus; per-row dot products run as
+    JVM higher-order folds (zip_with → aggregate), no Python. At 100 TB
+    the corpus side stays partition-parallel and nothing shuffles except
+    the per-query top-k heaps (TakeOrdered-style window).
+  - **LSH-bucketed (random hyperplane / SRP)** — the scale path: sign-bit
+    signatures via deterministic hyperplanes derived from md5 hashes,
+    candidates only within matching buckets. Recall<1 by design; the
+    oracle checks the *plumbing* deterministically because the hyperplanes
+    are integer-hash-derived, not RNG state.
+
+Float determinism: embeddings are float32; both engines widen each element
+to float64 and fold left-to-right (Spark ``aggregate`` with 0.0 init ==
+DuckDB ``list_reduce``, since 0.0 + x == x), giving bit-identical sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _to_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product in double — order-stable across engines."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def oracle_dot(a: str, b: str) -> str:
+    # strict left fold; elements pre-widened to double
+    return (f"list_reduce(list_transform(list_zip({a}, {b}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
+            f"(x, y) -> x + y)")
+
+
+def oracle_norm(a: str) -> str:
+    return f"sqrt({oracle_dot(a, a)})"
+
+
+def cosine_topk(emb: DataFrame, *, id_col: str = "vec_id",
+                vec_col: str = "embedding", n_queries: int = 10,
+                k: int = 5) -> DataFrame:
+    """Exact cosine top-k: the first ``n_queries`` vectors (by id) against
+    the whole corpus. Returns (query_id, neighbor_id, rank, cosine).
+
+    The query side is tiny → broadcast; the corpus never shuffles until the
+    final per-query top-k, which is a k-row reduction per query.
+    """
+    from pyspark.sql import Window as W
+    base = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    base = base.withColumn("nrm", l2_norm(F.col("v")))
+    q = (base.filter(F.col(id_col) < n_queries)
+         .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+                 F.col("nrm").alias("qn")))
+    joined = (
+        base.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine")
+    )
+
+
+def oracle_cosine_topk_sql(*, n_queries: int = 10, k: int = 5) -> str:
+    return f"""
+    WITH base AS (
+        SELECT vec_id, embedding AS v,
+               {oracle_norm('embedding')} AS nrm
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM base
+        WHERE vec_id < {n_queries}
+    ), joined AS (
+        SELECT q.query_id, b.vec_id AS neighbor_id,
+               {oracle_dot('q.qv', 'b.v')} / (q.qn * b.nrm) AS cosine
+        FROM base b, q
+        WHERE b.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank,
+           cosine
+    FROM joined
+    QUALIFY rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Signed-random-projection LSH (deterministic hyperplanes)
+# ---------------------------------------------------------------------------
+def _srp_signs(dim: int, bits: int) -> list[list[float]]:
+    """±1 hyperplane components, derived from md5 of "bit:component".
+
+    Computed once driver-side (hashlib md5 == Spark md5 == DuckDB md5) and
+    embedded as literal arrays in both dialects: deterministic like an
+    RNG-free scheme, but evaluated at zero per-row hashing cost.
+    """
+    import hashlib
+    return [
+        [1.0 if int(hashlib.md5(f"{b}:{c}".encode()).hexdigest()[:15], 16) & 1
+         else -1.0 for c in range(dim)]
+        for b in range(bits)
+    ]
+
+
+def srp_signature(vec: Column, dim: int, bits: int = 16) -> Column:
+    """Sign-bit signature under ``bits`` deterministic pseudo-hyperplanes:
+    bit b is 1 when the signed projection of the vector onto hyperplane b
+    is positive. One left-fold per bit, all inside codegen."""
+    signs = _srp_signs(dim, bits)
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        sign_arr = F.array(*[F.lit(s) for s in signs[b]])
+        proj = F.aggregate(F.zip_with(vec, sign_arr, lambda x, s: x * s),
+                           F.lit(0.0), lambda acc, v: acc + v)
+        out = out + F.when(proj > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def oracle_srp_expr(vec_sql: str, dim: int, bits: int = 16) -> str:
+    terms = []
+    for b, signs in enumerate(_srp_signs(dim, bits)):
+        arr = "[" + ", ".join(str(s) for s in signs) + "]::DOUBLE[]"
+        proj = (f"list_reduce(list_transform("
+                f"list_zip(list_transform({vec_sql}, x -> CAST(x AS DOUBLE)), {arr}), "
+                f"p -> p[1] * p[2]), (x, y) -> x + y)")
+        terms.append(f"CASE WHEN {proj} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def srp_bucket_neighbors(emb: DataFrame, *, id_col: str = "vec_id",
+                         vec_col: str = "embedding", dim: int = 64,
+                         bits: int = 16, n_queries: int = 10,
+                         k: int = 5) -> DataFrame:
+    """ANN: exact cosine ranking restricted to same-SRP-bucket candidates.
+
+    The bucket equi-join replaces the cross join — at corpus scale the
+    candidate set per query is |bucket|, not |corpus|. Recall depends on
+    ``bits``; this is the documented trade."""
+    from pyspark.sql import Window as W
+    base = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    base = (base
+            .withColumn("nrm", l2_norm(F.col("v")))
+            .withColumn("bucket", srp_signature(F.col("v"), dim, bits)))
+    q = (base.filter(F.col(id_col) < n_queries)
+         .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+                 F.col("nrm").alias("qn"), F.col("bucket").alias("qb")))
+    joined = (
+        base.join(F.broadcast(q),
+                  (F.col("bucket") == F.col("qb")) & (F.col(id_col) != F.col("query_id")))
+        .select("query_id", F.col(id_col).alias("neighbor_id"),
+                (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine")
+    )
+
+
+def oracle_srp_neighbors_sql(*, dim: int = 64, bits: int = 16,
+                             n_queries: int = 10, k: int = 5) -> str:
+    sig = oracle_srp_expr("embedding", dim, bits)
+    return f"""
+    WITH base AS (
+        SELECT vec_id, embedding AS v,
+               {oracle_norm('embedding')} AS nrm,
+               {sig} AS bucket
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qb FROM base
+        WHERE vec_id < {n_queries}
+    ), joined AS (
+        SELECT q.query_id, b.vec_id AS neighbor_id,
+               {oracle_dot('q.qv', 'b.v')} / (q.qn * b.nrm) AS cosine
+        FROM base b JOIN q ON b.bucket = q.qb AND b.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank,
+           cosine
+    FROM joined
+    QUALIFY rank <= {k}
+    """

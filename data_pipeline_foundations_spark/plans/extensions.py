@@ -10,7 +10,16 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     fingerprint, oracle_fingerprint, oracle_stopword_count,
-    oracle_token_count, stopword_count, token_count,
+    oracle_token_count, stopword_count, token_count, tokens,
+)
+from ..operators.dedup import (
+    minhash_lsh_pairs, ngram_jaccard_pairs, oracle_minhash_lsh_sql,
+    oracle_ngram_jaccard_sql, oracle_simhash_expr, oracle_simhash_pairs_sql,
+    simhash, simhash_pairs,
+)
+from ..operators.similarity import (
+    cosine_topk, oracle_cosine_topk_sql, oracle_srp_neighbors_sql,
+    srp_bucket_neighbors,
 )
 from ..registry import query
 from ..tables import load
@@ -61,4 +70,150 @@ def x02_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ns.alias("n_stopwords"),
         F.length("text").cast("long").alias("n_chars_measured"),
         (F.floor(ns * F.lit(1000000.0) / nt + F.lit(0.5)) / F.lit(1000000.0)).alias("stopword_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (operators/dedup.py)
+# ---------------------------------------------------------------------------
+@query("x03_dedup_minhash_lsh", oracle=oracle_minhash_lsh_sql())
+def x03_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs: scan-local 8-hash signatures (shingle →
+    md5 → array_min, zero shuffle), 4×2 banding for candidates, estimate
+    filter >= 0.5. The O(n²) pair space is never materialized."""
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+@query("x04_simhash_signatures",
+       oracle=f"SELECT doc_id, {oracle_simhash_expr('text')} AS simhash FROM documents")
+def x04_simhash_signatures(spark, sf_dir):
+    """Per-document 32-bit SimHash (token-majority bits), scan-local."""
+    return (load(spark, sf_dir, "documents")
+            .select("doc_id", simhash("text").alias("simhash")))
+
+
+@query("x05_simhash_near_dups", oracle=oracle_simhash_pairs_sql())
+def x05_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs via byte-banding + hamming<=6 filter."""
+    return simhash_pairs(load(spark, sf_dir, "documents"))
+
+
+@query("x06_ngram_jaccard", oracle=oracle_ngram_jaccard_sql())
+def x06_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard over an inverted index with rare-shingle
+    blocking (df<=20) — candidate volume bounded, intersections exact."""
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (operators/similarity.py)
+# ---------------------------------------------------------------------------
+@query("x07_cosine_topk", oracle=oracle_cosine_topk_sql())
+def x07_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for the first 10 query vectors: broadcast
+    queries, left-fold double dots (bit-stable), per-query top-k window."""
+    return cosine_topk(load(spark, sf_dir, "embeddings"))
+
+
+@query("x08_srp_ann", oracle=oracle_srp_neighbors_sql())
+def x08_srp_ann(spark, sf_dir):
+    """ANN via signed-random-projection buckets (16 deterministic
+    hyperplanes): cosine ranking restricted to same-bucket candidates —
+    the scale path where the cross join is replaced by a bucket equi-join."""
+    return srp_bucket_neighbors(load(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Event-stream queries (batch forms of the streaming/ module's operators)
+# ---------------------------------------------------------------------------
+@query(
+    "s01_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def s01_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour event-time window aggregation — the batch twin of
+    streaming/windowed.py (same F.window spec drives the readStream
+    variant; watermarking only changes late-data handling, not results on
+    a closed input)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")) / F.lit(100.0))
+             .alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "s02_sessionization",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, event_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def s02_sessionization(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions via lag + running sum (the
+    standard batch shape; the streaming twin is session_window). Ordering
+    tie-broken by event_id for cross-engine determinism."""
+    from pyspark.sql import Window as W
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp_ltz"))
+    cur_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    new_session = F.when(prev_us.isNull() | (cur_us - prev_us > 1800 * 1000000), 1).otherwise(0)
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        ev.withColumn("session_no", F.sum(new_session).over(run).cast("long"))
+        .groupBy("user_id", "session_no")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"))
+    )
+
+
+@query(
+    "s03_json_extraction",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                THEN 'high' ELSE 'low' END AS k_band
+    FROM events
+    WHERE props IS NOT NULL
+    """,
+)
+def s03_json_extraction(spark, sf_dir):
+    """Semi-structured JSON property extraction (P7 null predicate + JSON
+    path) — get_json_object stays JVM-side."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.filter(F.col("props").isNotNull())
+        .select("event_id", "event_type", k.alias("k_value"),
+                F.when(k >= 50, "high").otherwise("low").alias("k_band"))
     )
