@@ -217,3 +217,96 @@ def s03_json_extraction(spark, sf_dir):
         .select("event_id", "event_type", k.alias("k_value"),
                 F.when(k >= 50, "high").otherwise("low").alias("k_band"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Language ID heuristic + multimodal plumbing
+# ---------------------------------------------------------------------------
+_LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "auf"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+}
+_LANG_ORDER = ("en", "es", "de", "fr")  # deterministic argmax tie order
+
+
+@query(
+    "x09_language_id",
+    oracle=(
+        "SELECT doc_id, "
+        + ", ".join(
+            f"CAST(len(list_filter(string_split(text, ' '), "
+            f"t -> list_contains([{', '.join(repr(w) for w in _LANG_STOPWORDS[lg])}], t))) AS BIGINT) AS score_{lg}"
+            for lg in _LANG_ORDER
+        )
+        + ", CASE "
+        + " ".join(
+            f"WHEN {' AND '.join(f'score_{lg} >= score_{other}' for other in _LANG_ORDER if other != lg)} THEN '{lg}'"
+            for lg in _LANG_ORDER
+        )
+        + " END AS lang_pred FROM (SELECT doc_id, text, "
+        + ", ".join(
+            f"len(list_filter(string_split(text, ' '), "
+            f"t -> list_contains([{', '.join(repr(w) for w in _LANG_STOPWORDS[lg])}], t))) AS score_{lg}"
+            for lg in _LANG_ORDER
+        )
+        + " FROM documents)"
+    ),
+)
+def x09_language_id(spark, sf_dir):
+    """Heuristic language ID: per-language stopword hit counts, argmax with
+    a fixed tie order. (The synthetic corpus is English word-soup under all
+    labels, so this demonstrates the operator, not label recovery.) All
+    JVM-side array ops — scan-local, zero shuffle."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    scores = {
+        lg: F.size(F.filter(
+            toks,
+            (lambda words: (lambda t: F.array_contains(F.array(*[F.lit(w) for w in words]), t)))(ws),
+        )).cast("long")
+        for lg, ws in _LANG_STOPWORDS.items()
+    }
+    d = d.select("doc_id", *[scores[lg].alias(f"score_{lg}") for lg in _LANG_ORDER])
+    pred = None
+    for lg in _LANG_ORDER:
+        cond = None
+        for other in _LANG_ORDER:
+            if other == lg:
+                continue
+            c = F.col(f"score_{lg}") >= F.col(f"score_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, lg) if pred is None else pred.when(cond, lg)
+    return d.select("doc_id", *[f"score_{lg}" for lg in _LANG_ORDER],
+                    pred.alias("lang_pred"))
+
+
+@query("x10_multimodal_features", oracle=None)
+def x10_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload + metadata struct ingest, then
+    Arrow-batched mapInPandas feature extraction (operators/multimodal.py).
+    Oracle-checked separately as x11 (identical semantics, pure-SQL twin);
+    this entry exercises the actual pandas batch path."""
+    from ..operators.multimodal import attach_binary, extract_features
+    return extract_features(attach_binary(load(spark, sf_dir, "documents")))
+
+
+@query("x11_multimodal_features_sql", oracle=__import__(
+    "data_pipeline_foundations_spark.operators.multimodal",
+    fromlist=["oracle_features_sql"]).oracle_features_sql())
+def x11_multimodal_features_sql(spark, sf_dir):
+    """SQL-expressible twin of x10: the same binary metadata features via
+    JVM built-ins (no Python), oracle-checked. x10's mapInPandas output
+    must equal this (pinned in tests/test_multimodal.py)."""
+    from ..operators.multimodal import attach_binary
+    b = attach_binary(load(spark, sf_dir, "documents"))
+    return b.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_md5").alias("content_md5"),
+        (F.conv(F.substring("meta.content_md5", 1, 15), 16, 10).cast("long") % 1024 + 1)
+        .cast("int").alias("fake_width"),
+        (F.conv(F.substring("meta.content_md5", 16, 15), 16, 10).cast("long") % 1024 + 1)
+        .cast("int").alias("fake_height"),
+    )

@@ -1,0 +1,72 @@
+"""Structured Streaming: exactly-once ledgered ingest + windowed agg parity."""
+
+from __future__ import annotations
+
+import os
+
+from data_pipeline_foundations_spark.streaming.file_ingest import (
+    run_available_now, stage_csv_file,
+)
+from data_pipeline_foundations_spark.streaming.windowed import run_over_dir
+from data_pipeline_foundations_spark.tables import load
+
+
+def _write_csv(path: str, rows: list[str]) -> None:
+    with open(path, "w") as fh:
+        fh.write("tx_id,amount,date,reference\n")
+        fh.write("\n".join(rows) + "\n")
+
+
+def test_exactly_once_file_ingest(spark, tmp_path):
+    raw = tmp_path / "raw"; raw.mkdir()
+    landing = tmp_path / "landing"; landing.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: one real file (with trailing totals row), one too-small file
+    _write_csv(str(raw / "a.csv"), [
+        "1,1050,2025-06-01 10:00:00,r1",
+        "2,2000,2025-06-01 11:00:00,r2",
+        "999,3050,,TOTAL",          # totals row → dropped at staging
+    ])
+    _write_csv(str(raw / "tiny.csv"), ["3,500,2025-06-01 12:00:00,r3"])  # <=1 row → skipped
+
+    assert stage_csv_file(str(raw / "a.csv"), str(landing)) is not None
+    assert stage_csv_file(str(raw / "tiny.csv"), str(landing)) is None
+
+    run_available_now(spark, str(landing), out, ckpt)
+    df1 = spark.read.parquet(out)
+    assert df1.count() == 2
+    amounts = {r.tx_id: r.amount for r in df1.collect()}
+    assert amounts == {1: 10.50, 2: 20.00}  # cents → units
+
+    # re-run with no new files: exactly-once, no duplicates
+    run_available_now(spark, str(landing), out, ckpt)
+    assert spark.read.parquet(out).count() == 2
+
+    # batch 2: a new file is picked up incrementally
+    _write_csv(str(raw / "b.csv"), [
+        "4,100,2025-06-02 09:00:00,r4",
+        "5,250,2025-06-02 09:30:00,r5",
+        "999,350,,TOTAL",
+    ])
+    stage_csv_file(str(raw / "b.csv"), str(landing))
+    run_available_now(spark, str(landing), out, ckpt)
+    df3 = spark.read.parquet(out)
+    assert df3.count() == 4
+    assert df3.filter("tx_id = 4").first().amount == 1.00
+
+
+def test_windowed_stream_equals_batch(spark, sf_dir, tmp_path):
+    events_dir = str(tmp_path / "events_us")
+    load(spark, sf_dir, "events").write.parquet(events_dir)  # µs timestamps
+
+    streamed = run_over_dir(spark, events_dir, "test_windowed_out").toPandas()
+
+    from data_pipeline_foundations_spark.registry import all_queries
+    batch = all_queries()["s01_tumbling_window"].fn(spark, sf_dir).toPandas()
+
+    key = ["window_start", "event_type"]
+    streamed = streamed.sort_values(key).reset_index(drop=True)[sorted(streamed.columns)]
+    batch = batch.sort_values(key).reset_index(drop=True)[sorted(batch.columns)]
+    assert streamed.equals(batch)
