@@ -24,11 +24,28 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long, oracle_md5_long
 from ..functions.text import oracle_shingles, shingles, tokens
+from ..tables import scale_out
 
 # MinHash family size and LSH banding: K = BANDS * ROWS_PER_BAND.
 MINHASH_K = 8
 LSH_BANDS = 4
 ROWS_PER_BAND = 2
+# Universal-hash family over a 31-bit Mersenne prime: each shingle is
+# md5-hashed ONCE (the expensive part), then the k family members are
+# (A_i * (h mod P) + B_i) mod P — products stay under 2^62, so the same
+# bigint arithmetic is exact in both engines. Constants are md5-derived
+# (driver-side, deterministic), not RNG state.
+HASH_P = 2_147_483_647  # 2^31 - 1
+
+
+def _hash_family(k: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    def h(tag: str) -> int:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:15], 16)
+
+    return [((h(f"A{i}") % (HASH_P - 1)) + 1, h(f"B{i}") % HASH_P)
+            for i in range(k)]
 # SimHash width (bits of the 60-bit md5 hash used).
 SIMHASH_BITS = 32
 # Inverted-index blocking: shingles appearing in more docs than this are
@@ -44,29 +61,28 @@ def minhash_signature(text_col: Column | str, n: int = 3,
                       k: int = MINHASH_K) -> list[Column]:
     """k MinHash values of the document's n-gram shingle set.
 
-    array_min over a transformed shingle array: one pass per seed, fully
-    inside codegen. Multiset duplicates don't affect the min, so no
-    distinct is needed.
+    One md5 per shingle, then k cheap universal-hash derivations and
+    array_min — all inside codegen, scan-local, no shuffle.
     """
-    sh = shingles(text_col, n)
+    base = F.transform(shingles(text_col, n), lambda s: md5_long(s) % HASH_P)
 
-    def hasher(seed: int):
-        # NB: must be arity-1 — pyspark treats 2-arg lambdas (incl. default
-        # args) as (element, index) higher-order functions.
-        return lambda s: md5_long(s, seed)
+    def family(a: int, b: int):
+        # arity-1 closure: pyspark treats 2-arg lambdas as (element, index)
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(HASH_P)
 
     return [
-        F.array_min(F.transform(sh, hasher(seed))).alias(f"mh{seed}")
-        for seed in range(k)
+        F.array_min(F.transform(base, family(a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_hash_family(k))
     ]
 
 
 def _oracle_minhash_exprs(sql_col: str, n: int = 3, k: int = MINHASH_K) -> list[str]:
-    sh = oracle_shingles(sql_col, n)
+    base = (f"list_transform({oracle_shingles(sql_col, n)}, "
+            f"s -> {oracle_md5_long('s')} % {HASH_P})")
     return [
-        f"list_min(list_transform({sh}, s -> {oracle_md5_long('s', seed)})) AS mh{seed}"
-        for seed in range(k)
-    ]
+        f"list_min(list_transform(base_h, h -> ({a} * h + {b}) % {HASH_P})) AS mh{i}"
+        for i, (a, b) in enumerate(_hash_family(k))
+    ], base
 
 
 def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
@@ -81,7 +97,7 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     """
     r = k // bands
     sig = (
-        docs
+        scale_out(docs)
         .filter(F.size(tokens(text_col)) >= n)
         .select(F.col(id_col), *minhash_signature(text_col, n, k))
     )
@@ -120,7 +136,8 @@ def oracle_minhash_lsh_sql(*, n: int = 3, k: int = MINHASH_K,
                            bands: int = LSH_BANDS,
                            threshold: float = 0.5) -> str:
     r = k // bands
-    mh = ",\n               ".join(_oracle_minhash_exprs("text", n, k))
+    mh_exprs, base = _oracle_minhash_exprs("text", n, k)
+    mh = ",\n               ".join(mh_exprs)
     band_selects = "\n        UNION ALL\n        ".join(
         f"SELECT doc_id, {j} AS band_id, "
         + " || '|' || ".join(f"CAST(mh{j * r + i} AS VARCHAR)" for i in range(r))
@@ -130,11 +147,14 @@ def oracle_minhash_lsh_sql(*, n: int = 3, k: int = MINHASH_K,
     eq_sum = " + ".join(
         f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(k))
     return f"""
-    WITH sig AS (
-        SELECT doc_id,
-               {mh}
+    WITH pre AS (
+        SELECT doc_id, {base} AS base_h
         FROM documents
         WHERE len(string_split(text, ' ')) >= {n}
+    ), sig AS (
+        SELECT doc_id,
+               {mh}
+        FROM pre
     ), bands AS (
         {band_selects}
     ), pairs AS (
@@ -189,7 +209,7 @@ def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     candidates; keep pairs with hamming distance <= max_hamming."""
     nbands = bits // band_bits
     mask = (1 << band_bits) - 1
-    sig = docs.select(F.col(id_col), simhash(text_col, bits).alias("sh"))
+    sig = scale_out(docs).select(F.col(id_col), simhash(text_col, bits).alias("sh"))
     band_structs = [
         F.struct(F.lit(j).alias("band_id"),
                  F.shiftright(F.col("sh"), j * band_bits).bitwiseAND(F.lit(mask)).alias("band_key"))
@@ -246,8 +266,9 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     shingle). Classic inverted-index join; shuffle volume is bounded by
     sum over rare shingles of df².
     """
-    sh = (docs.select(F.col(id_col),
-                      F.explode(F.array_distinct(shingles(text_col, n))).alias("s")))
+    sh = (scale_out(docs)
+          .select(F.col(id_col),
+                  F.explode(F.array_distinct(shingles(text_col, n))).alias("s")))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     rare = dfreq.filter(F.col("df") <= max_df).select("s")

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..tables import scale_out
+
 
 def _to_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -58,7 +60,7 @@ def cosine_topk(emb: DataFrame, *, id_col: str = "vec_id",
     final per-query top-k, which is a k-row reduction per query.
     """
     from pyspark.sql import Window as W
-    base = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    base = scale_out(emb).select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
     base = base.withColumn("nrm", l2_norm(F.col("v")))
     q = (base.filter(F.col(id_col) < n_queries)
          .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
@@ -156,7 +158,7 @@ def srp_bucket_neighbors(emb: DataFrame, *, id_col: str = "vec_id",
     candidate set per query is |bucket|, not |corpus|. Recall depends on
     ``bits``; this is the documented trade."""
     from pyspark.sql import Window as W
-    base = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    base = scale_out(emb).select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
     base = (base
             .withColumn("nrm", l2_norm(F.col("v")))
             .withColumn("bucket", srp_signature(F.col("v"), dim, bits)))

@@ -22,7 +22,7 @@ from ..operators.similarity import (
     srp_bucket_neighbors,
 )
 from ..registry import query
-from ..tables import load
+from ..tables import load, scale_out
 
 
 @query(
@@ -38,7 +38,7 @@ def x01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content fingerprint hash-groupBy: canonical doc per
     duplicate cluster + cluster size. At 100 TB: one shuffle on a 60-bit
     key, partial-agg'd map-side; the fingerprint is computed in-scan."""
-    d = load(spark, sf_dir, "documents")
+    d = scale_out(load(spark, sf_dir, "documents"))
     return (
         d.withColumn("fp", fingerprint("text"))
         .groupBy("fp")
@@ -61,7 +61,7 @@ def x01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x02_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality features: token count, stopword count/ratio, length —
     all JVM-side array/higher-order functions, no Python UDF."""
-    d = load(spark, sf_dir, "documents")
+    d = scale_out(load(spark, sf_dir, "documents"))
     nt = token_count("text")
     ns = stopword_count("text")
     return d.select(
@@ -88,7 +88,7 @@ def x03_dedup_minhash_lsh(spark, sf_dir):
        oracle=f"SELECT doc_id, {oracle_simhash_expr('text')} AS simhash FROM documents")
 def x04_simhash_signatures(spark, sf_dir):
     """Per-document 32-bit SimHash (token-majority bits), scan-local."""
-    return (load(spark, sf_dir, "documents")
+    return (scale_out(load(spark, sf_dir, "documents"))
             .select("doc_id", simhash("text").alias("simhash")))
 
 
@@ -259,7 +259,7 @@ def x09_language_id(spark, sf_dir):
     a fixed tie order. (The synthetic corpus is English word-soup under all
     labels, so this demonstrates the operator, not label recovery.) All
     JVM-side array ops — scan-local, zero shuffle."""
-    d = load(spark, sf_dir, "documents")
+    d = scale_out(load(spark, sf_dir, "documents"))
     toks = tokens("text")
     scores = {
         lg: F.size(F.filter(

@@ -48,6 +48,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the scan is under-parallelized.
+
+    The driver's testdata ships one single-row-group parquet per table, so
+    a bare scan is ONE task no matter how many cores exist — CPU-heavy
+    per-row operators (hashing, shingling, vector folds) then run
+    single-threaded. On a real 100 TB layout the input has thousands of
+    splits and this is a no-op (the partition count check short-circuits);
+    locally it buys cores× speedup for a trivially small shuffle.
+    """
+    spark = df.sparkSession
+    n = min_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str,
                    names: tuple[str, ...] = TABLES) -> None:
     """Register temp views so SQL-form queries can run via ``spark.sql``.
