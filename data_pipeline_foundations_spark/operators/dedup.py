@@ -1,16 +1,26 @@
 """Near-duplicate detection operators: MinHash+LSH, SimHash, n-gram Jaccard.
 
 Scale-first design (the 100 TB story):
-  - **Signatures are scan-local.** MinHash signatures are computed per row
-    with array higher-order functions (shingle → hash → array_min) — no
-    explode, no shuffle, whole-stage codegen. A 100 TB corpus streams
-    through the scan once.
-  - **Candidate generation is banded.** Only the tiny (doc_id, band_key)
-    projection shuffles; the O(n²) pair space is never materialized —
+  - **Signatures are scan-local.** Shingle/token hashing happens per row
+    with array higher-order functions — no explode, no shuffle for the
+    signature itself. A 100 TB corpus streams through the scan once.
+  - **Each expensive expression is computed exactly once.** Spark's
+    codegen subexpression elimination SKIPS higher-order functions, so a
+    lambda-bearing expression that appears k times in one projection runs
+    k times. Every operator here therefore stages its pipeline as chained
+    projections (``withColumn``) where each HOF result is a named column;
+    CollapseProject keeps the stages separate because the producing
+    expressions are non-cheap and referenced more than once.
+  - **Shingles are 31-bit integers, not strings.** One md5 per token,
+    then shingle hashes are a rolling polynomial over the token-hash
+    array — O(n·T) arithmetic per document instead of O(T²) string
+    building, and downstream shuffles move longs, not text.
+  - **Candidate generation is banded.** Only tiny (doc_id, key)
+    projections shuffle; the O(n²) pair space is never materialized —
     pairs come from equi-joins on band buckets (LSH) / rare shingles
     (inverted index with frequency cap), the standard blocked designs.
-  - **Everything is deterministic integers** (md5-derived 60-bit hashes,
-    see functions.hashing), so the DuckDB oracle reproduces results
+  - **Everything is deterministic integers** (md5-derived, see
+    functions.hashing), so the DuckDB oracle reproduces results
     bit-for-bit.
 
 Cited reference scope: the reference repo has no dedup operators; these are
@@ -23,19 +33,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long, oracle_md5_long
-from ..functions.text import oracle_shingles, shingles, tokens
+from ..functions.text import tokens
 from ..tables import scale_out
 
 # MinHash family size and LSH banding: K = BANDS * ROWS_PER_BAND.
 MINHASH_K = 8
 LSH_BANDS = 4
 ROWS_PER_BAND = 2
-# Universal-hash family over a 31-bit Mersenne prime: each shingle is
-# md5-hashed ONCE (the expensive part), then the k family members are
-# (A_i * (h mod P) + B_i) mod P — products stay under 2^62, so the same
-# bigint arithmetic is exact in both engines. Constants are md5-derived
-# (driver-side, deterministic), not RNG state.
+# Universal-hash family over a 31-bit Mersenne prime: each token is
+# md5-hashed ONCE (the expensive part); everything downstream is modular
+# arithmetic on bigints — products stay under 2^62, so the same math is
+# exact in both engines. Constants are md5-derived (driver-side,
+# deterministic), not RNG state.
 HASH_P = 2_147_483_647  # 2^31 - 1
+# Rolling-polynomial base for combining token hashes into shingle hashes.
+SHINGLE_C = 1_000_003
+# SimHash width (bits of the 60-bit md5 hash used).
+SIMHASH_BITS = 32
+# Inverted-index blocking: shingles appearing in more docs than this are
+# too common to be discriminative — skip them for candidate generation
+# (intersections still count them).
+MAX_SHINGLE_DF = 20
 
 
 def _hash_family(k: int) -> list[tuple[int, int]]:
@@ -46,43 +64,92 @@ def _hash_family(k: int) -> list[tuple[int, int]]:
 
     return [((h(f"A{i}") % (HASH_P - 1)) + 1, h(f"B{i}") % HASH_P)
             for i in range(k)]
-# SimHash width (bits of the 60-bit md5 hash used).
-SIMHASH_BITS = 32
-# Inverted-index blocking: shingles appearing in more docs than this are
-# too common to be discriminative — skip them for candidate generation
-# (intersections still count them).
-MAX_SHINGLE_DF = 20
+
+
+# ---------------------------------------------------------------------------
+# Hashed shingles (shared by MinHash and exact-Jaccard)
+# ---------------------------------------------------------------------------
+def with_shingle_hashes(df: DataFrame, text_col: str, n: int = 3,
+                        out: str = "sh") -> DataFrame:
+    """Add ``out``: array<long> of word-n-gram shingle hashes (mod HASH_P).
+
+    Stage 1 computes the token-hash array once ( _th ); stage 2 folds a
+    rolling polynomial over it with zip_with — shifted slices of _th are
+    column references, so tokenization/hashing never re-runs per shingle.
+    """
+    th = F.transform(F.split(F.col(text_col), " "),
+                     lambda t: md5_long(t) % HASH_P)
+    d = df.withColumn("_th", th)
+    acc: Column = F.col("_th")
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(F.col("_th"), j + 1, F.size(F.col("_th"))),
+            lambda x, y: (x * F.lit(SHINGLE_C) + y) % F.lit(HASH_P),
+        )
+    # zip_with pads the shorter side with null → the last n-1 positions
+    # are null; drop them to get exactly T-n+1 shingles.
+    return d.withColumn(out, F.filter(acc, lambda x: x.isNotNull())).drop("_th")
+
+
+def oracle_shingle_hashes(sql_col: str, n: int = 3) -> tuple[str, str]:
+    """(th_expr, sh_expr_over_th): DuckDB twins of with_shingle_hashes.
+
+    ``sh_expr_over_th`` assumes a CTE column named ``th`` exists.
+    """
+    th = (f"list_transform(string_split({sql_col}, ' '), "
+          f"t -> {oracle_md5_long('t')} % {HASH_P})")
+    e = "th[i]"
+    for j in range(1, n):
+        e = f"(({e}) * {SHINGLE_C} + th[i + {j}]) % {HASH_P}"
+    sh = (f"list_transform(range(1, greatest(len(th) - {n - 1}, 0) + 1), "
+          f"i -> {e})")
+    return th, sh
 
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
-def minhash_signature(text_col: Column | str, n: int = 3,
-                      k: int = MINHASH_K) -> list[Column]:
-    """k MinHash values of the document's n-gram shingle set.
+def with_minhash(df: DataFrame, text_col: str, n: int = 3,
+                 k: int = MINHASH_K) -> DataFrame:
+    """Add mh0..mh{k-1}: the k-member MinHash signature of the shingle set.
 
-    One md5 per shingle, then k cheap universal-hash derivations and
-    array_min — all inside codegen, scan-local, no shuffle.
+    One md5 per token; each family member is an O(T) arithmetic pass over
+    the staged shingle-hash column.
     """
-    base = F.transform(shingles(text_col, n), lambda s: md5_long(s) % HASH_P)
+    d = with_shingle_hashes(df, text_col, n, out="_sh")
 
     def family(a: int, b: int):
         # arity-1 closure: pyspark treats 2-arg lambdas as (element, index)
         return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(HASH_P)
 
-    return [
-        F.array_min(F.transform(base, family(a, b))).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_hash_family(k))
-    ]
+    return d.select(
+        "*",
+        *[F.array_min(F.transform(F.col("_sh"), family(a, b))).alias(f"mh{i}")
+          for i, (a, b) in enumerate(_hash_family(k))],
+    ).drop("_sh")
 
 
-def _oracle_minhash_exprs(sql_col: str, n: int = 3, k: int = MINHASH_K) -> list[str]:
-    base = (f"list_transform({oracle_shingles(sql_col, n)}, "
-            f"s -> {oracle_md5_long('s')} % {HASH_P})")
-    return [
-        f"list_min(list_transform(base_h, h -> ({a} * h + {b}) % {HASH_P})) AS mh{i}"
+def _oracle_minhash_ctes(sql_col: str = "text", n: int = 3,
+                         k: int = MINHASH_K) -> str:
+    """CTE chain ``pre``→``shc``→``sig`` producing doc_id, mh0..mh{k-1}."""
+    th, sh = oracle_shingle_hashes(sql_col, n)
+    mh = ",\n               ".join(
+        f"list_min(list_transform(sh, h -> ({a} * h + {b}) % {HASH_P})) AS mh{i}"
         for i, (a, b) in enumerate(_hash_family(k))
-    ], base
+    )
+    return f"""
+    pre AS (
+        SELECT doc_id, {th} AS th
+        FROM documents
+        WHERE len(string_split({sql_col}, ' ')) >= {n}
+    ), shc AS (
+        SELECT doc_id, {sh} AS sh FROM pre
+    ), sig AS (
+        SELECT doc_id,
+               {mh}
+        FROM shc
+    )"""
 
 
 def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
@@ -94,12 +161,16 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b and
     est_jaccard = (#equal minhashes)/k >= threshold. Docs with fewer than
     n tokens have no shingles and are excluded (their signature is null).
+
+    The band self-join's two sides share one canonicalized plan, so Spark
+    reuses the exchange (the signature scan runs once for banding); the
+    verification join re-derives signatures from the same staged scan.
     """
     r = k // bands
     sig = (
-        scale_out(docs)
-        .filter(F.size(tokens(text_col)) >= n)
-        .select(F.col(id_col), *minhash_signature(text_col, n, k))
+        with_minhash(scale_out(docs).filter(F.size(tokens(text_col)) >= n),
+                     text_col, n, k)
+        .select(id_col, *[f"mh{i}" for i in range(k)])
     )
     band_structs = [
         F.struct(
@@ -136,8 +207,6 @@ def oracle_minhash_lsh_sql(*, n: int = 3, k: int = MINHASH_K,
                            bands: int = LSH_BANDS,
                            threshold: float = 0.5) -> str:
     r = k // bands
-    mh_exprs, base = _oracle_minhash_exprs("text", n, k)
-    mh = ",\n               ".join(mh_exprs)
     band_selects = "\n        UNION ALL\n        ".join(
         f"SELECT doc_id, {j} AS band_id, "
         + " || '|' || ".join(f"CAST(mh{j * r + i} AS VARCHAR)" for i in range(r))
@@ -147,15 +216,8 @@ def oracle_minhash_lsh_sql(*, n: int = 3, k: int = MINHASH_K,
     eq_sum = " + ".join(
         f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(k))
     return f"""
-    WITH pre AS (
-        SELECT doc_id, {base} AS base_h
-        FROM documents
-        WHERE len(string_split(text, ' ')) >= {n}
-    ), sig AS (
-        SELECT doc_id,
-               {mh}
-        FROM pre
-    ), bands AS (
+    WITH {_oracle_minhash_ctes('text', n, k)}
+    , bands AS (
         {band_selects}
     ), pairs AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -173,22 +235,32 @@ def oracle_minhash_lsh_sql(*, n: int = 3, k: int = MINHASH_K,
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def simhash(text_col: Column | str, bits: int = SIMHASH_BITS) -> Column:
-    """Token-multiset SimHash: bit b of the output is 1 when the majority of
-    token hashes have bit b set. Scan-local (array filters), no shuffle."""
-    toks = tokens(text_col)
-    hashes = F.transform(toks, lambda t: md5_long(t))
-    n = F.size(toks)
+def with_simhash(df: DataFrame, text_col: str, bits: int = SIMHASH_BITS,
+                 out: str = "simhash") -> DataFrame:
+    """Add ``out``: token-multiset SimHash — bit b is 1 when the majority
+    of token hashes have bit b set.
 
-    def bit_set(b: int):
-        # arity-1 closure (see hasher note in minhash_signature)
-        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
-
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        cnt = F.size(F.filter(hashes, bit_set(b)))
-        out = out + F.when(cnt * 2 > n, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    Token hashes are staged once ( _hs ); per-bit counts are ONE aggregate
+    pass producing an array (not 32 separate filters over 32 re-hashed
+    copies — HOFs are excluded from codegen CSE, see module docstring).
+    """
+    d = df.withColumn(
+        "_hs", F.transform(F.split(F.col(text_col), " "), lambda t: md5_long(t)))
+    d = d.withColumn("_cnt", F.expr(
+        f"aggregate(_hs, array_repeat(CAST(0 AS BIGINT), {bits}), "
+        f"(acc, h) -> transform(acc, (c, i) -> c + (shiftright(h, i) & CAST(1 AS BIGINT))))"
+    ))
+    # coalesce → non-nullable output. This matters for PLAN quality, not
+    # just null text: a nullable simhash fed into an equi-join key makes
+    # Catalyst infer isnotnull(<whole aggregate>) and push it below the
+    # repartition to the scan — re-evaluating the signature single-threaded
+    # as a filter. Non-nullable ⇒ no inferred filter. (DuckDB's oracle
+    # yields 0 for null text too, so parity is unchanged.)
+    return d.withColumn(out, F.coalesce(F.expr(
+        "aggregate(transform(_cnt, (c, b) -> IF(2 * c > size(_hs), "
+        "shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))), "
+        "CAST(0 AS BIGINT), (x, y) -> x + y)"
+    ), F.lit(0).cast("long"))).drop("_hs", "_cnt")
 
 
 def oracle_simhash_expr(sql_col: str, bits: int = SIMHASH_BITS) -> str:
@@ -209,7 +281,8 @@ def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     candidates; keep pairs with hamming distance <= max_hamming."""
     nbands = bits // band_bits
     mask = (1 << band_bits) - 1
-    sig = scale_out(docs).select(F.col(id_col), simhash(text_col, bits).alias("sh"))
+    sig = (with_simhash(scale_out(docs), text_col, bits, out="sh")
+           .select(id_col, "sh"))
     band_structs = [
         F.struct(F.lit(j).alias("band_id"),
                  F.shiftright(F.col("sh"), j * band_bits).bitwiseAND(F.lit(mask)).alias("band_key"))
@@ -263,12 +336,15 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     The frequency cap is the blocking step: ubiquitous shingles generate
     quadratic candidates without discriminating, so they're excluded from
     candidate generation (intersection counts still include every shared
-    shingle). Classic inverted-index join; shuffle volume is bounded by
-    sum over rare shingles of df².
+    shingle). Classic inverted-index join over 31-bit shingle HASHES —
+    the shuffle moves longs, never text. Shuffle volume is bounded by
+    sum over rare shingles of df² plus the shared-shingle rows of
+    candidate-adjacent docs; at extreme corpus skew the intersection
+    count for df>max_df shingles would move to a per-pair
+    array_intersect verify (same result, bounded payload).
     """
-    sh = (scale_out(docs)
-          .select(F.col(id_col),
-                  F.explode(F.array_distinct(shingles(text_col, n))).alias("s")))
+    sh = (with_shingle_hashes(scale_out(docs), text_col, n, out="_sh")
+          .select(F.col(id_col), F.explode(F.array_distinct("_sh")).alias("s")))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     rare = dfreq.filter(F.col("df") <= max_df).select("s")
@@ -302,10 +378,14 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
 
 def oracle_ngram_jaccard_sql(*, n: int = 3, max_df: int = MAX_SHINGLE_DF,
                              threshold: float = 0.2) -> str:
-    sh_list = oracle_shingles("text", n)
+    th, sh_expr = oracle_shingle_hashes("text", n)
     return f"""
-    WITH sh AS (
-        SELECT doc_id, unnest(list_distinct({sh_list})) AS s FROM documents
+    WITH pre AS (
+        SELECT doc_id, {th} AS th FROM documents
+    ), shc AS (
+        SELECT doc_id, {sh_expr} AS sh FROM pre
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct(sh)) AS s FROM shc
     ), sizes AS (
         SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
     ), rare AS (

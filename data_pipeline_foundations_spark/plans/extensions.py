@@ -15,7 +15,7 @@ from ..functions.text import (
 from ..operators.dedup import (
     minhash_lsh_pairs, ngram_jaccard_pairs, oracle_minhash_lsh_sql,
     oracle_ngram_jaccard_sql, oracle_simhash_expr, oracle_simhash_pairs_sql,
-    simhash, simhash_pairs,
+    simhash_pairs, with_simhash,
 )
 from ..operators.similarity import (
     cosine_topk, oracle_cosine_topk_sql, oracle_srp_neighbors_sql,
@@ -88,8 +88,8 @@ def x03_dedup_minhash_lsh(spark, sf_dir):
        oracle=f"SELECT doc_id, {oracle_simhash_expr('text')} AS simhash FROM documents")
 def x04_simhash_signatures(spark, sf_dir):
     """Per-document 32-bit SimHash (token-majority bits), scan-local."""
-    return (scale_out(load(spark, sf_dir, "documents"))
-            .select("doc_id", simhash("text").alias("simhash")))
+    return (with_simhash(scale_out(load(spark, sf_dir, "documents")), "text")
+            .select("doc_id", "simhash"))
 
 
 @query("x05_simhash_near_dups", oracle=oracle_simhash_pairs_sql())
