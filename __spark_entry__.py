@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from data_pipeline_foundations_spark.registry import all_queries
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
-FLAGSHIP = "q01_pricing_summary"
+FLAGSHIP = "pl01_settlement_pipeline"
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -179,6 +179,72 @@ def srp_bucket_neighbors(emb: DataFrame, *, id_col: str = "vec_id",
     )
 
 
+def cosine_near_dup_pairs(emb: DataFrame, *, id_col: str = "vec_id",
+                          vec_col: str = "embedding", dim: int = 64,
+                          bits: int = 16, band_bits: int = 4,
+                          threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, SRP-band blocked.
+
+    The 16-bit SRP signature splits into 4-bit bands; vectors sharing ANY
+    band are candidates (LSH banding — recall rises with band count), and
+    candidates are verified with the exact cosine >= threshold. At 100 TB
+    the pair space never materializes: only (id, band) rows shuffle, and
+    the verification join moves one vector per candidate row. The two
+    band-join sides share a canonicalized plan → exchange reuse.
+    """
+    from ..tables import scale_out
+    nbands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    base = (scale_out(emb)
+            .select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+            .withColumn("nrm", l2_norm(F.col("v")))
+            .withColumn("sig", srp_signature(F.col("v"), dim, bits)))
+    band_structs = [
+        F.struct(F.lit(j).alias("band_id"),
+                 F.shiftright(F.col("sig"), j * band_bits).bitwiseAND(F.lit(mask)).alias("band_key"))
+        for j in range(nbands)
+    ]
+    bands = (base.select(id_col, "v", "nrm",
+                         F.explode(F.array(*band_structs)).alias("b"))
+             .select(id_col, "v", "nrm", "b.band_id", "b.band_key"))
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(y, ["band_id", "band_key"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("vec_a"), F.col(f"y.{id_col}").alias("vec_b"),
+                (dot(F.col("x.v"), F.col("y.v"))
+                 / (F.col("x.nrm") * F.col("y.nrm"))).alias("cosine"))
+        .distinct()
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def oracle_cosine_near_dup_sql(*, dim: int = 64, bits: int = 16,
+                               band_bits: int = 4,
+                               threshold: float = 0.9) -> str:
+    nbands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    sig = oracle_srp_expr("embedding", dim, bits)
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT vec_id, v, nrm, {j} AS band_id, (sig >> {j * band_bits}) & {mask} AS band_key FROM base"
+        for j in range(nbands)
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id, embedding AS v, {oracle_norm('embedding')} AS nrm,
+               {sig} AS sig
+        FROM embeddings
+    ), bands AS (
+        {band_selects}
+    )
+    SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           {oracle_dot('x.v', 'y.v')} / (x.nrm * y.nrm) AS cosine
+    FROM bands x JOIN bands y USING (band_id, band_key)
+    WHERE x.vec_id < y.vec_id
+      AND {oracle_dot('x.v', 'y.v')} / (x.nrm * y.nrm) >= {threshold}
+    """
+
+
 def oracle_srp_neighbors_sql(*, dim: int = 64, bits: int = 16,
                              n_queries: int = 10, k: int = 5) -> str:
     sig = oracle_srp_expr("embedding", dim, bits)

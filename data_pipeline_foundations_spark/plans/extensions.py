@@ -13,13 +13,13 @@ from ..functions.text import (
     oracle_token_count, stopword_count, token_count, tokens,
 )
 from ..operators.dedup import (
-    minhash_lsh_pairs, ngram_jaccard_pairs, oracle_minhash_lsh_sql,
-    oracle_ngram_jaccard_sql, oracle_simhash_expr, oracle_simhash_pairs_sql,
-    simhash_pairs, with_simhash,
+    HASH_P, minhash_lsh_pairs, ngram_jaccard_pairs, oracle_minhash_lsh_sql,
+    oracle_ngram_jaccard_sql, oracle_shingle_hashes, oracle_simhash_expr,
+    oracle_simhash_pairs_sql, simhash_pairs, with_shingle_hashes, with_simhash,
 )
 from ..operators.similarity import (
-    cosine_topk, oracle_cosine_topk_sql, oracle_srp_neighbors_sql,
-    srp_bucket_neighbors,
+    cosine_near_dup_pairs, cosine_topk, oracle_cosine_near_dup_sql,
+    oracle_cosine_topk_sql, oracle_srp_neighbors_sql, srp_bucket_neighbors,
 )
 from ..registry import query
 from ..tables import load, scale_out
@@ -310,3 +310,77 @@ def x11_multimodal_features_sql(spark, sf_dir):
         (F.conv(F.substring("meta.content_md5", 16, 15), 16, 10).cast("long") % 1024 + 1)
         .cast("int").alias("fake_height"),
     )
+
+
+@query("x12_embedding_near_dup", oracle=oracle_cosine_near_dup_sql(threshold=0.4))
+def x12_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: SRP 4-bit band blocking + exact
+    cosine verification. The O(n²) pair space never materializes. The
+    synthetic corpus is near-orthogonal random vectors (max pairwise
+    cosine ≈ 0.51), so the registry entry verifies at threshold 0.4; a
+    production near-dup run would use ~0.9."""
+    return cosine_near_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@query(
+    "x13_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def x13_token_stats(spark, sf_dir):
+    """Token counting two ways (whitespace + BPE-ish regex pre-tokenizer) —
+    the standard cost estimate for LLM training data. Scan-local, one
+    regexp pass per row, zero shuffle."""
+    d = scale_out(load(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.regexp_count("text", F.lit(_BPE_RE)).cast("long").alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+_WINNOW_W = 4
+
+
+@query(
+    "x14_winnow_fingerprint",
+    oracle=(lambda: (lambda th, sh: f"""
+    WITH pre AS (
+        SELECT doc_id, {th} AS th FROM documents
+        WHERE len(string_split(text, ' ')) >= 3 + {_WINNOW_W} - 1
+    ), shc AS (
+        SELECT doc_id, {sh} AS sh FROM pre
+    ), wins AS (
+        SELECT doc_id,
+               list_transform(range(1, len(sh) - {_WINNOW_W} + 2),
+                              i -> list_min(list_slice(sh, i, i + {_WINNOW_W} - 1))) AS mins
+        FROM shc
+    )
+    SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM wins
+    """)(*oracle_shingle_hashes("text", 3)))(),
+)
+def x14_winnow_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    scheme): min shingle-hash per sliding window of w=4, distinct per doc.
+    Robust partial-overlap detection — guaranteed to share fingerprints
+    with any copy of >= w+n-1 tokens. Rolling-hash shingles + window mins
+    are all scan-local array ops; only (doc_id, fp) longs shuffle."""
+    d = scale_out(load(spark, sf_dir, "documents")).filter(
+        F.size(F.split("text", " ")) >= 3 + _WINNOW_W - 1)
+    d = with_shingle_hashes(d, "text", 3, out="_sh")
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size("_sh") - F.lit(_WINNOW_W - 1)),
+        lambda i: F.array_min(F.slice(F.col("_sh"), i, _WINNOW_W)),
+    )
+    return (d.withColumn("_mins", mins)
+            .select("doc_id", F.explode(F.array_distinct("_mins")).alias("fp")))

@@ -59,3 +59,235 @@ def d11_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     end date (as_of) instead of now() for determinism (SURVEY.md D7)."""
     return calendar_dim(spark, start="2022-08-01", as_of="2025-12-31",
                         min_date="2022-09-01")
+
+
+# ---------------------------------------------------------------------------
+# pl01 — the loan-detail pipeline end-to-end (extract_loan_detail.py analog)
+# ---------------------------------------------------------------------------
+_PL01_AS_OF = "2025-12-31"  # injectable "now" anchor (SURVEY.md D7)
+
+
+def _oracle_pl01_sql() -> str:
+    """DuckDB twin of pl01 — same operator chain, same money arithmetic."""
+    def r2(e: str) -> str:
+        return f"(CAST(FLOOR(({e}) * 100.0 + 0.5) AS BIGINT) / 100.0)"
+
+    def chan(flag: str) -> str:
+        return f"""
+        SELECT l_orderkey,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT)) / 100.0
+                   AS paid_{flag.lower()},
+               MAX(l_shipdate) AS last_paid_{flag.lower()}
+        FROM lineitem WHERE l_returnflag = '{flag}'
+        GROUP BY l_orderkey"""
+
+    return f"""
+    WITH ch_a AS ({chan('A')}
+    ), ch_n AS ({chan('N')}
+    ), ch_r AS ({chan('R')}
+    ), disputed AS (
+        SELECT l_orderkey,
+               SUM(CASE WHEN l_linestatus = 'O'
+                        THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT)
+                        ELSE 0 END) / 100.0 AS disputed
+        FROM lineitem WHERE l_returnflag = 'R'
+        GROUP BY l_orderkey
+    ), joined AS (
+        SELECT o.o_orderkey AS loan_id,
+               o.o_custkey AS customer_id,
+               o.o_orderstatus,
+               o.o_orderdate,
+               COALESCE(a.paid_a, 0.0) AS paid_a,
+               COALESCE(n.paid_n, 0.0) AS paid_n,
+               COALESCE(r.paid_r, 0.0) AS paid_r,
+               COALESCE(d.disputed, 0.0) AS disputed,
+               greatest(a.last_paid_a, n.last_paid_n, r.last_paid_r) AS last_paid_at,
+               {r2('o.o_totalprice * 0.70')} AS principal,
+               {r2('o.o_totalprice * 0.20')} AS fee,
+               CASE WHEN o.o_orderstatus = 'F'
+                    THEN {r2('o.o_totalprice * 0.05')} ELSE 0.0 END AS late_fee
+        FROM orders o
+        LEFT JOIN ch_a a ON o.o_orderkey = a.l_orderkey
+        LEFT JOIN ch_n n ON o.o_orderkey = n.l_orderkey
+        LEFT JOIN ch_r r ON o.o_orderkey = r.l_orderkey
+        LEFT JOIN disputed d ON o.o_orderkey = d.l_orderkey
+    ), taxed AS (
+        SELECT *,
+               {r2('fee * 0.16')} AS tax_on_fee,
+               {r2('late_fee * 0.16')} AS tax_on_late_fee,
+               {r2('paid_a + paid_n + paid_r - disputed')} AS total_paid
+        FROM joined
+    ), adjusted AS (
+        SELECT *,
+               principal + fee + tax_on_fee + late_fee + tax_on_late_fee AS total_due,
+               CASE WHEN o_orderstatus = 'F'
+                         AND (principal + fee + tax_on_fee + late_fee + tax_on_late_fee) - total_paid
+                             BETWEEN 0.0 AND 1.0
+                    THEN principal + fee + tax_on_fee + late_fee + tax_on_late_fee
+                    ELSE total_paid END AS amount_paid
+        FROM taxed
+    ), b1 AS (
+        SELECT *,
+               LEAST(amount_paid, total_due) AS to_allocate
+        FROM adjusted
+    ), b2 AS (
+        SELECT *,
+               CASE WHEN to_allocate >= late_fee + tax_on_late_fee
+                    THEN late_fee ELSE {r2('to_allocate / 1.16')} END AS late_fee_paid,
+               CASE WHEN to_allocate >= late_fee + tax_on_late_fee
+                    THEN to_allocate - (late_fee + tax_on_late_fee) ELSE 0.0 END AS rem1
+        FROM b1
+    ), b3 AS (
+        SELECT *,
+               CASE WHEN rem1 >= fee + tax_on_fee
+                    THEN fee ELSE {r2('rem1 / 1.16')} END AS fee_paid,
+               CASE WHEN rem1 >= fee + tax_on_fee
+                    THEN rem1 - (fee + tax_on_fee) ELSE 0.0 END AS rem2
+        FROM b2
+    ), settled AS (
+        SELECT *,
+               {r2('LEAST(rem2, principal)')} AS principal_paid,
+               CASE WHEN {r2('LEAST(rem2, principal)')} >= principal
+                    THEN last_paid_at ELSE NULL END AS settled_at
+        FROM b3
+    )
+    SELECT loan_id, customer_id,
+           CASE o_orderstatus WHEN 'F' THEN 'Fulfilled' WHEN 'O' THEN 'Open'
+                WHEN 'P' THEN 'Pending' ELSE 'Unknown' END AS status,
+           CAST(row_number() OVER (PARTITION BY customer_id
+                                   ORDER BY o_orderdate, loan_id) AS INTEGER) AS loan_number,
+           CASE WHEN row_number() OVER (PARTITION BY customer_id
+                                        ORDER BY o_orderdate, loan_id) = 1
+                THEN 'First' ELSE 'Repeat' END AS cohort,
+           principal, fee, late_fee, {r2('total_due')} AS total_due, total_paid,
+           late_fee_paid, fee_paid, principal_paid,
+           last_paid_at, settled_at,
+           CAST(settled_at IS NOT NULL AS BOOLEAN) AS is_settled,
+           CAST(greatest(
+               date_diff('day', CAST(o_orderdate + INTERVAL 30 DAY AS DATE),
+                         CASE WHEN settled_at IS NOT NULL THEN CAST(settled_at AS DATE)
+                              ELSE DATE '{_PL01_AS_OF}' END),
+               0) AS BIGINT) AS days_late
+    FROM settled
+    """
+
+
+@query("pl01_settlement_pipeline", oracle=_oracle_pl01_sql())
+def pl01_settlement_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end loan-detail pipeline analog (SURVEY.md §3.2): per-channel
+    pre-aggregation (A1-A4) → 4-way left join onto the fact (J7, small agg
+    sides are broadcast candidates under AQE) → null fill (P15) → derived
+    totals (P11) → repaid-underpayment forgiveness (P10,
+    extract_loan_detail.py:191-195 analog) → waterfall apportionment (U1) →
+    settlement + row-wise greatest (P14) → DPD with clip-at-0 (D6/P13) →
+    enum decode (P9) → per-customer loan sequence + cohort (W1).
+
+    Channel mapping onto TESTDATA: l_returnflag A/N/R play the
+    arcus/stripe/cash payment channels; 'O'-linestatus R-channel rows play
+    disputed payments (A3). The "now" anchor is an injectable literal
+    (SURVEY.md D7) so results are deterministic.
+
+    Scale notes: the channel aggregates are partial-agg'd map-side before
+    their shuffle; the four join right-sides are one row per order —
+    orders-of-magnitude smaller than lineitem — and broadcast when under
+    the AQE threshold; the window (W1) shuffles on o_custkey once.
+    """
+    from ..functions.money import sum_money_expr
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    amt = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    def chan(flag: str) -> DataFrame:
+        return (li.filter(F.col("l_returnflag") == flag)
+                .groupBy("l_orderkey")
+                .agg(sum_money_expr(amt).alias(f"paid_{flag.lower()}"),
+                     F.max("l_shipdate").alias(f"last_paid_{flag.lower()}"))
+                .withColumnRenamed("l_orderkey", f"ok_{flag.lower()}"))
+
+    disputed = (li.filter(F.col("l_returnflag") == "R")
+                .groupBy("l_orderkey")
+                .agg((F.sum(F.when(F.col("l_linestatus") == "O",
+                                   F.floor(amt * 100.0 + 0.5).cast("long"))
+                            .otherwise(F.lit(0))) / 100.0).alias("disputed"))
+                .withColumnRenamed("l_orderkey", "ok_d"))
+
+    j = (o.join(chan("A"), o.o_orderkey == F.col("ok_a"), "left")
+         .join(chan("N"), o.o_orderkey == F.col("ok_n"), "left")
+         .join(chan("R"), o.o_orderkey == F.col("ok_r"), "left")
+         .join(disputed, o.o_orderkey == F.col("ok_d"), "left")
+         .select(
+             F.col("o_orderkey").alias("loan_id"),
+             F.col("o_custkey").alias("customer_id"),
+             "o_orderstatus", "o_orderdate",
+             F.coalesce("paid_a", F.lit(0.0)).alias("paid_a"),
+             F.coalesce("paid_n", F.lit(0.0)).alias("paid_n"),
+             F.coalesce("paid_r", F.lit(0.0)).alias("paid_r"),
+             F.coalesce("disputed", F.lit(0.0)).alias("disputed"),
+             F.greatest("last_paid_a", "last_paid_n", "last_paid_r").alias("last_paid_at"),
+             round2(F.col("o_totalprice") * 0.70).alias("principal"),
+             round2(F.col("o_totalprice") * 0.20).alias("fee"),
+             F.when(F.col("o_orderstatus") == "F",
+                    round2(F.col("o_totalprice") * 0.05)).otherwise(0.0).alias("late_fee"),
+         ))
+
+    tax_on_fee = round2(F.col("fee") * 0.16)
+    tax_on_late = round2(F.col("late_fee") * 0.16)
+    total_paid = round2(F.col("paid_a") + F.col("paid_n") + F.col("paid_r") - F.col("disputed"))
+    j = j.withColumns({
+        "tax_on_fee": tax_on_fee,
+        "tax_on_late_fee": tax_on_late,
+        "total_paid": total_paid,
+    })
+    total_due = (F.col("principal") + F.col("fee") + F.col("tax_on_fee")
+                 + F.col("late_fee") + F.col("tax_on_late_fee"))
+    j = j.withColumns({
+        "total_due": total_due,
+        # repaid-loan forgiveness: settle tiny shortfalls on fulfilled loans
+        "amount_paid": F.when(
+            (F.col("o_orderstatus") == "F")
+            & ((total_due - F.col("total_paid")) >= 0.0)
+            & ((total_due - F.col("total_paid")) <= 1.0),
+            total_due).otherwise(F.col("total_paid")),
+    })
+    alloc = F.least(F.col("amount_paid"), F.col("total_due"))
+    j = j.withColumn("to_allocate", alloc)
+    lf_due = F.col("late_fee") + F.col("tax_on_late_fee")
+    j = j.withColumns({
+        "late_fee_paid": F.when(F.col("to_allocate") >= lf_due, F.col("late_fee"))
+                          .otherwise(round2(F.col("to_allocate") / 1.16)),
+        "rem1": F.when(F.col("to_allocate") >= lf_due,
+                       F.col("to_allocate") - lf_due).otherwise(F.lit(0.0)),
+    })
+    fee_due = F.col("fee") + F.col("tax_on_fee")
+    j = j.withColumns({
+        "fee_paid": F.when(F.col("rem1") >= fee_due, F.col("fee"))
+                     .otherwise(round2(F.col("rem1") / 1.16)),
+        "rem2": F.when(F.col("rem1") >= fee_due,
+                       F.col("rem1") - fee_due).otherwise(F.lit(0.0)),
+    })
+    j = j.withColumn("principal_paid", round2(F.least(F.col("rem2"), F.col("principal"))))
+    j = j.withColumn("settled_at",
+                     F.when(F.col("principal_paid") >= F.col("principal"),
+                            F.col("last_paid_at")))
+
+    from pyspark.sql import Window as W
+    w = W.partitionBy("customer_id").orderBy("o_orderdate", "loan_id")
+    ln = F.row_number().over(w)
+    due_date = F.to_date(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    end_date = F.when(F.col("settled_at").isNotNull(), F.to_date("settled_at")) \
+                .otherwise(F.to_date(F.lit(_PL01_AS_OF)))
+    return j.select(
+        "loan_id", "customer_id",
+        F.when(F.col("o_orderstatus") == "F", "Fulfilled")
+         .when(F.col("o_orderstatus") == "O", "Open")
+         .when(F.col("o_orderstatus") == "P", "Pending")
+         .otherwise("Unknown").alias("status"),
+        ln.cast("int").alias("loan_number"),
+        F.when(ln == 1, "First").otherwise("Repeat").alias("cohort"),
+        "principal", "fee", "late_fee",
+        round2(F.col("total_due")).alias("total_due"),
+        "total_paid", "late_fee_paid", "fee_paid", "principal_paid",
+        "last_paid_at", "settled_at",
+        F.col("settled_at").isNotNull().alias("is_settled"),
+        F.greatest(F.datediff(end_date, due_date), F.lit(0)).cast("long").alias("days_late"),
+    )

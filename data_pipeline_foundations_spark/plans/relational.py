@@ -758,3 +758,59 @@ def a12_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum_money("o_totalprice").alias("all_spend"),
              F.max("o_orderdate").alias("last_order_at"))
     )
+
+
+@query(
+    "a07_payouts_by_month",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mth,
+           COUNT(*) AS n_payouts,
+           SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS total_amount
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def a07_payouts_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 + D9 — referral payouts by (year, month) with COUNT/SUM and
+    ordered output (load_accounting_data.py:179-193: DATEPART(YEAR/MONTH)
+    GROUP BY with a status filter). year()/month() replace DATEPART
+    (SURVEY.md §2.11); the status filter reaches the parquet scan."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.year("o_orderdate").cast("long").alias("yr"),
+                 F.month("o_orderdate").cast("long").alias("mth"))
+        .agg(F.count(F.lit(1)).alias("n_payouts"),
+             sum_money("o_totalprice").alias("total_amount"))
+        .orderBy("yr", "mth")
+    )
+
+
+@query(
+    "o04_set_ops",
+    oracle="""
+    WITH near AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    ), done AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT o_custkey, 'both' AS bucket FROM (SELECT * FROM near INTERSECT SELECT * FROM done)
+    UNION ALL
+    SELECT o_custkey, 'open_only' AS bucket FROM (SELECT * FROM near EXCEPT SELECT * FROM done)
+    """,
+)
+def o04_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators (absent in the reference,
+    SURVEY.md §2.7; native here). Both compile to aggregate-style plans —
+    no row explosion, one shuffle each on the set key."""
+    o = load(spark, sf_dir, "orders")
+    near = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    done = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    return (
+        near.intersect(done).select("o_custkey", F.lit("both").alias("bucket"))
+        .unionByName(
+            near.exceptAll(done).select("o_custkey", F.lit("open_only").alias("bucket")))
+    )

@@ -1,0 +1,86 @@
+"""Schema-explicit readers (SURVEY.md §2.1 S1/S2/S4, §1.4).
+
+The reference infers every schema at read time (pd.read_sql /
+read_csv / read_excel, utils/fetch_data_utils.py:24,
+utils/gsheets_utils.py:174-185) and patches dtypes after the fact. Spark
+CSV/JSON inference costs an extra pass over 100 TB and drifts subtly
+(int vs bigint, timestamp parsing), so the engine requires an explicit
+StructType per dataset and keeps inference only as an opt-in for ad-hoc
+exploration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S2 — parquet source (utils/fetch_parquet_utils.py:11-19)."""
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType | None = None,
+             *, header: bool = True, infer: bool = False, **options) -> DataFrame:
+    """S4 (CSV arm, utils/gsheets_utils.py:174-175).
+
+    Explicit schema by default; ``infer=True`` opts into the extra
+    inference pass for ad-hoc reads.
+    """
+    reader = spark.read.option("header", str(header).lower())
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str,
+              schema: T.StructType | None = None, **options) -> DataFrame:
+    """S4 (JSON arm, utils/gsheets_utils.py:183-184). JSON-lines by
+    default; ``multiLine=True`` for whole-file documents."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_jdbc(spark: SparkSession, url: str, query: str, **options) -> DataFrame:
+    """S1 — JDBC source (utils/fetch_data_utils.py:20-27,
+    db_connection.py:40-45): arbitrary SQL pushed to the remote engine.
+
+    The reference pulls the FULL result into driver memory; here the read
+    is executor-side and partitionable (pass partitionColumn/lowerBound/
+    upperBound/numPartitions for parallel extraction). Untested in this
+    container (no database server); the option plumbing is the contract.
+    """
+    reader = (spark.read.format("jdbc")
+              .option("url", url)
+              .option("query", query))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_excel_bridge(spark: SparkSession, path: str) -> DataFrame:
+    """S4 (Excel arm, utils/gsheets_utils.py:177-181) via the pandas
+    bridge — Excel files are small report inputs, never 100 TB data, so a
+    driver-side parse + createDataFrame is the right cost model.
+
+    Gated: raises ImportError with guidance when no Excel engine is
+    installed (this container ships none, by design).
+    """
+    import importlib.util
+
+    import pandas as pd
+    engine = "openpyxl" if path.lower().endswith(".xlsx") else "xlrd"
+    if importlib.util.find_spec(engine) is None:
+        raise ImportError(
+            f"Excel bridge needs {engine} for {path!r}; install it "
+            "or convert the file to CSV and use read_csv"
+        )
+    return spark.createDataFrame(pd.read_excel(path))

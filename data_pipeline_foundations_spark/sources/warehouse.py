@@ -1,0 +1,48 @@
+"""Warehouse build + catalog reconciliation (SURVEY.md §2.1 S6/S7).
+
+The reference rebuilds a DuckDB warehouse nightly: ``CREATE OR REPLACE
+TABLE t AS SELECT * FROM '<file>.parquet'`` over a 13-entry file→table map
+(create_duckdb.py:65-79, 96-99), then drops tables absent from the map
+(create_duckdb.py:82-88). Spark's catalog is the metadata store, so the
+backup/lock-retry machinery (S8/S9) and the Metabase schema sync (S13)
+have no equivalent here — the catalog is always self-describing.
+
+Scale note: ``saveAsTable`` keeps the data as parquet under the warehouse
+dir — the "load" is a distributed write, not a single-writer file like the
+reference's .duckdb. Partition columns pass straight through.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def build_warehouse(spark: SparkSession, table_map: dict[str, str],
+                    *, database: str = "default",
+                    partition_by: dict[str, list[str]] | None = None) -> list[str]:
+    """S6 — (re)build managed tables from a parquet-path → table-name map.
+
+    Overwrite per table ≙ CREATE OR REPLACE. Returns the loaded names.
+    """
+    loaded = []
+    partition_by = partition_by or {}
+    for path, table in table_map.items():
+        writer = (spark.read.parquet(path)
+                  .write.mode("overwrite").format("parquet"))
+        if table in partition_by:
+            writer = writer.partitionBy(*partition_by[table])
+        writer.saveAsTable(f"{database}.{table}")
+        loaded.append(table)
+    return loaded
+
+
+def reconcile_catalog(spark: SparkSession, keep: set[str],
+                      *, database: str = "default") -> list[str]:
+    """S7 — drop tables in ``database`` that are not in ``keep``
+    (create_duckdb.py:82-88: SHOW TABLES minus the desired map)."""
+    dropped = []
+    for t in spark.catalog.listTables(database):
+        if t.tableType != "VIEW" and t.name not in keep:
+            spark.sql(f"DROP TABLE IF EXISTS {database}.`{t.name}`")
+            dropped.append(t.name)
+    return dropped
