@@ -33,6 +33,11 @@ def main() -> None:
     spark = get_spark("bench")
     for name in TABLES:  # warmup: JVM, codegen, parquet footers
         load(spark, sf_dir, name).count()
+    # warmup: fork the Python worker pool + its pandas/Arrow imports once,
+    # so Pandas-UDF queries measure compute, not interpreter startup
+    (spark.range(0, 256, 1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+     .mapInPandas(lambda it: it, schema="id long")
+     .write.mode("overwrite").format("noop").save())
 
     timings: dict[str, float] = {}
     for name, spec in sorted(all_queries().items()):

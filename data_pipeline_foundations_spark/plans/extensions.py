@@ -289,7 +289,7 @@ def x10_multimodal_features(spark, sf_dir):
     Oracle-checked separately as x11 (identical semantics, pure-SQL twin);
     this entry exercises the actual pandas batch path."""
     from ..operators.multimodal import attach_binary, extract_features
-    return extract_features(attach_binary(load(spark, sf_dir, "documents")))
+    return extract_features(attach_binary(scale_out(load(spark, sf_dir, "documents"))))
 
 
 @query("x11_multimodal_features_sql", oracle=__import__(
