@@ -9,7 +9,11 @@ same operators over the driver's star schema; these modules reproduce the
 reference pipelines' exact column contracts for golden/property tests.
 """
 
+from .accounting import accounting_detail, accounting_summary, settled_summary
 from .collections_strategies import collections_strategies
+from .growth_data import refresh_monthly_partitions, transform_facebook_raw
 from .loan_detail import loan_detail
 
-__all__ = ["collections_strategies", "loan_detail"]
+__all__ = ["accounting_detail", "accounting_summary", "settled_summary",
+           "collections_strategies", "loan_detail",
+           "refresh_monthly_partitions", "transform_facebook_raw"]

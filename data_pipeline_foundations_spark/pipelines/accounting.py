@@ -1,0 +1,102 @@
+"""Accounting reports pipeline (load_accounting_data.py:30-157).
+
+Consumes the fact_loan table (loan_detail output) and produces:
+  - the 35-column repayment detail (P1, :66-104) with underpaid/overpaid
+    derivation (P10, :40-58) and month truncations (D4, :60-64);
+  - the issue-month accounting summary (A5, :112-118);
+  - the settled-month summary (A6, :120-127) — pandas silently drops the
+    null group (unsettled loans); Spark keeps it, so the filter is
+    explicit here (SURVEY.md §5.5 parity trap).
+
+Documented deviation (SURVEY.md §7.4): the reference's 2025 detail filter
+compares against the string '205-01-01' (:106) — a typo that makes the
+filter a no-op. The intent (IssueMonthCDMX >= 2025-01-01) is implemented
+and the deviation noted.
+
+All "today" anchors are the injected ``as_of`` (D7).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.money import round2, sum_money
+
+DETAIL_COLUMNS = [
+    "UserId", "UserLoanId", "IssueMonth", "IssueMonthCDMX", "IssueDate",
+    "IssueDateCDMX", "DueDate", "DueDateMonth", "LoanStatus", "LoanNumber",
+    "IsLate", "PrincipalAmount", "Fee", "TaxOnFee", "LateFee", "TaxOnLateFee",
+    "TotalAmountDue", "LateFeePaid", "TaxOnLateFeePaid", "FeePaid",
+    "TaxOnFeePaid", "PrincipalPaid", "ApportionedAmountPaid",
+    "TotalAmountPaid", "OverpaidAmount", "JitOfferPolicy",
+    "JitOfferPolicyName", "LastPaidDate", "LastPaidDateCDMX", "SettledAt",
+    "SettledAtCDMX", "SettledAtMonth", "SettledAtMonthCDMX", "UnderpaidFlag",
+    "DisputeAmount",
+]
+
+ACCOUNTING_SUM_COLS = [
+    "PrincipalAmount", "Fee", "TaxOnFee", "LateFee", "TaxOnLateFee",
+    "TotalAmountDue", "PrincipalPaid", "FeePaid", "TaxOnFeePaid",
+    "LateFeePaid", "TaxOnLateFeePaid", "ApportionedAmountPaid",
+]
+SETTLED_SUM_COLS = [
+    "PrincipalPaid", "FeePaid", "TaxOnFeePaid", "LateFeePaid",
+    "TaxOnLateFeePaid", "ApportionedAmountPaid", "DisputeAmount",
+]
+
+
+def _last_day_prev_month(as_of: _dt.datetime) -> _dt.date:
+    return as_of.date().replace(day=1) - _dt.timedelta(days=1)
+
+
+def accounting_detail(fact_loan: DataFrame) -> DataFrame:
+    """The repayment detail projection (:36-104)."""
+    paid, due = F.col("TotalAmountPaid"), F.col("TotalAmountDue")
+    over = paid > due
+    d = (fact_loan
+         .filter(F.col("LoanStatus") != 6)
+         .withColumns({
+             "UnderpaidFlag": (paid < due) & (F.col("LoanStatus") == 2),
+             "OverpaidAmount": F.when(over, round2(paid - due)).otherwise(0.0),
+             "ApportionedAmountPaid": F.when(over, round2(due)).otherwise(round2(paid)),
+             "IssueMonth": F.date_trunc("month", "IssueDate"),
+             "IssueMonthCDMX": F.date_trunc("month", "IssueDateCDMX"),
+             "SettledAtMonth": F.date_trunc("month", "SettledAt"),
+             "SettledAtMonthCDMX": F.date_trunc("month", "SettledAtCDMX"),
+             "DueDateMonth": F.date_trunc("month", "DueDate"),
+         }))
+    return d.select(*DETAIL_COLUMNS)
+
+
+def detail_2025(detail: DataFrame) -> DataFrame:
+    """The 2025 slice with FeeRatio (:106-107); implements the INTENT of
+    the reference's '205-01-01' typo filter (see module docstring)."""
+    return (detail
+            .filter(F.col("IssueMonthCDMX") >= F.lit("2025-01-01").cast("timestamp"))
+            .withColumn("FeeRatio", F.col("Fee") / F.col("PrincipalAmount")))
+
+
+def accounting_summary(detail: DataFrame, *, as_of: _dt.datetime) -> DataFrame:
+    """A5 (:112-118): money sums by CDMX issue month, strictly before the
+    previous month's last day."""
+    cutoff = F.lit(_last_day_prev_month(as_of).isoformat()).cast("timestamp")
+    return (detail
+            .groupBy("IssueMonthCDMX")
+            .agg(*[sum_money(c).alias(c) for c in ACCOUNTING_SUM_COLS])
+            .filter(F.col("IssueMonthCDMX") < cutoff)
+            .orderBy("IssueMonthCDMX"))
+
+
+def settled_summary(detail: DataFrame, *, as_of: _dt.datetime) -> DataFrame:
+    """A6 (:120-127): money sums by CDMX settlement month. The explicit
+    isNotNull reproduces pandas' silent NaN-group drop."""
+    cutoff = F.lit(_last_day_prev_month(as_of).isoformat()).cast("timestamp")
+    return (detail
+            .filter(F.col("SettledAtMonthCDMX").isNotNull())
+            .groupBy("SettledAtMonthCDMX")
+            .agg(*[sum_money(c).alias(c) for c in SETTLED_SUM_COLS])
+            .filter(F.col("SettledAtMonthCDMX") <= cutoff)
+            .orderBy("SettledAtMonthCDMX"))
