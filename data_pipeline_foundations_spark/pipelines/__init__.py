@@ -10,10 +10,12 @@ reference pipelines' exact column contracts for golden/property tests.
 """
 
 from .accounting import accounting_detail, accounting_summary, settled_summary
+from .arcus_transactions import arcus_transactions
 from .collections_strategies import collections_strategies
 from .growth_data import refresh_monthly_partitions, transform_facebook_raw
 from .loan_detail import loan_detail
 
 __all__ = ["accounting_detail", "accounting_summary", "settled_summary",
+           "arcus_transactions",
            "collections_strategies", "loan_detail",
            "refresh_monthly_partitions", "transform_facebook_raw"]
