@@ -50,7 +50,7 @@ TS = _dt.datetime
 
 
 @pytest.fixture(scope="session")
-def loan_fact_df(spark):
+def loan_inputs(spark):
 
     mk = spark.createDataFrame
 
@@ -133,6 +133,11 @@ def loan_fact_df(spark):
         "user_loan_openpay_transactions": ulot,
         "collections_strategies": collections_strategies(raw_strategies),
     }
-    return loan_detail(inputs, as_of=LOAN_AS_OF)
+    return inputs
+
+
+@pytest.fixture(scope="session")
+def loan_fact_df(loan_inputs):
+    return loan_detail(loan_inputs, as_of=LOAN_AS_OF)
 
 
