@@ -814,3 +814,30 @@ def o04_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             near.exceptAll(done).select("o_custkey", F.lit("open_only").alias("bucket")))
     )
+
+
+@query(
+    "j13_salted_skew_join",
+    oracle=f"""
+    SELECT s.s_name,
+           COUNT(*) AS n_items,
+           {oracle_sum_money('l.l_extendedprice')} AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def j13_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew-join (operators/skew.py): the fact side is salted, the
+    supplier dim replicated per salt, so a hot supplier key spreads over
+    n_salts tasks instead of one straggler. Result is salt-invariant —
+    the oracle is the plain join. (AQE skew splitting is the first line
+    of defense; salting is the explicit fallback, SURVEY.md §7.2.)"""
+    from ..operators.skew import salted_join
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
+    return (
+        salted_join(li, s, "l_suppkey")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             sum_money("l_extendedprice").alias("revenue"))
+    )

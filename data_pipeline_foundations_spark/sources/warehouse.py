@@ -36,6 +36,23 @@ def build_warehouse(spark: SparkSession, table_map: dict[str, str],
     return loaded
 
 
+def build_bucketed(spark: SparkSession, parquet_path: str, table: str, *,
+                   bucket_col: str, n_buckets: int = 32,
+                   database: str = "default") -> None:
+    """Bucketed warehouse table: pre-shuffled on ``bucket_col`` at write
+    time, so equi-joins and aggregations on that column between
+    same-bucketed tables run WITHOUT a shuffle — the Exchange disappears
+    from the plan (pinned by tests). This is the warehouse-side answer to
+    "reuse a partitioning across stages": pay the shuffle once at load,
+    not per query. At 100 TB, bucket the fact tables on their join key
+    (e.g., order key) and size n_buckets to the cluster's parallelism.
+    """
+    (spark.read.parquet(parquet_path)
+     .write.mode("overwrite").format("parquet")
+     .bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
+     .saveAsTable(f"{database}.{table}"))
+
+
 def reconcile_catalog(spark: SparkSession, keep: set[str],
                       *, database: str = "default") -> list[str]:
     """S7 — drop tables in ``database`` that are not in ``keep``

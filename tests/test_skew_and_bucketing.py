@@ -1,0 +1,78 @@
+"""Skew mitigation (salted join / salted agg) and bucketed co-located
+joins: results match the unsalted/unbucketed equivalents, and the
+bucketed join plan has no shuffle."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_foundations_spark.operators.skew import (
+    salted_agg_sum, salted_join,
+)
+from data_pipeline_foundations_spark.sources.warehouse import build_bucketed
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture()
+def skewed(spark):
+    # 10k rows of hot key 1 + uniform tail: the shape AQE sees as one
+    # oversized partition
+    hot = spark.range(10_000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+    tail = spark.range(1_000).select((F.col("id") % 50 + 2).alias("k"),
+                                     F.col("id").alias("v"))
+    return hot.unionByName(tail)
+
+
+def test_salted_join_matches_plain(spark, skewed):
+    dim = spark.range(60).select(F.col("id").alias("k"),
+                                 F.concat(F.lit("n"), F.col("id")).alias("name"))
+    plain = skewed.join(dim, "k").groupBy("k", "name").count()
+    salted = salted_join(skewed, dim, "k").groupBy("k", "name").count()
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_salted_join_left(spark, skewed):
+    dim = spark.range(5).select(F.col("id").alias("k"), F.lit("x").alias("name"))
+    plain = skewed.join(dim, "k", "left")
+    salted = salted_join(skewed, dim, "k", how="left")
+    assert plain.count() == salted.count()
+    assert (plain.filter("name IS NULL").count()
+            == salted.filter("name IS NULL").count())
+
+
+def test_salted_agg_matches_plain(spark, skewed):
+    plain = {r.k: r.s for r in
+             skewed.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    salted = {r.k: r.s for r in
+              salted_agg_sum(skewed, "k", "v", out="s").collect()}
+    assert plain == salted
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    build_bucketed(spark, f"{SF_DIR}/orders.parquet", "b_orders",
+                   bucket_col="o_orderkey", n_buckets=8)
+    build_bucketed(spark, f"{SF_DIR}/lineitem.parquet", "b_lineitem",
+                   bucket_col="l_orderkey", n_buckets=8)
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = (spark.table("b_orders")
+                 .join(spark.table("b_lineitem"),
+                       F.col("o_orderkey") == F.col("l_orderkey"))
+                 .groupBy("o_orderkey").count())
+            n = j.count()
+            assert n > 0
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            # co-located: no Exchange feeds the join (the only shuffle
+            # allowed is none — bucketed scan satisfies the distribution)
+            assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
