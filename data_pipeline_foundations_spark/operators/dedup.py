@@ -167,10 +167,16 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     verification join re-derives signatures from the same staged scan.
     """
     r = k // bands
+    # Persist the signature table: (id, k longs) per doc, consumed by the
+    # banding self-join AND both verification sides. (Persisting is safe
+    # and cheap now that the signature expression is staged — caching a
+    # plan with duplicated HOFs would evaluate them per duplicate in the
+    # interpreted cache-build path.)
     sig = (
         with_minhash(scale_out(docs).filter(F.size(tokens(text_col)) >= n),
                      text_col, n, k)
         .select(id_col, *[f"mh{i}" for i in range(k)])
+        .persist()
     )
     band_structs = [
         F.struct(
@@ -343,8 +349,13 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     count for df>max_df shingles would move to a per-pair
     array_intersect verify (same result, bounded payload).
     """
+    # Persist the exploded inverted index: (id, 8-byte hash) rows, fed to
+    # FOUR consumers (sizes, dfreq, both self-join sides) — without the
+    # cache the shingle scan re-runs per consumer. At 100 TB this is the
+    # index you'd materialize to storage once anyway.
     sh = (with_shingle_hashes(scale_out(docs), text_col, n, out="_sh")
-          .select(F.col(id_col), F.explode(F.array_distinct("_sh")).alias("s")))
+          .select(F.col(id_col), F.explode(F.array_distinct("_sh")).alias("s"))
+          .persist())
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     rare = dfreq.filter(F.col("df") <= max_df).select("s")
