@@ -96,3 +96,59 @@ def decode_image(payload: bytes):  # pragma: no cover - stub by design
         ) from e
     import io
     return Image.open(io.BytesIO(payload))
+
+
+RESIZE_SCHEMA = ("doc_id long, n_bytes long, target_w int, target_h int, "
+                 "resized_md5 string")
+
+
+def resize_images(binarized: DataFrame, *, width: int = 256,
+                  height: int = 256, id_col: str = "doc_id") -> DataFrame:
+    """Image resize over mapInPandas — the batch shape a real resizer
+    (PIL/libvips) plugs into. The container has no imaging libs, so the
+    transform is a deterministic stand-in: the "resized" payload is the
+    md5 of (payload + WxH tag), standing in for re-encoded bytes. The
+    Spark-side contract — binary in, per-batch vectorized transform,
+    typed schema out, partition-parallel — is the real thing.
+    """
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tag = f"|{width}x{height}".encode()
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "target_w": width,
+                "target_h": height,
+                "resized_md5": [hashlib.md5(bytes(p) + tag).hexdigest()
+                                for p in pdf["payload"]],
+            })
+
+    return binarized.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
+
+
+def sample_frames(binarized: DataFrame, *, every_n_bytes: int = 64,
+                  max_frames: int = 8, id_col: str = "doc_id") -> DataFrame:
+    """Frame sampling for video payloads: one OUTPUT ROW PER FRAME
+    (row-expanding mapInPandas — the UDTF shape). Frames are byte-stride
+    slices of the payload standing in for decoded video frames; a real
+    decoder (ffmpeg) replaces the slicing, not the plumbing. Output
+    cardinality = ceil(len/stride) capped at max_frames per doc.
+    """
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, md5s = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                n = min(max_frames, max(1, -(-len(b) // every_n_bytes)))
+                for i in range(n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    md5s.append(hashlib.md5(
+                        b[i * every_n_bytes:(i + 1) * every_n_bytes]).hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                "frame_md5": md5s})
+
+    return binarized.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -13,7 +13,7 @@ from ..functions.text import (
     oracle_token_count, stopword_count, token_count, tokens,
 )
 from ..operators.dedup import (
-    HASH_P, minhash_lsh_pairs, ngram_jaccard_pairs, oracle_minhash_lsh_sql,
+    minhash_lsh_pairs, ngram_jaccard_pairs, oracle_minhash_lsh_sql,
     oracle_ngram_jaccard_sql, oracle_shingle_hashes, oracle_simhash_expr,
     oracle_simhash_pairs_sql, simhash_pairs, with_shingle_hashes, with_simhash,
 )
@@ -216,6 +216,44 @@ def s03_json_extraction(spark, sf_dir):
         ev.filter(F.col("props").isNotNull())
         .select("event_id", "event_type", k.alias("k_value"),
                 F.when(k >= 50, "high").otherwise("low").alias("k_band"))
+    )
+
+
+@query(
+    "s04_session_window",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def s04_session_window(spark, sf_dir):
+    """Native session windows (F.session_window, 30-min gap): the SAME
+    operator drives the streaming variant with a watermark — Spark merges
+    overlapping per-event windows into gap-separated sessions. The oracle
+    derives identical sessions via the lag/cumsum construction (session
+    end = last event + gap, matching session_window.end)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events")
     )
 
 
