@@ -350,34 +350,37 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     array_intersect verify (same result, bounded payload).
     """
     # Persist the exploded inverted index: (id, 8-byte hash) rows, fed to
-    # FOUR consumers (sizes, dfreq, both self-join sides) — without the
-    # cache the shingle scan re-runs per consumer. At 100 TB this is the
-    # index you'd materialize to storage once anyway.
+    # THREE consumers (sizes, dfreq, the self-join) — without the cache the
+    # shingle scan re-runs per consumer. At 100 TB this is the index you'd
+    # materialize to storage once anyway.
     sh = (with_shingle_hashes(scale_out(docs), text_col, n, out="_sh")
           .select(F.col(id_col), F.explode(F.array_distinct("_sh")).alias("s"))
           .persist())
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    rare = dfreq.filter(F.col("df") <= max_df).select("s")
-    a, b = sh.alias("a"), sh.alias("b")
-    cand = (
+    rare = dfreq.filter(F.col("df") <= max_df).select("s", F.lit(1).alias("is_rare"))
+    # ONE self-join does both jobs: per-pair shared-shingle counts AND the
+    # rare-shingle blocking predicate. The is_rare flag rides on the probe
+    # side (broadcast left join against the bounded rare set), and
+    # max(is_rare) per pair replaces a second self-join + distinct over the
+    # candidate space — half the shuffle of the two-join formulation.
+    a = (sh.join(F.broadcast(rare), "s", "left")
+         .select(F.col(id_col), "s", F.coalesce("is_rare", F.lit(0)).alias("is_rare"))
+         .alias("a"))
+    b = sh.alias("b")
+    pairs = (
         a.join(b, "s")
-        .join(F.broadcast(rare), "s")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .distinct()
-    )
-    inter = (
-        a.join(b, "s")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("shared"))
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"),
+                F.col("a.is_rare"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"), F.max("is_rare").alias("has_rare"))
+        .filter(F.col("has_rare") == 1)
     )
     na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        cand.join(inter, ["doc_a", "doc_b"])
-        .join(na, "doc_a").join(nb, "doc_b")
+        pairs.join(na, "doc_a").join(nb, "doc_b")
         .select(
             "doc_a", "doc_b", "shared",
             (F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"))
