@@ -506,19 +506,26 @@ def j06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j10_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J10/W2 dedup-latest-per-key (reference: sort desc + drop_duplicates,
-    extract_loan_detail.py:348-352) as a window row_number — ordered by
-    every projected column so ties are deterministic across engines, fixing
-    the reference's order-dependence (the synthetic data has duplicate
-    (orderkey, linenumber) pairs). One shuffle on the partition key; at
-    scale this is the standard 'latest record per entity' compaction."""
+    extract_loan_detail.py:348-352). Expressed as max(struct(...)) per key
+    rather than a row_number window: struct comparison is lexicographic, so
+    max over (shipdate, linenumber, extendedprice) picks the same row as
+    ORDER BY ... DESC LIMIT 1 per key, with deterministic ties across
+    engines (the synthetic data has duplicate (orderkey, linenumber)
+    pairs). At scale this beats the window form: hash aggregation gets
+    map-side partial combine — each input partition reduces to at most one
+    row per local key before the exchange — and needs no sort, where
+    row_number must shuffle every duplicate row and sort within
+    partitions. 'Latest record per entity' compaction is the canonical
+    CDC/upsert pattern this models."""
     li = load(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_orderkey").orderBy(F.col("l_shipdate").desc(),
-                                            F.col("l_linenumber").desc(),
-                                            F.col("l_extendedprice").desc())
     return (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+        li.groupBy("l_orderkey")
+        .agg(F.max(F.struct("l_shipdate", "l_linenumber",
+                            "l_extendedprice")).alias("s"))
+        .select("l_orderkey",
+                F.col("s.l_linenumber").alias("l_linenumber"),
+                F.col("s.l_shipdate").alias("l_shipdate"),
+                F.col("s.l_extendedprice").alias("l_extendedprice"))
     )
 
 
