@@ -287,8 +287,12 @@ def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     candidates; keep pairs with hamming distance <= max_hamming."""
     nbands = bits // band_bits
     mask = (1 << band_bits) - 1
+    # TWO consumers (both sides of the self-join): without the persist the
+    # signature pipeline (per-token md5 + per-bit aggregate — the dominant
+    # cost) executes twice. The cached form is tiny: (id, int64).
     sig = (with_simhash(scale_out(docs), text_col, bits, out="sh")
-           .select(id_col, "sh"))
+           .select(id_col, "sh")
+           .persist())
     band_structs = [
         F.struct(F.lit(j).alias("band_id"),
                  F.shiftright(F.col("sh"), j * band_bits).bitwiseAND(F.lit(mask)).alias("band_key"))
@@ -302,8 +306,11 @@ def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
         .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
         .select(F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b"),
                 F.bit_count(F.col("x.sh").bitwiseXOR(F.col("y.sh"))).alias("hamming"))
-        .distinct()
+        # hamming filter BEFORE distinct: the filter is a cheap map-side
+        # row predicate, distinct is a full shuffle — dropping far pairs
+        # first means only the (rare) near-dup candidates get shuffled.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
