@@ -195,10 +195,13 @@ def cosine_near_dup_pairs(emb: DataFrame, *, id_col: str = "vec_id",
     from ..tables import scale_out
     nbands = bits // band_bits
     mask = (1 << band_bits) - 1
+    # TWO consumers (both sides of the band self-join): persist so the
+    # 16-fold SRP signature computes once per vector, not twice.
     base = (scale_out(emb)
             .select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
             .withColumn("nrm", l2_norm(F.col("v")))
-            .withColumn("sig", srp_signature(F.col("v"), dim, bits)))
+            .withColumn("sig", srp_signature(F.col("v"), dim, bits))
+            .persist())
     band_structs = [
         F.struct(F.lit(j).alias("band_id"),
                  F.shiftright(F.col("sig"), j * band_bits).bitwiseAND(F.lit(mask)).alias("band_key"))
@@ -214,8 +217,11 @@ def cosine_near_dup_pairs(emb: DataFrame, *, id_col: str = "vec_id",
         .select(F.col(f"x.{id_col}").alias("vec_a"), F.col(f"y.{id_col}").alias("vec_b"),
                 (dot(F.col("x.v"), F.col("y.v"))
                  / (F.col("x.nrm") * F.col("y.nrm"))).alias("cosine"))
-        .distinct()
+        # threshold BEFORE distinct: the predicate is a map-side row
+        # filter, distinct a full shuffle — only pairs that pass the
+        # cosine verification reach the dedup exchange.
         .filter(F.col("cosine") >= threshold)
+        .distinct()
     )
 
 
