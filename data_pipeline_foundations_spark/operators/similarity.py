@@ -195,8 +195,8 @@ def cosine_near_dup_pairs(emb: DataFrame, *, id_col: str = "vec_id",
     from ..tables import scale_out
     nbands = bits // band_bits
     mask = (1 << band_bits) - 1
-    # TWO consumers (both sides of the band self-join): persist so the
-    # 16-fold SRP signature computes once per vector, not twice.
+    # THREE consumers (banding + both sides of the verification join):
+    # persist so the 16-fold SRP signature computes once per vector.
     base = (scale_out(emb)
             .select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
             .withColumn("nrm", l2_norm(F.col("v")))
@@ -207,21 +207,30 @@ def cosine_near_dup_pairs(emb: DataFrame, *, id_col: str = "vec_id",
                  F.shiftright(F.col("sig"), j * band_bits).bitwiseAND(F.lit(mask)).alias("band_key"))
         for j in range(nbands)
     ]
-    bands = (base.select(id_col, "v", "nrm",
-                         F.explode(F.array(*band_structs)).alias("b"))
-             .select(id_col, "v", "nrm", "b.band_id", "b.band_key"))
+    # The quadratic-risk self-join moves ONLY (id, band_id, band_key) —
+    # never the vectors. Candidate pairs are deduped before verification
+    # so a pair sharing several bands is verified once, and the exact
+    # cosine is computed by joining each side's vector back from the
+    # persisted base (one vector per unique candidate).
+    bands = (base.select(id_col, F.explode(F.array(*band_structs)).alias("b"))
+             .select(id_col, "b.band_id", "b.band_key"))
     x, y = bands.alias("x"), bands.alias("y")
-    return (
+    cand = (
         x.join(y, ["band_id", "band_key"])
         .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .select(F.col(f"x.{id_col}").alias("vec_a"), F.col(f"y.{id_col}").alias("vec_b"),
-                (dot(F.col("x.v"), F.col("y.v"))
-                 / (F.col("x.nrm") * F.col("y.nrm"))).alias("cosine"))
-        # threshold BEFORE distinct: the predicate is a map-side row
-        # filter, distinct a full shuffle — only pairs that pass the
-        # cosine verification reach the dedup exchange.
-        .filter(F.col("cosine") >= threshold)
+        .select(F.col(f"x.{id_col}").alias("vec_a"), F.col(f"y.{id_col}").alias("vec_b"))
         .distinct()
+    )
+    a = base.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"),
+                    F.col("nrm").alias("na"))
+    b = base.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"),
+                    F.col("nrm").alias("nb"))
+    return (
+        cand.join(a, "vec_a").join(b, "vec_b")
+        .select("vec_a", "vec_b",
+                (dot(F.col("va"), F.col("vb"))
+                 / (F.col("na") * F.col("nb"))).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )
 
 
