@@ -187,34 +187,40 @@ def pl01_settlement_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     disputed payments (A3). The "now" anchor is an injectable literal
     (SURVEY.md D7) so results are deterministic.
 
-    Scale notes: the channel aggregates are partial-agg'd map-side before
-    their shuffle; the four join right-sides are one row per order —
-    orders-of-magnitude smaller than lineitem — and broadcast when under
-    the AQE threshold; the window (W1) shuffles on o_custkey once.
+    Scale notes: ALL per-channel aggregates (A1-A4) come out of ONE
+    lineitem scan and ONE shuffle via conditional aggregation —
+    sum(when(channel, cents)) — instead of one filtered scan + shuffle +
+    join per channel. A channel with no rows for an order aggregates to
+    NULL, exactly what the per-channel left join produced, so the
+    downstream coalesce is unchanged. The single join right-side is one
+    row per order — orders-of-magnitude smaller than lineitem — and
+    broadcast when under the AQE threshold; the window (W1) shuffles on
+    o_custkey once.
     """
-    from ..functions.money import sum_money_expr
+    from ..functions.money import scaled_long
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     amt = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    amt_cents = scaled_long(amt, 100.0)
 
-    def chan(flag: str) -> DataFrame:
-        return (li.filter(F.col("l_returnflag") == flag)
-                .groupBy("l_orderkey")
-                .agg(sum_money_expr(amt).alias(f"paid_{flag.lower()}"),
-                     F.max("l_shipdate").alias(f"last_paid_{flag.lower()}"))
-                .withColumnRenamed("l_orderkey", f"ok_{flag.lower()}"))
+    def chan_sum(flag: str) -> F.Column:
+        return (F.sum(F.when(F.col("l_returnflag") == flag, amt_cents))
+                / F.lit(100.0))
 
-    disputed = (li.filter(F.col("l_returnflag") == "R")
-                .groupBy("l_orderkey")
-                .agg((F.sum(F.when(F.col("l_linestatus") == "O",
-                                   F.floor(amt * 100.0 + 0.5).cast("long"))
-                            .otherwise(F.lit(0))) / 100.0).alias("disputed"))
-                .withColumnRenamed("l_orderkey", "ok_d"))
+    def chan_last(flag: str) -> F.Column:
+        return F.max(F.when(F.col("l_returnflag") == flag, F.col("l_shipdate")))
 
-    j = (o.join(chan("A"), o.o_orderkey == F.col("ok_a"), "left")
-         .join(chan("N"), o.o_orderkey == F.col("ok_n"), "left")
-         .join(chan("R"), o.o_orderkey == F.col("ok_r"), "left")
-         .join(disputed, o.o_orderkey == F.col("ok_d"), "left")
+    aggs = (li.groupBy("l_orderkey").agg(
+        chan_sum("A").alias("paid_a"), chan_last("A").alias("last_paid_a"),
+        chan_sum("N").alias("paid_n"), chan_last("N").alias("last_paid_n"),
+        chan_sum("R").alias("paid_r"), chan_last("R").alias("last_paid_r"),
+        (F.sum(F.when(F.col("l_returnflag") == "R",
+                      F.when(F.col("l_linestatus") == "O", amt_cents)
+                      .otherwise(F.lit(0).cast("long"))))
+         / F.lit(100.0)).alias("disputed"),
+    ))
+
+    j = (o.join(aggs, o.o_orderkey == aggs.l_orderkey, "left")
          .select(
              F.col("o_orderkey").alias("loan_id"),
              F.col("o_custkey").alias("customer_id"),
