@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_long, oracle_md5_long
 from ..functions.text import tokens
 from ..tables import scale_out
+from .caching import tracked_persist
 
 # MinHash family size and LSH banding: K = BANDS * ROWS_PER_BAND.
 MINHASH_K = 8
@@ -172,11 +173,10 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     # and cheap now that the signature expression is staged — caching a
     # plan with duplicated HOFs would evaluate them per duplicate in the
     # interpreted cache-build path.)
-    sig = (
+    sig = tracked_persist(
         with_minhash(scale_out(docs).filter(F.size(tokens(text_col)) >= n),
                      text_col, n, k)
         .select(id_col, *[f"mh{i}" for i in range(k)])
-        .persist()
     )
     band_structs = [
         F.struct(
@@ -290,9 +290,8 @@ def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     # TWO consumers (both sides of the self-join): without the persist the
     # signature pipeline (per-token md5 + per-bit aggregate — the dominant
     # cost) executes twice. The cached form is tiny: (id, int64).
-    sig = (with_simhash(scale_out(docs), text_col, bits, out="sh")
-           .select(id_col, "sh")
-           .persist())
+    sig = tracked_persist(with_simhash(scale_out(docs), text_col, bits, out="sh")
+                          .select(id_col, "sh"))
     band_structs = [
         F.struct(F.lit(j).alias("band_id"),
                  F.shiftright(F.col("sh"), j * band_bits).bitwiseAND(F.lit(mask)).alias("band_key"))
@@ -346,54 +345,68 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     """Exact Jaccard over n-gram shingle *sets* for candidate pairs that
     share at least one rare shingle (document frequency <= max_df).
 
-    The frequency cap is the blocking step: ubiquitous shingles generate
-    quadratic candidates without discriminating, so they're excluded from
-    candidate generation (intersection counts still include every shared
-    shingle). Classic inverted-index join over 31-bit shingle HASHES —
-    the shuffle moves longs, never text. Shuffle volume is bounded by
-    sum over rare shingles of df² plus the shared-shingle rows of
-    candidate-adjacent docs; at extreme corpus skew the intersection
-    count for df>max_df shingles would move to a per-pair
-    array_intersect verify (same result, bounded payload).
+    Scale contract (the part that survives a skewed 100 TB corpus):
+
+      1. **Candidate generation touches rare shingles only.** The
+         inverted index is restricted to shingles with df <= max_df
+         BEFORE the self-join, so the join's blow-up is bounded by
+         Σ_{rare s} df(s)² <= max_df · |index| — linear in corpus size.
+         A boilerplate shingle in 10⁶ docs contributes zero join rows
+         (the previous formulation joined on ALL shingles and counted
+         on filtering afterward — O(df²) rows per ubiquitous shingle).
+      2. **Intersections are exact via array_intersect, not the index
+         join.** Each deduped candidate pair pulls the two docs'
+         distinct-shingle arrays (bounded payload: two arrays per
+         candidate) and counts ALL shared shingles — including the
+         ubiquitous ones excluded from blocking — so the result is the
+         true Jaccard, identical to an all-shingles formulation.
+
+    Shuffles move 31-bit shingle hashes and doc ids (longs), never
+    text. The persisted intermediate is the EXPLODED index — (long,
+    long) rows hit Spark's fast columnar cache path, whereas caching the
+    per-doc array column pays the slow nested-type deserialization on
+    every one of its three consumers (measured 3-16 s CPU per consumer
+    at sf0.1). The verification arrays are rebuilt from the cached index
+    with one collect_list shuffle of longs.
     """
-    # Persist the exploded inverted index: (id, 8-byte hash) rows, fed to
-    # THREE consumers (sizes, dfreq, the self-join) — without the cache the
-    # shingle scan re-runs per consumer. At 100 TB this is the index you'd
-    # materialize to storage once anyway.
-    sh = (with_shingle_hashes(scale_out(docs), text_col, n, out="_sh")
-          .select(F.col(id_col), F.explode(F.array_distinct("_sh")).alias("s"))
-          .persist())
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    rare = dfreq.filter(F.col("df") <= max_df).select("s", F.lit(1).alias("is_rare"))
-    # ONE self-join does both jobs: per-pair shared-shingle counts AND the
-    # rare-shingle blocking predicate. The is_rare flag rides on the probe
-    # side (broadcast left join against the bounded rare set), and
-    # max(is_rare) per pair replaces a second self-join + distinct over the
-    # candidate space — half the shuffle of the two-join formulation.
-    a = (sh.join(F.broadcast(rare), "s", "left")
-         .select(F.col(id_col), "s", F.coalesce("is_rare", F.lit(0)).alias("is_rare"))
-         .alias("a"))
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, "s")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"),
-                F.col("a.is_rare"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"), F.max("is_rare").alias("has_rare"))
-        .filter(F.col("has_rare") == 1)
+    inv = tracked_persist(
+        with_shingle_hashes(scale_out(docs), text_col, n, out="_sh")
+        .select(F.col(id_col), F.explode(F.array_distinct("_sh")).alias("s"))
     )
-    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # Rare-shingle restriction: the df aggregate and the join back to the
+    # index shuffle on the same key (s), so the exchange is reused. The
+    # rare set is NOT broadcast — in a large corpus most shingles are
+    # rare, so the rare table is O(|distinct shingles|).
+    rare = (inv.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df).select("s"))
+    rare_inv = inv.join(rare, "s")
+    x, y = rare_inv.alias("x"), rare_inv.alias("y")
+    cand = (
+        x.join(y, "s")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    sets = inv.groupBy(id_col).agg(F.collect_list("s").alias("sh_arr"),
+                                   F.count(F.lit(1)).alias("n_sh"))
+    a = sets.select(F.col(id_col).alias("doc_a"), F.col("sh_arr").alias("a_arr"),
+                    F.col("n_sh").alias("n_a"))
+    b = sets.select(F.col(id_col).alias("doc_b"), F.col("sh_arr").alias("b_arr"),
+                    F.col("n_sh").alias("n_b"))
+    # Threshold rewritten to reference `shared` ONCE — jaccard >= t is
+    # equivalent to shared * (1+t) >= t * (n_a + n_b) — so when Catalyst
+    # pushes the filter into the join condition, array_intersect is
+    # evaluated once per candidate, not twice.
     return (
-        pairs.join(na, "doc_a").join(nb, "doc_b")
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("shared", F.size(F.array_intersect("a_arr", "b_arr")).cast("long"))
+        .filter(F.col("shared") * F.lit(1.0 + threshold)
+                >= F.lit(threshold) * (F.col("n_a") + F.col("n_b")))
         .select(
             "doc_a", "doc_b", "shared",
             (F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"))
             .alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
 
 

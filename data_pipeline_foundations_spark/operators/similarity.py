@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..tables import scale_out
+from .caching import tracked_persist
 
 
 def _to_double(col: Column) -> Column:
@@ -197,11 +198,11 @@ def cosine_near_dup_pairs(emb: DataFrame, *, id_col: str = "vec_id",
     mask = (1 << band_bits) - 1
     # THREE consumers (banding + both sides of the verification join):
     # persist so the 16-fold SRP signature computes once per vector.
-    base = (scale_out(emb)
-            .select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
-            .withColumn("nrm", l2_norm(F.col("v")))
-            .withColumn("sig", srp_signature(F.col("v"), dim, bits))
-            .persist())
+    base = tracked_persist(
+        scale_out(emb)
+        .select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+        .withColumn("nrm", l2_norm(F.col("v")))
+        .withColumn("sig", srp_signature(F.col("v"), dim, bits)))
     band_structs = [
         F.struct(F.lit(j).alias("band_id"),
                  F.shiftright(F.col("sig"), j * band_bits).bitwiseAND(F.lit(mask)).alias("band_key"))

@@ -1,0 +1,50 @@
+"""Plan-shape pins for the scale-critical operators.
+
+These tests freeze the STRUCTURE of the plans whose shape (not result)
+is what makes them survive a 100 TB corpus — so a refactor that keeps
+the answer but reintroduces an unbounded join fails CI, the same way
+test_skew_and_bucketing pins the Exchange-free bucketed join.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline_foundations_spark.operators import (
+    release_cached_intermediates,
+)
+from data_pipeline_foundations_spark.operators.dedup import (
+    MAX_SHINGLE_DF, ngram_jaccard_pairs,
+)
+from data_pipeline_foundations_spark.tables import load
+
+
+@pytest.fixture()
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents")
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_ngram_jaccard_self_join_is_rare_bounded(docs):
+    """The x06 scale contract (VERDICT r1 #1): candidate generation must
+    touch rare shingles only, and intersections must come from a bounded
+    per-pair array_intersect — never an unrestricted shingle self-join."""
+    plan = _optimized(ngram_jaccard_pairs(docs))
+    release_cached_intermediates()
+    # exact intersections via per-candidate array_intersect
+    assert "array_intersect" in plan
+    # the df-cap filter appears on BOTH inputs of the candidate self-join
+    # (the old formulation had it on one side only, as a broadcast-left
+    # is_rare flag, leaving the other side unrestricted)
+    assert plan.count(f"<= {MAX_SHINGLE_DF}") >= 2
+    # the is_rare-flag formulation is gone: no outer join anywhere
+    assert "LeftOuter" not in plan
+
+
+def test_ngram_jaccard_releases_cache(spark, docs):
+    ngram_jaccard_pairs(docs).count()
+    assert release_cached_intermediates() >= 1
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
