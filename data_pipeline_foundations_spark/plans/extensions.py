@@ -320,12 +320,16 @@ def x09_language_id(spark, sf_dir):
                     pred.alias("lang_pred"))
 
 
-@query("x10_multimodal_features", oracle=None)
+@query("x10_multimodal_features", oracle=__import__(
+    "data_pipeline_foundations_spark.operators.multimodal",
+    fromlist=["oracle_features_sql"]).oracle_features_sql())
 def x10_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payload + metadata struct ingest, then
     Arrow-batched mapInPandas feature extraction (operators/multimodal.py).
-    Oracle-checked separately as x11 (identical semantics, pure-SQL twin);
-    this entry exercises the actual pandas batch path."""
+    Output contract is defined to equal x11's (pinned in
+    tests/test_multimodal.py), so it shares x11's DuckDB oracle — the
+    mapInPandas path gets the full rows+schema+hash check, not rows-only
+    (VERDICT r1 #3)."""
     from ..operators.multimodal import attach_binary, extract_features
     return extract_features(attach_binary(scale_out(load(spark, sf_dir, "documents"))))
 
