@@ -12,6 +12,7 @@ from ..functions.text import (
     fingerprint, oracle_fingerprint, oracle_stopword_count,
     oracle_token_count, stopword_count, token_count, tokens,
 )
+from ..operators.clustering import dedup_clusters, oracle_dedup_clusters_sql
 from ..operators.dedup import (
     minhash_lsh_pairs, ngram_jaccard_pairs, oracle_minhash_lsh_sql,
     oracle_ngram_jaccard_sql, oracle_shingle_hashes, oracle_simhash_expr,
@@ -426,3 +427,15 @@ def x14_winnow_fingerprint(spark, sf_dir):
     )
     return (d.withColumn("_mins", mins)
             .select("doc_id", F.explode(F.array_distinct("_mins")).alias("fp")))
+
+
+@query("x15_dedup_clusters",
+       oracle=oracle_dedup_clusters_sql(oracle_minhash_lsh_sql()))
+def x15_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: MinHash+LSH pairs → connected components →
+    deterministic canonical doc (min id per component). The actionable
+    form of dedup — "DELETE WHERE is_canonical = 0" — that the pair
+    lists alone don't give (VERDICT r1, next-round task #2). Bounded
+    min-label propagation; oracle is a DuckDB recursive-CTE closure."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup_clusters(docs, minhash_lsh_pairs(docs))

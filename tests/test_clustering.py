@@ -1,0 +1,52 @@
+"""connected_components / dedup_clusters unit behavior: transitive
+closure, singletons, deterministic canonical choice, convergence cap."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_foundations_spark.operators.clustering import (
+    connected_components, dedup_clusters,
+)
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+
+def _docs(spark, n):
+    return spark.range(n).select(F.col("id").alias("doc_id"))
+
+
+def test_chain_collapses_to_min(spark):
+    # 0-1-2-3 chain: diameter 3, all should label 0
+    comp = connected_components(_docs(spark, 4),
+                                _pairs(spark, [(0, 1), (1, 2), (2, 3)]))
+    got = {r.doc_id: r.cluster_id for r in comp.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+def test_components_and_singletons(spark):
+    comp = connected_components(_docs(spark, 6),
+                                _pairs(spark, [(1, 4), (2, 5)]))
+    got = {r.doc_id: r.cluster_id for r in comp.collect()}
+    assert got == {0: 0, 1: 1, 4: 1, 2: 2, 5: 2, 3: 3}
+
+
+def test_nonconvergence_raises(spark):
+    with pytest.raises(RuntimeError, match="no fixed point"):
+        connected_components(_docs(spark, 4),
+                             _pairs(spark, [(0, 1), (1, 2), (2, 3)]),
+                             max_rounds=1)
+
+
+def test_dedup_clusters_canonical_and_sizes(spark):
+    out = dedup_clusters(_docs(spark, 5),
+                         _pairs(spark, [(0, 3), (3, 4)]))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].cluster_size == 3 and rows[0].is_canonical == 1
+    assert rows[3].cluster_id == 0 and rows[3].is_canonical == 0
+    assert rows[4].cluster_id == 0 and rows[4].is_canonical == 0
+    assert rows[1].cluster_size == 1 and rows[1].is_canonical == 1
+    assert rows[2].cluster_size == 1 and rows[2].is_canonical == 1
