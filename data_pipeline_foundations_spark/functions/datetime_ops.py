@@ -46,10 +46,12 @@ def day_offset_threshold(col: Column | str, hours: int = 30) -> Column:
 
 
 def timestamp_day_diff(a: Column | str, b: Column | str) -> Column:
-    """Whole days a−b by timestamp subtraction, truncated toward zero —
-    the reference's ``(ts1 - ts2).dt.days`` shape (D6), NOT calendar
-    datediff. Computed on exact integer microseconds, then one double
-    division — the identical IEEE op sequence both engines run, so results
+    """Whole days a−b by timestamp subtraction, FLOORED — exactly pandas'
+    ``(ts1 - ts2).dt.days`` (D6), which floors toward -inf, so a −5 h
+    difference is −1 day, not 0 (ADVICE r1: the previous trunc-toward-
+    zero form differed on negative diffs). NOT calendar datediff.
+    Computed on exact integer microseconds, then one double division +
+    floor — the identical IEEE op sequence both engines run, so results
     are bit-stable. (Parquet naive timestamps arrive as TIMESTAMP_NTZ in
     Spark 4; the ltz cast under the pinned-UTC session is a no-op
     reinterpretation that unlocks unix_micros.)
@@ -58,12 +60,11 @@ def timestamp_day_diff(a: Column | str, b: Column | str) -> Column:
     cb = F.col(b) if isinstance(b, str) else b
     us = (F.unix_micros(ca.cast("timestamp_ltz"))
           - F.unix_micros(cb.cast("timestamp_ltz")))
-    return (us / F.lit(86400000000.0)).cast("long")  # cast truncates toward zero
+    return F.floor(us / F.lit(86400000000.0))
 
 
 def oracle_timestamp_day_diff(a: str, b: str) -> str:
-    # TRUNC before the bigint cast: DuckDB casts double→int by *rounding*.
-    return (f"CAST(TRUNC((epoch_us({a}) - epoch_us({b})) / 86400000000.0) AS BIGINT)")
+    return (f"CAST(FLOOR((epoch_us({a}) - epoch_us({b})) / 86400000000.0) AS BIGINT)")
 
 
 def weekend_adjust(col: Column | str) -> Column:

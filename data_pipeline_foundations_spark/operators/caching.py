@@ -18,12 +18,48 @@ once per consumer and defeat the persist).
 
 from __future__ import annotations
 
+from pyspark import SparkContext
 from pyspark.sql import DataFrame
 
 # Strong references on purpose: the persisted table must stay reachable
 # until the caller releases it — the operator's local variable dies when
 # the operator returns, but the cache entry it created does not.
 _LIVE: list[DataFrame] = []
+
+# localCheckpoint-backed RDDs (iterative operators): tracked by JVM RDD id
+# because ``df.unpersist()`` only touches the Dataset cache, not the RDD
+# a LogicalRDD scan reads from.
+_LIVE_RDDS: list[tuple[SparkContext, int]] = []
+
+
+def track_checkpoint_rdds(sc: SparkContext, rdd_ids: set[int]) -> None:
+    """Register localCheckpoint RDD ids for later release.
+
+    Used by iterative operators (connected_components) whose RESULT is
+    backed by a checkpointed RDD: it must outlive the operator call, but
+    the session must still be able to reclaim it via
+    :func:`release_cached_intermediates`.
+    """
+    for rid in rdd_ids:
+        _LIVE_RDDS.append((sc, rid))
+
+
+def unpersist_rdd_ids(sc: SparkContext, rdd_ids: set[int],
+                      blocking: bool = False) -> None:
+    """Unpersist RDDs by id (localCheckpoint blocks included).
+
+    ``SparkContext.unpersistRDD`` is ``private[spark]`` in Scala, which
+    compiles to a public JVM method — stable across Spark 3.x/4.x and the
+    only handle to a checkpoint RDD whose DataFrame wrapper is gone.
+    """
+    for rid in rdd_ids:
+        sc._jsc.sc().unpersistRDD(rid, blocking)
+
+
+def persistent_rdd_ids(sc: SparkContext) -> set[int]:
+    """Current persistent (cached or locally-checkpointed) RDD ids."""
+    return {int(k) for k in
+            sc._jsc.getPersistentRDDs().keySet().toArray()}
 
 
 def tracked_persist(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -53,6 +89,10 @@ def release_cached_intermediates() -> int:
     """
     n = 0
     while _LIVE:
-        _LIVE.pop().unpersist()
+        _LIVE.pop().unpersist(True)
+        n += 1
+    while _LIVE_RDDS:
+        sc, rid = _LIVE_RDDS.pop()
+        sc._jsc.sc().unpersistRDD(rid, True)
         n += 1
     return n

@@ -39,6 +39,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .caching import (
+    persistent_rdd_ids, track_checkpoint_rdds, unpersist_rdd_ids,
+)
+
 MAX_CC_ROUNDS = 25
 
 
@@ -50,27 +54,49 @@ def connected_components(vertices: DataFrame, edges: DataFrame, *,
 
     Vertices with no incident edge form singleton clusters. Raises
     RuntimeError if no fixed point within ``max_rounds`` (correctness
-    over silent truncation)."""
+    over silent truncation).
+
+    Checkpoint lifecycle (storage hygiene at scale): each round's eager
+    localCheckpoint truncates lineage, so round k-1's checkpoint blocks
+    are dead the moment round k materializes — they are unpersisted
+    immediately, keeping peak storage at TWO label snapshots regardless
+    of round count. The symmetrized edge list is freed at the fixed
+    point; the FINAL label snapshot backs the returned DataFrame, so it
+    is registered with the caching registry and reclaimed by the
+    caller's ``release_cached_intermediates()``."""
+    sc = vertices.sparkSession.sparkContext
     half = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    before = persistent_rdd_ids(sc)
     sym = (half.union(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
            .distinct()
-           .localCheckpoint(eager=False))
+           .localCheckpoint(eager=True))
+    sym_ids = persistent_rdd_ids(sc) - before
     labels = vertices.select(F.col(id_col).alias("v"),
                              F.col(id_col).alias("label"))
+    prev_ids: set[int] = set()
     for _ in range(max_rounds):
         nbr_min = (sym.join(labels, sym["a"] == labels["v"])
                    .select(F.col("b").alias("v"), F.col("label"))
                    .groupBy("v").agg(F.min("label").alias("nbr_label")))
+        pre = persistent_rdd_ids(sc)
         nxt = (labels.join(nbr_min, "v", "left")
                .select("v", F.least("label", F.coalesce("nbr_label", "label"))
                        .alias("label"),
                        (F.col("nbr_label") < F.col("label")).alias("_chg"))
                .localCheckpoint(eager=True))
+        new_ids = persistent_rdd_ids(sc) - pre
+        # nxt is materialized; the previous round's checkpoint feeds
+        # nothing downstream (lineage was truncated) — free it now.
+        unpersist_rdd_ids(sc, prev_ids)
+        prev_ids = new_ids
         changed = nxt.filter(F.col("_chg")).limit(1).count()
         labels = nxt.drop("_chg")
         if changed == 0:
+            unpersist_rdd_ids(sc, sym_ids)
+            track_checkpoint_rdds(sc, prev_ids)
             return labels.select(F.col("v").alias(id_col),
                                  F.col("label").alias("cluster_id"))
+    unpersist_rdd_ids(sc, sym_ids | prev_ids)
     raise RuntimeError(
         f"connected_components: no fixed point after {max_rounds} rounds "
         f"(component diameter exceeds the cap; raise max_rounds)")

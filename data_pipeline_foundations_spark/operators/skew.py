@@ -30,7 +30,18 @@ def salted_join(big: DataFrame, small: DataFrame, key: str, *,
     Cost model: small side shuffles n_salts× its size — only worth it
     when the small side is modest and the big side's key is genuinely
     hot. The salt uses a fixed seed; results are salt-invariant anyway.
+
+    Only inner/left are supported: replication is result-invariant when
+    every emitted row is anchored to a big-side row, but a right/full
+    outer join would emit each UNMATCHED small-side row once per salt
+    (n_salts duplicates). Anti/semi on the big side would be safe too
+    but are cheaper unsalted (no payload moves); use a plain join.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            f"replicating the small side duplicates its unmatched rows "
+            f"under right/full outer joins")
     big_s = big.withColumn("_salt", (F.rand(42) * n_salts).cast("int"))
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     small_r = small.select("*", salts)

@@ -23,7 +23,7 @@ import datetime as _dt
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.money import round2, sum_money
+from ..functions.money import round2
 
 DETAIL_COLUMNS = [
     "UserId", "UserLoanId", "IssueMonth", "IssueMonthCDMX", "IssueDate",
@@ -81,22 +81,28 @@ def detail_2025(detail: DataFrame) -> DataFrame:
 
 def accounting_summary(detail: DataFrame, *, as_of: _dt.datetime) -> DataFrame:
     """A5 (:112-118): money sums by CDMX issue month, strictly before the
-    previous month's last day."""
+    previous month's last day.
+
+    Sum-then-round (round2(sum(c)), the reference's ``.sum().round(2)``,
+    :116) — NOT per-row cents rounding: detail columns like TaxOnFee =
+    Fee*0.16 are not 2-dp, and rounding each row before summing can
+    drift the monthly total by cents (ADVICE r1)."""
     cutoff = F.lit(_last_day_prev_month(as_of).isoformat()).cast("timestamp")
     return (detail
             .groupBy("IssueMonthCDMX")
-            .agg(*[sum_money(c).alias(c) for c in ACCOUNTING_SUM_COLS])
+            .agg(*[round2(F.sum(c)).alias(c) for c in ACCOUNTING_SUM_COLS])
             .filter(F.col("IssueMonthCDMX") < cutoff)
             .orderBy("IssueMonthCDMX"))
 
 
 def settled_summary(detail: DataFrame, *, as_of: _dt.datetime) -> DataFrame:
     """A6 (:120-127): money sums by CDMX settlement month. The explicit
-    isNotNull reproduces pandas' silent NaN-group drop."""
+    isNotNull reproduces pandas' silent NaN-group drop. Sum-then-round,
+    matching the reference (see accounting_summary)."""
     cutoff = F.lit(_last_day_prev_month(as_of).isoformat()).cast("timestamp")
     return (detail
             .filter(F.col("SettledAtMonthCDMX").isNotNull())
             .groupBy("SettledAtMonthCDMX")
-            .agg(*[sum_money(c).alias(c) for c in SETTLED_SUM_COLS])
+            .agg(*[round2(F.sum(c)).alias(c) for c in SETTLED_SUM_COLS])
             .filter(F.col("SettledAtMonthCDMX") <= cutoff)
             .orderBy("SettledAtMonthCDMX"))

@@ -22,7 +22,6 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 NUMERIC_KEYWORDS = ("sum", "cost", "click", "impression", "sales", "users")
 
@@ -67,15 +66,23 @@ def transform_facebook_raw(df: DataFrame) -> DataFrame:
 
 
 def existing_month_tags(spark: SparkSession, dataset_path: str) -> set[str]:
-    """Months already present — from the partition directory index, not a
-    data scan (the reference re-reads the whole parquet for this,
-    :100-104)."""
-    try:
-        rows = (spark.read.parquet(dataset_path)
-                .select("month_tag").distinct().collect())
-    except AnalysisException:
+    """Months already present — ONE ``month_tag=*`` directory listing via
+    the Hadoop FS API (any Hadoop-compatible FS: HDFS/S3A/local), so the
+    check is O(partitions) regardless of history size. The reference
+    re-reads the whole parquet for this (:100-104); the previous form
+    here planned a distributed distinct-scan over every data file, which
+    broke the module's O(new-month) claim (ADVICE r1)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(dataset_path)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
         return set()
-    return {r.month_tag for r in rows}
+    tags = set()
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("month_tag="):
+            tags.add(name.split("=", 1)[1])
+    return tags
 
 
 def refresh_monthly_partitions(spark: SparkSession, dataset_path: str,

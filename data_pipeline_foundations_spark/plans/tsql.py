@@ -35,12 +35,24 @@ _AT_TZ = re.compile(
 _DATEPART = re.compile(
     r"DATEPART\s*\(\s*(?P<part>YEAR|MONTH|DAY)\s*,\s*", re.IGNORECASE)
 _BRACKET_IDENT = re.compile(r"\[(?P<name>[A-Za-z_][\w ]*)\]")
+# The argument may contain one level of nested parens (function calls:
+# CONVERT(DATE, f(x))); deeper nesting deliberately does NOT match and is
+# caught by the leftover guard below instead of being mangled.
 _CONVERT_DATE = re.compile(
-    r"CONVERT\s*\(\s*DATE\s*,\s*(?P<expr>[^)]+)\)", re.IGNORECASE)
+    r"CONVERT\s*\(\s*DATE\s*,\s*(?P<expr>(?:[^()]|\([^()]*\))+)\)",
+    re.IGNORECASE)
+_LEFTOVER = re.compile(r"CONVERT\s*\(|AT\s+TIME\s+ZONE|DATEPART\s*\(",
+                       re.IGNORECASE)
 
 
 def translate_tsql(sql: str) -> str:
-    """Rewrite the reference's T-SQL-isms into Spark SQL."""
+    """Rewrite the reference's T-SQL-isms into Spark SQL.
+
+    Raises ValueError if any T-SQL construct survives the rewrite
+    (unmatched CONVERT/AT TIME ZONE/DATEPART shape): a query outside the
+    supported patterns must fail loudly, not pass through silently
+    mis-rewritten (ADVICE r1).
+    """
     def tz_sub(m: re.Match) -> str:
         iana = _TZ_MAP.get(m.group("tz"), m.group("tz"))
         return f"from_utc_timestamp({m.group('expr')}, '{iana}')"
@@ -49,4 +61,10 @@ def translate_tsql(sql: str) -> str:
     out = _DATEPART.sub(lambda m: f"{m.group('part').lower()}(", out)
     out = _BRACKET_IDENT.sub(lambda m: f"`{m.group('name')}`", out)
     out = _CONVERT_DATE.sub(lambda m: f"CAST({m.group('expr').strip()} AS DATE)", out)
+    left = _LEFTOVER.search(out)
+    if left:
+        snippet = out[left.start():left.start() + 60]
+        raise ValueError(
+            f"translate_tsql: unsupported T-SQL construct at {left.start()}: "
+            f"{snippet!r}")
     return out

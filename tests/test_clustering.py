@@ -6,6 +6,9 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from data_pipeline_foundations_spark.operators.caching import (
+    persistent_rdd_ids, release_cached_intermediates,
+)
 from data_pipeline_foundations_spark.operators.clustering import (
     connected_components, dedup_clusters,
 )
@@ -50,3 +53,24 @@ def test_dedup_clusters_canonical_and_sizes(spark):
     assert rows[4].cluster_id == 0 and rows[4].is_canonical == 0
     assert rows[1].cluster_size == 1 and rows[1].is_canonical == 1
     assert rows[2].cluster_size == 1 and rows[2].is_canonical == 1
+
+
+def test_checkpoints_are_reclaimed(spark):
+    """Per-round checkpoints die as the iteration advances; the final
+    label snapshot (which backs the result) is reclaimed by the session's
+    release call — net storage growth is zero. Raised non-convergence
+    must clean up everything itself."""
+    sc = spark.sparkContext
+    release_cached_intermediates()          # drain leftovers from other tests
+    before = persistent_rdd_ids(sc)
+    comp = dedup_clusters(_docs(spark, 4), _pairs(spark, [(0, 1), (1, 2)]))
+    comp.count()
+    leftover = persistent_rdd_ids(sc) - before
+    assert len(leftover) <= 1               # only the final label snapshot
+    release_cached_intermediates()
+    assert persistent_rdd_ids(sc) <= before
+    with pytest.raises(RuntimeError):
+        connected_components(_docs(spark, 4),
+                             _pairs(spark, [(0, 1), (1, 2), (2, 3)]),
+                             max_rounds=1)
+    assert persistent_rdd_ids(sc) <= before

@@ -68,3 +68,20 @@ def test_month_partition_refresh(spark, tmp_path):
     # partition layout on disk: one directory per month (pruning-ready)
     dirs = {d for d in os.listdir(path) if d.startswith("month_tag=")}
     assert dirs == {"month_tag=2025_01", "month_tag=2025_02", "month_tag=2025_03"}
+
+
+def test_existing_month_tags_reads_no_data_files(spark, tmp_path):
+    """The month-existence probe must be a partition-directory listing,
+    never a data scan: it still answers after every parquet data file is
+    corrupted in place (a scan would throw), and it answers empty for a
+    missing dataset without touching Spark jobs."""
+    path = str(tmp_path / "growth")
+    assert existing_month_tags(spark, path) == set()
+    jan = _raw(spark, [("Jan 5, 2025", "fb", "a", "10", "$1")])
+    refresh_monthly_partitions(spark, path, {"2025_01": jan})
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(os.path.join(root, f), "wb") as fh:
+                    fh.write(b"not parquet anymore")
+    assert existing_month_tags(spark, path) == {"2025_01"}

@@ -76,3 +76,11 @@ def test_bucketed_join_has_no_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_rejects_outer_joins(spark, skewed):
+    dim = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="inner.*left"):
+        salted_join(skewed, dim, "k", how="right")
+    with pytest.raises(ValueError, match="inner.*left"):
+        salted_join(skewed, dim, "k", how="full")

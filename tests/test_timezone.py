@@ -36,3 +36,26 @@ def test_duckdb_agrees_on_dst_history():
             "SELECT CAST(timezone('America/Mexico_City', "
             f"TIMESTAMP '{utc}' AT TIME ZONE 'UTC') AS TIMESTAMP)").fetchone()[0]
         assert got == expected, (utc, got, expected)
+
+
+def test_day_diff_floors_negative_like_pandas(spark, duck):
+    """(ts1-ts2).dt.days floors toward -inf: -5h → -1 day, not 0 — and
+    the Spark and DuckDB twins agree on negatives (ADVICE r1)."""
+    import datetime as dt
+    from data_pipeline_foundations_spark.functions.datetime_ops import (
+        oracle_timestamp_day_diff, timestamp_day_diff,
+    )
+    rows = [(dt.datetime(2025, 1, 1, 0), dt.datetime(2025, 1, 1, 5)),   # -5h
+            (dt.datetime(2025, 1, 3, 1), dt.datetime(2025, 1, 1, 0)),   # +2d1h
+            (dt.datetime(2025, 1, 1, 0), dt.datetime(2025, 1, 2, 0))]   # -1d
+    df = spark.createDataFrame(rows, "a timestamp, b timestamp")
+    got = [r.d for r in df.select(timestamp_day_diff("a", "b").alias("d")).collect()]
+    assert got == [-1, 2, -1]
+    expr = oracle_timestamp_day_diff("a", "b")
+    oracle = [r[0] for r in duck.execute(
+        f"SELECT {expr} FROM (VALUES "
+        "(TIMESTAMP '2025-01-01 00:00:00', TIMESTAMP '2025-01-01 05:00:00'),"
+        "(TIMESTAMP '2025-01-03 01:00:00', TIMESTAMP '2025-01-01 00:00:00'),"
+        "(TIMESTAMP '2025-01-01 00:00:00', TIMESTAMP '2025-01-02 00:00:00')) t(a, b)"
+    ).fetchall()]
+    assert oracle == got

@@ -106,3 +106,19 @@ def test_reference_referral_detail_runs(referral_views):
     # the WHERE RP.Status = 2 collapses the LEFT JOIN to inner
     # (SURVEY.md §2.4 J12) — the unpaid payout row is gone
     assert all(r.TransactionAmount in (100.0, 50.0) for r in rows.values())
+
+def test_nested_convert_translates():
+    out = translate_tsql("SELECT CONVERT(DATE, DATEADD(day, 1, x)) AS d FROM t")
+    assert out == "SELECT CAST(DATEADD(day, 1, x) AS DATE) AS d FROM t"
+
+
+def test_unsupported_constructs_raise_not_passthrough():
+    # single AT TIME ZONE (not the UTC→tz pair shape) must be rejected
+    with pytest.raises(ValueError, match="unsupported T-SQL"):
+        translate_tsql("SELECT x AT TIME ZONE 'UTC' FROM t")
+    # DATEPART with an unsupported part
+    with pytest.raises(ValueError, match="unsupported T-SQL"):
+        translate_tsql("SELECT DATEPART(WEEK, x) FROM t")
+    # CONVERT with two nesting levels: better to raise than mis-rewrite
+    with pytest.raises(ValueError, match="unsupported T-SQL"):
+        translate_tsql("SELECT CONVERT(DATE, f(g(x))) FROM t")
