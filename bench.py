@@ -20,9 +20,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from data_pipeline_foundations_spark.operators.caching import (
+    release_cached_intermediates,
+)
 from data_pipeline_foundations_spark.registry import all_queries
 from data_pipeline_foundations_spark.session import get_spark
 from data_pipeline_foundations_spark.tables import TABLES, load
+
+# Queries re-probed with extra runs for the `stable` sub-dict: the
+# expensive tail, where single-sweep numbers on this shared VM have shown
+# multi-second noise (a 12 s reading for a 2 s query). Round-over-round
+# BENCH_r* deltas should be read off `stable`, not `queries`.
+STABLE_RUNS = 3
+STABLE_TOP_N = 5
 
 
 def main() -> None:
@@ -48,22 +58,37 @@ def main() -> None:
     # persists, so every timed execution is a full computation with no
     # cross-run cached-intermediate reuse and no memory accumulation
     # across the 52-query sweep.
+    queries = all_queries()
+
+    def timed_run(spec) -> float:
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        dt = time.perf_counter() - t0
+        # clearCache drops per-query persists; the release call also
+        # drains localCheckpoint RDDs (iterative operators), which
+        # clearCache does not cover.
+        spark.catalog.clearCache()
+        release_cached_intermediates()
+        return dt
+
     timings: dict[str, float] = {}
-    for name, spec in sorted(all_queries().items()):
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-            spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+    for name, spec in sorted(queries.items()):
+        timings[name] = round(min(timed_run(spec) for _ in range(2)), 3)
+
+    # Stability probe: the expensive tail gets STABLE_RUNS more isolated
+    # runs each; `stable` is the trustworthy number for those queries.
+    stable: dict[str, float] = {}
+    for name in sorted(timings, key=timings.get, reverse=True)[:STABLE_TOP_N]:
+        spec = queries[name]
+        stable[name] = round(min(min(timed_run(spec) for _ in range(STABLE_RUNS)),
+                                 timings[name]), 3)
 
     print(json.dumps({
         "metric": "total_runtime_all_registered_queries",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "stable": stable,
         "sf": sf,
     }))
 
