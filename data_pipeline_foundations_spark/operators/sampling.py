@@ -1,0 +1,110 @@
+"""Deterministic corpus sampling and sequence packing.
+
+Training-data mixture construction needs (a) per-stratum sampling at
+exact, *reproducible* rates — "50% of English, 10% of Chinese, drop the
+rest" — and (b) packing variable-length documents into fixed token
+budgets (context windows). Both are expressed as pure column
+expressions: the sample is a map-side filter (no shuffle at all — it
+composes with any downstream plan and pushes into the scan), and the
+packer is one window over the shard key.
+
+Determinism contract: sampling keys on the portable 60-bit md5 hash
+(functions/hashing.py), NOT on rand() — the same row makes the same
+keep/drop decision on every run, every engine, every cluster size, so
+a resampled pipeline is diffable and the DuckDB oracle reproduces it
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.hashing import md5_long, oracle_md5_long
+
+SAMPLE_RESOLUTION = 10_000  # rates quantize to 0.01%
+
+
+def _bucket(key_col: str, seed: int) -> Column:
+    return md5_long(F.col(key_col).cast("string"), seed=seed) % SAMPLE_RESOLUTION
+
+
+def oracle_bucket(key_sql: str, seed: int) -> str:
+    return (f"({oracle_md5_long(f'CAST({key_sql} AS VARCHAR)', seed=seed)}"
+            f" % {SAMPLE_RESOLUTION})")
+
+
+def stratified_sample(df: DataFrame, *, strata_col: str,
+                      rates: dict[str, float], key_col: str,
+                      seed: int = 7, default_rate: float = 0.0) -> DataFrame:
+    """Keep each row with its stratum's probability, decided by a
+    deterministic hash of ``key_col`` — so the sample is stable across
+    runs and engines (unlike ``df.sampleBy``, whose Bernoulli draw
+    depends on partitioning). Strata absent from ``rates`` fall back to
+    ``default_rate``.
+
+    Scale: a scan-local filter — zero shuffles, prunes before any
+    downstream join/agg, and the per-stratum keep-fraction converges to
+    the rate with the usual hash-uniformity bound. Exact-count sampling
+    (precisely k rows per stratum) needs a per-stratum rank and is a
+    different, shuffle-bearing operator; rate-based is what corpus
+    mixture weighting wants.
+    """
+    thresholds = F.when(F.lit(False), F.lit(0))
+    for stratum, rate in sorted(rates.items()):
+        thresholds = thresholds.when(F.col(strata_col) == stratum,
+                                     F.lit(int(rate * SAMPLE_RESOLUTION)))
+    thresholds = thresholds.otherwise(
+        F.lit(int(default_rate * SAMPLE_RESOLUTION)))
+    return df.filter(_bucket(key_col, seed) < thresholds)
+
+
+def oracle_stratified_sample_where(*, strata_sql: str,
+                                   rates: dict[str, float], key_sql: str,
+                                   seed: int = 7,
+                                   default_rate: float = 0.0) -> str:
+    """WHERE-clause twin of :func:`stratified_sample`."""
+    cases = " ".join(
+        f"WHEN {strata_sql} = '{s}' THEN {int(r * SAMPLE_RESOLUTION)}"
+        for s, r in sorted(rates.items()))
+    return (f"{oracle_bucket(key_sql, seed)} < (CASE {cases} "
+            f"ELSE {int(default_rate * SAMPLE_RESOLUTION)} END)")
+
+
+def sequence_packing(docs: DataFrame, *, group_col: str, order_col: str,
+                     tokens_col: str, budget: int) -> DataFrame:
+    """Assign documents to fixed-size token packs (context windows),
+    GPT-pretraining style: within each shard (``group_col``) documents
+    concatenate in ``order_col`` order and the stream is chunked every
+    ``budget`` tokens. Emits pack_id (shard-local ordinal) and
+    pack_offset (token position of the document's first token inside its
+    pack); a document whose tokens straddle a boundary starts in the
+    pack containing its first token — exactly the "concat then chunk"
+    semantics of pretraining data loaders.
+
+    Scale: ONE window over (group, order) — shards pack independently
+    and in parallel, so parallelism equals shard count and no global
+    sort exists anywhere. The running sum carries O(1) state. (A
+    best-fit bin packer would need per-bin state and either a driver
+    loop or stateful iteration; concat-and-chunk is both the standard
+    and the scalable choice.)
+    """
+    w = (W.partitionBy(group_col).orderBy(order_col)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    start = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return (docs
+            .withColumn("pack_id", F.floor(start / F.lit(budget)))
+            .withColumn("pack_offset", start % F.lit(budget)))
+
+
+def oracle_sequence_packing_cols(*, group_sql: str, order_sql: str,
+                                 tokens_sql: str, budget: int) -> tuple[str, str]:
+    """(pack_id, pack_offset) SQL twins of :func:`sequence_packing`."""
+    start = (f"(SUM({tokens_sql}) OVER (PARTITION BY {group_sql} "
+             f"ORDER BY {order_sql} ROWS BETWEEN UNBOUNDED PRECEDING AND "
+             f"CURRENT ROW) - {tokens_sql})")
+    # DuckDB widens windowed SUM(BIGINT) to HUGEINT — cast both outputs
+    # back to BIGINT so dtypes match Spark's longs.
+    return (f"CAST(FLOOR({start} / {budget}.0) AS BIGINT)",
+            f"CAST(({start} % {budget}) AS BIGINT)")

@@ -18,5 +18,5 @@ def load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import relational, pipelines, extensions  # noqa: F401
+    from . import relational, pipelines, extensions, training  # noqa: F401
     _LOADED = True

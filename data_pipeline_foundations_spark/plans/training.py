@@ -1,0 +1,176 @@
+"""Training-data pipeline queries, part 2: temporal joins, corpus
+sampling, sequence packing (x16-x19).
+
+These extend plans/extensions.py's dedup/similarity/text family with
+the remaining operations a large-scale training-data pipeline runs:
+as-of feature attachment, windowed enrichment (range join), mixture
+sampling, and context-window packing. Each query pairs a Spark-first
+operator (operators/temporal.py, operators/sampling.py) with a DuckDB
+oracle twin; the reference repo has none of these (its ETL is snapshot
+pandas), so reference citations are per-operator design notes instead.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import oracle_token_count, token_count
+from ..operators.sampling import (
+    oracle_sequence_packing_cols, oracle_stratified_sample_where,
+    sequence_packing, stratified_sample,
+)
+from ..operators.temporal import asof_join, range_join
+from ..registry import query
+from ..tables import load
+
+# ---------------------------------------------------------------------------
+# x16 — as-of join: latest prior view per purchase, per user
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x16_asof_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           p.ts AS purchase_ts, p.value AS purchase_value,
+           v.event_id AS view_id, v.ts AS view_ts, v.value AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def x16_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the most recent prior view by the same user
+    (feature-attachment shape: "latest known state before t"). The
+    operator is the union-tag + window sort-merge form — one shuffle on
+    user_id, no candidate pairs (operators/temporal.py). Oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    ev = load(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts", "value"))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", "event_id", "ts", "value"))
+    out = asof_join(purchases, views, on="user_id",
+                    left_ts="ts", right_ts="ts", right_prefix="view_")
+    return out.select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+        F.col("view_event_id").alias("view_id"), "view_ts", "view_value")
+
+
+# ---------------------------------------------------------------------------
+# x17 — range join: clicks landing in 2-hour post-error windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x17_range_join_windows",
+    oracle="""
+    WITH err AS (
+        SELECT event_id AS error_id, user_id,
+               ts AS w_start, ts + INTERVAL 2 HOUR AS w_end
+        FROM events WHERE event_type = 'error'
+    ), clk AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT err.error_id, err.user_id,
+           COUNT(clk.ts) AS n_clicks,
+           COALESCE(SUM(CAST(ROUND(clk.value * 100) AS BIGINT)), 0) / 100.0
+               AS clicks_value
+    FROM err LEFT JOIN clk
+      ON clk.user_id = err.user_id
+     AND clk.ts >= err.w_start AND clk.ts < err.w_end
+    GROUP BY err.error_id, err.user_id
+    """,
+)
+def x17_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per error event: how many clicks (and their value) the same user
+    produced in the 2 hours after it. The inequality join runs as
+    bin-and-verify (operators/temporal.py): intervals explode into
+    2-hour bins, the join is an AQE-plannable equi-join on
+    (user_id, bin), containment is an exact filter — never a
+    BroadcastNestedLoopJoin. Left-outer semantics come from re-joining
+    the aggregate to the interval table (zero-click windows count 0)."""
+    ev = load(spark, sf_dir, "events")
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("error_id"), "user_id",
+                      F.col("ts").alias("w_start"),
+                      (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "value"))
+    pairs = range_join(clicks, errors, on="user_id", point_ts="ts",
+                       start_col="w_start", end_col="w_end",
+                       bin_width=_dt.timedelta(hours=2))
+    agg = (pairs.groupBy("error_id", "user_id")
+           .agg(F.count(F.lit(1)).alias("n_clicks"),
+                (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0)
+                .alias("clicks_value")))
+    return (errors.select("error_id", "user_id")
+            .join(agg, ["error_id", "user_id"], "left")
+            .select("error_id", "user_id",
+                    F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+                    F.coalesce("clicks_value", F.lit(0.0)).alias("clicks_value")))
+
+
+# ---------------------------------------------------------------------------
+# x18 — stratified mixture sampling of the document corpus
+# ---------------------------------------------------------------------------
+
+MIX_RATES = {"en": 0.5, "fr": 0.3, "de": 0.3, "es": 0.1, "zh": 0.1}
+MIX_SEED = 7
+
+
+@query(
+    "x18_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {oracle_stratified_sample_where(strata_sql='lang', rates=MIX_RATES,
+                                          key_sql='doc_id', seed=MIX_SEED)}
+    """,
+)
+def x18_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic language-mixture sample: keep 50% of English, 30%
+    of French/German, 10% of Spanish/Chinese, decided by a portable hash
+    of doc_id (never rand()) — rerunning the pipeline, on either engine,
+    keeps exactly the same documents. Scan-local filter: zero shuffles
+    (operators/sampling.py)."""
+    d = load(spark, sf_dir, "documents")
+    return (stratified_sample(d, strata_col="lang", rates=MIX_RATES,
+                              key_col="doc_id", seed=MIX_SEED)
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# x19 — sequence packing into fixed token budgets
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 2048
+
+_PACK_ID_SQL, _PACK_OFFSET_SQL = oracle_sequence_packing_cols(
+    group_sql="source", order_sql="doc_id",
+    tokens_sql=oracle_token_count("text"), budget=PACK_BUDGET)
+
+
+@query(
+    "x19_sequence_packing",
+    oracle=f"""
+    SELECT doc_id, source, {oracle_token_count('text')} AS n_tokens,
+           {_PACK_ID_SQL} AS pack_id, {_PACK_OFFSET_SQL} AS pack_offset
+    FROM documents
+    """,
+)
+def x19_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing of each source shard into 2048-token
+    context windows: (pack_id, pack_offset) per document, shards packed
+    independently and in parallel — one window per shard key, no global
+    sort (operators/sampling.py)."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count("text"))
+    return (sequence_packing(d, group_col="source", order_col="doc_id",
+                             tokens_col="n_tokens", budget=PACK_BUDGET)
+            .select("doc_id", "source", "n_tokens", "pack_id", "pack_offset"))

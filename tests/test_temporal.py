@@ -1,0 +1,144 @@
+"""asof_join / range_join unit behavior + plan-shape pins.
+
+Differential coverage (vs DuckDB ASOF JOIN / inequality join) lives in
+the x16/x17 oracle rows; these tests pin the operator semantics on
+hand-built frames — boundary inclusion, direction, tolerance, unmatched
+rows — and the plan shapes that make them scale.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_foundations_spark.operators.temporal import (
+    asof_join, range_join,
+)
+
+T = dt.datetime
+
+
+def _left(spark):
+    return spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10), "l1"), (1, T(2024, 1, 1, 12), "l2"),
+         (2, T(2024, 1, 1, 11), "l3"), (3, T(2024, 1, 1, 9), "l4")],
+        "k long, ts timestamp, tag string")
+
+
+def _right(spark):
+    return spark.createDataFrame(
+        [(1, T(2024, 1, 1, 9), 10.0), (1, T(2024, 1, 1, 11), 20.0),
+         (2, T(2024, 1, 1, 11), 30.0),          # equal ts → matches
+         (9, T(2024, 1, 1, 8), 99.0)],          # key absent from left
+        "k long, ts timestamp, v double")
+
+
+def test_asof_backward(spark):
+    out = {r.tag: (r.r_v, r.r_ts)
+           for r in asof_join(_left(spark), _right(spark), on="k").collect()}
+    assert out["l1"] == (10.0, T(2024, 1, 1, 9))    # 11:00 row is later
+    assert out["l2"] == (20.0, T(2024, 1, 1, 11))   # latest prior wins
+    assert out["l3"] == (30.0, T(2024, 1, 1, 11))   # equal ts matches (<=)
+    assert out["l4"] == (None, None)                # key 3: no right rows
+
+
+def test_asof_forward(spark):
+    out = {r.tag: r.r_v for r in
+           asof_join(_left(spark), _right(spark), on="k",
+                     direction="forward").collect()}
+    assert out["l1"] == 20.0     # earliest right at/after 10:00
+    assert out["l2"] is None     # nothing at/after 12:00
+    assert out["l3"] == 30.0     # equal ts matches (>=)
+
+
+def test_asof_tolerance(spark):
+    out = {r.tag: r.r_v for r in
+           asof_join(_left(spark), _right(spark), on="k",
+                     tolerance=dt.timedelta(minutes=90)).collect()}
+    assert out["l1"] == 10.0     # 1 h gap within tolerance
+    assert out["l2"] == 20.0     # 1 h gap
+    out2 = {r.tag: r.r_v for r in
+            asof_join(_left(spark), _right(spark), on="k",
+                      tolerance=dt.timedelta(minutes=30)).collect()}
+    assert out2["l1"] is None    # 1 h gap exceeds 30 min
+    assert out2["l3"] == 30.0    # 0 gap
+
+
+def test_asof_null_right_attribute_still_matches(spark):
+    """A right row whose attribute is NULL is still the match — the
+    struct carry must not skip past it to an older row."""
+    left = spark.createDataFrame([(1, T(2024, 1, 2))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 1), 5.0), (1, T(2024, 1, 1, 2), None)],
+        "k long, ts timestamp, v double")
+    [r] = asof_join(left, right, on="k").collect()
+    assert r.r_ts == T(2024, 1, 1, 2) and r.r_v is None
+
+
+def test_asof_rejects_bad_direction_and_collisions(spark):
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(_left(spark), _right(spark), on="k", direction="nearest")
+    clash = _left(spark).withColumnRenamed("tag", "r_v")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(clash, _right(spark), on="k")
+
+
+def test_asof_plan_is_single_key_shuffle(spark):
+    """The scale contract: sort-merge over a union — no join node that
+    materializes candidate pairs, no nested-loop."""
+    plan = asof_join(_left(spark), _right(spark), on="k") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def _points(spark):
+    return spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10, 30), 1.0), (1, T(2024, 1, 1, 13, 30), 2.0),
+         (1, T(2024, 1, 1, 9, 59), 4.0), (2, T(2024, 1, 1, 10, 30), 8.0)],
+        "k long, ts timestamp, v double")
+
+
+def _intervals(spark):
+    return spark.createDataFrame(
+        [(100, 1, T(2024, 1, 1, 10), T(2024, 1, 1, 14)),
+         (200, 2, T(2024, 1, 1, 11), T(2024, 1, 1, 12))],
+        "iid long, k long, w_start timestamp, w_end timestamp")
+
+
+def test_range_join_containment(spark):
+    out = range_join(_points(spark), _intervals(spark), on="k",
+                     start_col="w_start", end_col="w_end")
+    got = {(r.iid, r.v) for r in out.collect()}
+    # 9:59 precedes window 100; 10:30 for k=2 precedes window 200
+    assert got == {(100, 1.0), (100, 2.0)}
+
+
+def test_range_join_half_open_boundaries(spark):
+    pts = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10), 1.0), (1, T(2024, 1, 1, 14), 2.0)],
+        "k long, ts timestamp, v double")
+    got = {r.v for r in range_join(pts, _intervals(spark), on="k",
+                                   start_col="w_start",
+                                   end_col="w_end").collect()}
+    assert got == {1.0}          # start inclusive, end exclusive
+
+
+def test_range_join_is_equi_join(spark):
+    plan = range_join(_points(spark), _intervals(spark), on="k",
+                      start_col="w_start", end_col="w_end") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_max_bins_guard(spark):
+    wide = spark.createDataFrame(
+        [(1, 1, T(2024, 1, 1), T(2024, 3, 1))],
+        "iid long, k long, w_start timestamp, w_end timestamp")
+    with pytest.raises(Exception, match="max_bins"):
+        range_join(_points(spark), wide, on="k", start_col="w_start",
+                   end_col="w_end", max_bins=10).collect()
