@@ -180,6 +180,153 @@ def srp_bucket_neighbors(emb: DataFrame, *, id_col: str = "vec_id",
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+def ivf_topk(emb: DataFrame, *, id_col: str = "vec_id",
+             vec_col: str = "embedding", k_clusters: int = 16,
+             nprobe: int = 6, n_queries: int = 10, k: int = 5,
+             seed: int = 3) -> DataFrame:
+    """IVF-flat ANN: partition the corpus into ``k_clusters`` inverted
+    lists under a coarse quantizer, search only the ``nprobe`` lists
+    nearest each query, rank candidates by exact cosine.
+
+    This is the third tier of the similarity family (after brute-force
+    and SRP-LSH): where SRP buckets are query-independent bit patterns,
+    IVF lists adapt to the data distribution, so recall per candidate
+    examined is higher on clustered corpora — the standard trade
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI'11, the IVF part).
+
+    The coarse quantizer is deliberately RNG-free so the DuckDB oracle
+    reproduces it exactly: initial lists are a portable-hash partition
+    of the ids, each centroid is the list's mean with coordinates
+    quantized to 1e-6 via the engine-agnostic floor(x*s + 0.5) scheme
+    (integer sums → order-independent), and every vector is then
+    re-assigned to its nearest centroid (one Lloyd refinement step —
+    more would just repeat the same two jobs).
+
+    Scale: centroid computation is one partial-agg'd shuffle of
+    (bucket, pos) cells; centroids are k×dim ≈ KBs and broadcast
+    everywhere they appear; assignment is a map-side broadcast join +
+    one groupBy(id) max(struct) — the corpus never self-joins. Search
+    moves only (query, cid) probes against the (id, cid) assignment
+    table, then one hash join pulls candidate vectors. Nothing in the
+    plan scales with corpus², and the per-query candidate set is the
+    probed lists' sizes, not the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import md5_long
+    from ..functions.money import scaled_long
+
+    base = tracked_persist(
+        scale_out(emb)
+        .select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+        .withColumn("nrm", l2_norm(F.col("v")))
+        .withColumn("bucket",
+                    md5_long(F.col(id_col).cast("string"), seed=seed)
+                    % k_clusters))
+    cells = base.select("bucket", F.posexplode("v").alias("pos", "x"))
+    cent_cells = (cells.groupBy("bucket", "pos")
+                  .agg((F.floor(F.sum(scaled_long("x", 1e6))
+                                / F.count(F.lit(1))) / F.lit(1e6)).alias("c")))
+    cents = (cent_cells.groupBy("bucket")
+             .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+             .select(F.col("bucket").alias("cid"),
+                     F.transform("pc", lambda s: s["c"]).alias("cv"))
+             .withColumn("cn", l2_norm(F.col("cv"))))
+
+    cos_c = dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    # nearest-centroid assignment: max(struct) = (max cos, tie → max cid),
+    # matching the oracle's ORDER BY cos DESC, cid DESC
+    asg = (base.join(F.broadcast(cents))
+           .select(F.col(id_col).alias("neighbor_id"),
+                   F.struct(cos_c.alias("cos"), F.col("cid")).alias("sc"))
+           .groupBy("neighbor_id")
+           .agg(F.max("sc").alias("m"))
+           .select("neighbor_id", F.col("m.cid").alias("cid")))
+
+    wq = W.partitionBy("query_id").orderBy(F.col("qcos").desc(),
+                                           F.col("cid").desc())
+    probe = (base.filter(F.col(id_col) < n_queries)
+             .join(F.broadcast(cents))
+             .select(F.col(id_col).alias("query_id"),
+                     F.col("v").alias("qv"), F.col("nrm").alias("qn"),
+                     "cid", cos_c.alias("qcos"))
+             .withColumn("rn", F.row_number().over(wq))
+             .filter(F.col("rn") <= nprobe)
+             .select("query_id", "qv", "qn", "cid"))
+
+    nb = base.select(F.col(id_col).alias("neighbor_id"),
+                     F.col("v").alias("nv"), F.col("nrm").alias("nn"))
+    scored = (F.broadcast(probe).join(asg, "cid")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .join(nb, "neighbor_id")
+              .select("query_id", "neighbor_id",
+                      (dot(F.col("qv"), F.col("nv"))
+                       / (F.col("qn") * F.col("nn"))).alias("cosine")))
+    wk = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                           F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("int").alias("rank"), "cosine"))
+
+
+def oracle_ivf_topk_sql(*, dim: int = 64, k_clusters: int = 16,
+                        nprobe: int = 6, n_queries: int = 10, k: int = 5,
+                        seed: int = 3) -> str:
+    from ..functions.hashing import oracle_md5_long
+    from ..functions.money import oracle_scaled_long
+    bucket = (f"({oracle_md5_long('CAST(vec_id AS VARCHAR)', seed=seed)}"
+              f" % {k_clusters})")
+    nearest = (f"row_number() OVER (PARTITION BY b.vec_id ORDER BY "
+               f"{oracle_dot('b.v', 'c.cv')} / (b.nrm * c.cn) DESC, "
+               f"c.cid DESC)")
+    return f"""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               {oracle_norm('embedding')} AS nrm, {bucket} AS bucket
+        FROM embeddings
+    ), cent AS (
+        SELECT bucket, i AS pos,
+               FLOOR(SUM({oracle_scaled_long('v[i]', 1e6)}) / COUNT(*))
+                   / 1000000.0 AS c
+        FROM base, range(1, {dim + 1}) t(i)
+        GROUP BY bucket, i
+    ), cents AS (
+        SELECT bucket AS cid, list(c ORDER BY pos) AS cv
+        FROM cent GROUP BY bucket
+    ), cents2 AS (
+        SELECT cid, cv, sqrt({oracle_dot('cv', 'cv')}) AS cn FROM cents
+    ), asg AS (
+        SELECT vec_id AS neighbor_id, cid FROM (
+            SELECT b.vec_id, c.cid, {nearest} AS rn
+            FROM base b, cents2 c) WHERE rn = 1
+    ), probe AS (
+        SELECT query_id, cid FROM (
+            SELECT b.vec_id AS query_id, c.cid, {nearest} AS rn
+            FROM base b, cents2 c WHERE b.vec_id < {n_queries}) WHERE rn <= {nprobe}
+    ), scored AS (
+        SELECT p.query_id, a.neighbor_id,
+               {oracle_dot('qb.v', 'nb.v')} / (qb.nrm * nb.nrm) AS cosine
+        FROM probe p
+        JOIN asg a USING (cid)
+        JOIN base qb ON qb.vec_id = p.query_id
+        JOIN base nb ON nb.vec_id = a.neighbor_id
+        WHERE a.neighbor_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC)
+                AS INTEGER) AS rank,
+           cosine
+    FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
 def cosine_near_dup_pairs(emb: DataFrame, *, id_col: str = "vec_id",
                           vec_col: str = "embedding", dim: int = 64,
                           bits: int = 16, band_bits: int = 4,

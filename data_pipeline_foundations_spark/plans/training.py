@@ -22,6 +22,7 @@ from ..operators.sampling import (
     oracle_sequence_packing_cols, oracle_stratified_sample_where,
     sequence_packing, stratified_sample,
 )
+from ..operators.similarity import ivf_topk, oracle_ivf_topk_sql
 from ..operators.temporal import asof_join, range_join
 from ..registry import query
 from ..tables import load
@@ -174,3 +175,19 @@ def x19_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (sequence_packing(d, group_col="source", order_col="doc_id",
                              tokens_col="n_tokens", budget=PACK_BUDGET)
             .select("doc_id", "source", "n_tokens", "pack_id", "pack_offset"))
+
+
+# ---------------------------------------------------------------------------
+# x20 — IVF ANN: coarse-quantized inverted-list search
+# ---------------------------------------------------------------------------
+
+
+@query("x20_ivf_ann", oracle=oracle_ivf_topk_sql())
+def x20_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN over the embeddings corpus: deterministic coarse
+    quantizer (hash-partition init + quantized mean centroids + one
+    nearest-centroid refinement), nprobe=6 of 16 inverted lists searched
+    per query, exact cosine rank inside the probed lists
+    (operators/similarity.py — third tier after x07 brute-force and
+    x08 SRP-LSH)."""
+    return ivf_topk(load(spark, sf_dir, "embeddings"))
