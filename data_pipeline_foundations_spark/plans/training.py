@@ -17,7 +17,9 @@ import datetime as _dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import oracle_token_count, token_count
+from ..functions.text import (
+    oracle_fingerprint, oracle_token_count, token_count,
+)
 from ..operators.sampling import (
     oracle_sequence_packing_cols, oracle_stratified_sample_where,
     sequence_packing, stratified_sample,
@@ -25,7 +27,7 @@ from ..operators.sampling import (
 from ..operators.similarity import ivf_topk, oracle_ivf_topk_sql
 from ..operators.temporal import asof_join, range_join
 from ..registry import query
-from ..tables import load
+from ..tables import load, scale_out
 
 # ---------------------------------------------------------------------------
 # x16 — as-of join: latest prior view per purchase, per user
@@ -191,3 +193,55 @@ def x20_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py — third tier after x07 brute-force and
     x08 SRP-LSH)."""
     return ivf_topk(load(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# x21 — end-to-end corpus curation: quality → dedup → mix → pack
+# ---------------------------------------------------------------------------
+
+MIN_TOKENS = 10
+
+_CUR_PACK_ID, _CUR_PACK_OFFSET = oracle_sequence_packing_cols(
+    group_sql="source", order_sql="doc_id", tokens_sql="n_tokens",
+    budget=PACK_BUDGET)
+
+
+@query(
+    "x21_corpus_curation",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, lang, source,
+               {oracle_token_count('text')} AS n_tokens,
+               {oracle_fingerprint('text')} AS fp
+        FROM documents
+        WHERE {oracle_token_count('text')} >= {MIN_TOKENS}
+    ), dq AS (
+        SELECT doc_id, lang, source, n_tokens FROM (
+            SELECT q.*, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id FROM q)
+        WHERE doc_id = keep_id
+    ), s AS (
+        SELECT * FROM dq
+        WHERE {oracle_stratified_sample_where(strata_sql='lang',
+                                              rates=MIX_RATES,
+                                              key_sql='doc_id',
+                                              seed=MIX_SEED)}
+    )
+    SELECT doc_id, lang, source, n_tokens,
+           {_CUR_PACK_ID} AS pack_id, {_CUR_PACK_OFFSET} AS pack_offset
+    FROM s
+    """,
+)
+def x21_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship training-data pipeline, end to end in ONE lazy plan:
+    quality floor (>= 10 tokens) → exact dedup (canonical = min doc_id
+    per content fingerprint) → deterministic language-mixture sample →
+    context-window packing of the survivors. Every stage is a composition
+    of the package's operators; Catalyst fuses the quality filter and
+    fingerprint into the scan, the dedup is one shuffle on the 60-bit
+    fingerprint, the sample is a map-side filter, and packing is one
+    window per source shard. Order matters and is the real pipeline
+    order: pack offsets are computed over the post-sample corpus."""
+    from ..operators.curation import curate_corpus
+    return curate_corpus(scale_out(load(spark, sf_dir, "documents")),
+                         rates=MIX_RATES, min_tokens=MIN_TOKENS,
+                         budget=PACK_BUDGET, seed=MIX_SEED)

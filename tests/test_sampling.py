@@ -56,6 +56,29 @@ def test_sample_plan_is_scan_local(spark):
     assert "Exchange" not in plan                    # zero shuffles
 
 
+def test_curation_stages_drop_what_they_should(spark):
+    """The synthetic corpus has no exact dups or sub-floor docs, so the
+    x21 oracle never observes those stages dropping rows — this crafted
+    corpus does: a short doc dies at the quality floor, a verbatim dup
+    keeps only its min doc_id, and survivors pack per source."""
+    from data_pipeline_foundations_spark.operators.curation import (
+        curate_corpus,
+    )
+    text = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(0, text, "en", "s1", len(text)),
+         (1, "too short", "en", "s1", 9),              # < 10 tokens
+         (2, text, "en", "s1", len(text)),             # dup of doc 0
+         (3, text + " tail", "en", "s2", len(text) + 5)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r.doc_id: r for r in
+           curate_corpus(docs, rates={"en": 1.0}, min_tokens=10,
+                         budget=16).collect()}
+    assert set(out) == {0, 3}          # 1 under floor, 2 deduped to 0
+    assert out[0].n_tokens == 20 and out[0].pack_id == 0
+    assert out[3].pack_id == 0 and out[3].pack_offset == 0  # own shard
+
+
 def test_packing_concat_and_chunk(spark):
     docs = spark.createDataFrame(
         [("s1", 0, 60), ("s1", 1, 50), ("s1", 2, 10), ("s2", 3, 250)],
