@@ -70,3 +70,35 @@ def test_windowed_stream_equals_batch(spark, sf_dir, tmp_path):
     streamed = streamed.sort_values(key).reset_index(drop=True)[sorted(streamed.columns)]
     batch = batch.sort_values(key).reset_index(drop=True)[sorted(batch.columns)]
     assert streamed.equals(batch)
+
+
+def test_interval_join_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (watermarked, append mode) emits
+    exactly the pairs the batch range_join finds on the same events."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.operators.temporal import range_join
+    from data_pipeline_foundations_spark.streaming import interval_join
+
+    events_dir = str(tmp_path / "events_us_ij")
+    load(spark, sf_dir, "events").write.parquet(events_dir)  # µs timestamps
+
+    streamed = {(r.error_id, r.user_id, r.click_ts, r.click_value)
+                for r in interval_join.run_over_dir(
+                    spark, events_dir, "test_ij_out").collect()}
+
+    ev = load(spark, sf_dir, "events")
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("error_id"), "user_id",
+                      F.col("ts").alias("w_start"),
+                      (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "value"))
+    batch = {(r.error_id, r.user_id, r.ts, r.value)
+             for r in range_join(clicks, errors, on="user_id",
+                                 point_ts="ts", start_col="w_start",
+                                 end_col="w_end",
+                                 bin_width=dt.timedelta(hours=2)).collect()}
+    assert streamed == batch and len(batch) > 0
