@@ -11,15 +11,25 @@ The engine keeps that exact surface but splits it into:
     (dispatch on extension, explicit schema support) and DataFrames into
     report files.
 
-``LocalFolderBackend`` implements the protocol over a directory tree and
-is what tests exercise. A Drive REST backend would implement the same
-three methods with googleapiclient (absent from this container — stubbed
-by design, raising NotImplementedError with the reference citation).
+``LocalFolderBackend`` implements the protocol over a directory tree.
+``DriveRestBackend`` implements it against the Google Drive REST v3 API
+with stdlib HTTP only (the API is plain REST — no SDK required): listing
+is the documented ``files.list`` query with pagination, download is
+``alt=media``, upload is multipart. Credentials stay out of scope
+(SURVEY.md §7.5): the backend takes an injected bearer-token provider.
+The base URL is injectable, so tests drive the full HTTP path against a
+local fake Drive server (tests/test_sources.py) — the only untested span
+is Google's TLS endpoint itself.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import urllib.error
+import urllib.parse
+import urllib.request
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -54,19 +64,89 @@ class LocalFolderBackend:
         return p
 
 
-class DriveBackend:  # pragma: no cover - stub by design
-    """Google Drive REST backend (utils/gsheets_utils.py:114-186).
+_MIME_EXT = {
+    "text/csv": "csv",
+    "application/json": "json",
+    "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet": "xlsx",
+    "application/vnd.ms-excel": "xls",
+    "application/octet-stream": "",
+}
 
-    Not implemented here: the container has no googleapiclient/gspread,
-    and OAuth flows are out of scope (SURVEY.md §7.5). The protocol is
-    the contract a real deployment fills in.
+
+class DriveRestBackend:
+    """Google Drive REST v3 backend (reference utils/gsheets_utils.py:
+    114-186) over stdlib HTTP.
+
+    - ``list_files`` = ``GET {base}/drive/v3/files`` with the reference's
+      exact query (``'<folder>' in parents and trashed = false``,
+      gsheets_utils.py:131-136), paginated via nextPageToken.
+    - Downloads (``alt=media``) stage into ``staging_dir``; the connector
+      reads the staged path with Spark — Drive is a feed, not a
+      distributed filesystem, exactly as in the reference.
+    - ``put_bytes`` = multipart upload (S10/S11 report direction).
+
+    ``token_provider`` is any zero-arg callable returning a bearer token —
+    OAuth/refresh flows stay driver-side deployment glue (SURVEY.md §7.5).
     """
 
+    def __init__(self, token_provider, staging_dir: str, *,
+                 base_url: str = "https://www.googleapis.com",
+                 page_size: int = 100):
+        self.token = token_provider
+        self.staging_dir = staging_dir
+        self.base = base_url.rstrip("/")
+        self.page_size = page_size
+
+    def _call(self, url: str, data: bytes | None = None,
+              headers: dict | None = None) -> bytes:
+        req = urllib.request.Request(url, data=data, headers={
+            "Authorization": f"Bearer {self.token()}", **(headers or {})})
+        with urllib.request.urlopen(req) as resp:
+            return resp.read()
+
     def list_files(self, folder: str) -> list[dict]:
-        raise NotImplementedError("Drive REST backend requires googleapiclient")
+        out, token = [], None
+        while True:
+            params = {
+                "q": f"'{folder}' in parents and trashed = false",
+                "pageSize": str(self.page_size),
+                "fields": "nextPageToken, files(id, name, mimeType)",
+            }
+            if token:
+                params["pageToken"] = token
+            url = f"{self.base}/drive/v3/files?{urllib.parse.urlencode(params)}"
+            page = json.loads(self._call(url))
+            for f in page.get("files", []):
+                ext = os.path.splitext(f["name"])[1].lstrip(".").lower()
+                out.append({"id": f["id"], "name": f["name"],
+                            "ext": ext or _MIME_EXT.get(f.get("mimeType", ""), "")})
+            token = page.get("nextPageToken")
+            if not token:
+                return out
+
+    def localize(self, file: dict) -> str:
+        """Download ``alt=media`` into the staging dir, return local path."""
+        os.makedirs(self.staging_dir, exist_ok=True)
+        path = os.path.join(self.staging_dir, f"{file['id']}_{file['name']}")
+        payload = self._call(
+            f"{self.base}/drive/v3/files/{urllib.parse.quote(file['id'])}?alt=media")
+        with open(path, "wb") as fh:
+            fh.write(payload)
+        return path
 
     def put_bytes(self, folder: str, name: str, payload: bytes) -> str:
-        raise NotImplementedError("Drive REST backend requires googleapiclient")
+        boundary = f"b{uuid.uuid4().hex}"
+        meta = json.dumps({"name": name, "parents": [folder]})
+        body = (
+            f"--{boundary}\r\nContent-Type: application/json; charset=UTF-8"
+            f"\r\n\r\n{meta}\r\n--{boundary}\r\n"
+            f"Content-Type: application/octet-stream\r\n\r\n"
+        ).encode() + payload + f"\r\n--{boundary}--\r\n".encode()
+        resp = json.loads(self._call(
+            f"{self.base}/upload/drive/v3/files?uploadType=multipart",
+            data=body,
+            headers={"Content-Type": f"multipart/related; boundary={boundary}"}))
+        return resp["id"]
 
 
 class FolderConnector:
@@ -81,7 +161,10 @@ class FolderConnector:
         """S4 (utils/gsheets_utils.py:150-186): dispatch on extension to
         the CSV / JSON / parquet parser. Excel routes via the pandas
         bridge (readers.read_excel_bridge), import-gated."""
-        ext, path = file["ext"], file["path"]
+        # Remote backends (Drive) list metadata only and stage the bytes
+        # on access; local backends list real paths directly.
+        path = file.get("path") or self.backend.localize(file)
+        ext = file["ext"]
         if ext == "csv":
             return read_csv(self.spark, path, schema)
         if ext in ("json", "jsonl", "ndjson"):

@@ -113,3 +113,118 @@ def test_excel_bridge(spark, tmp_path):
         return
     df = read_excel_bridge(spark, str(p))
     assert sorted(r.k for r in df.collect()) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# Drive REST backend against a local fake Drive server (S3/S4/S10/S11):
+# exercises the full HTTP path — auth header, files.list query +
+# pagination, alt=media staging, multipart upload — with stdlib only.
+# ---------------------------------------------------------------------------
+import http.server
+import json as _json
+import threading
+import urllib.parse as _up
+
+
+class _FakeDrive(http.server.BaseHTTPRequestHandler):
+    files = {}           # id -> (name, mimeType, bytes)
+    uploads = []         # (metadata dict, payload bytes)
+    seen_auth = set()
+    seen_queries = []
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def _send(self, code, payload, ctype="application/json"):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def do_GET(self):
+        self.seen_auth.add(self.headers.get("Authorization"))
+        parsed = _up.urlparse(self.path)
+        qs = _up.parse_qs(parsed.query)
+        if parsed.path == "/drive/v3/files":          # files.list, 2 pages
+            self.seen_queries.append(qs["q"][0])
+            ids = sorted(self.files)
+            page_token = qs.get("pageToken", [None])[0]
+            if page_token is None:
+                body = {"files": [self._meta(i) for i in ids[:2]],
+                        "nextPageToken": "p2"}
+            else:
+                assert page_token == "p2"
+                body = {"files": [self._meta(i) for i in ids[2:]]}
+            return self._send(200, _json.dumps(body).encode())
+        fid = parsed.path.rsplit("/", 1)[-1]          # files.get alt=media
+        assert qs.get("alt") == ["media"]
+        return self._send(200, self.files[fid][2],
+                          ctype="application/octet-stream")
+
+    def do_POST(self):
+        self.seen_auth.add(self.headers.get("Authorization"))
+        assert self.path.startswith("/upload/drive/v3/files")
+        assert "uploadType=multipart" in self.path
+        body = self.rfile.read(int(self.headers["Content-Length"]))
+        boundary = self.headers["Content-Type"].split("boundary=")[1]
+        parts = body.split(f"--{boundary}".encode())
+        meta = _json.loads(parts[1].split(b"\r\n\r\n", 1)[1].rstrip(b"\r\n"))
+        payload = parts[2].split(b"\r\n\r\n", 1)[1]
+        payload = payload[:-2] if payload.endswith(b"\r\n") else payload
+        self.uploads.append((meta, payload))
+        return self._send(200, _json.dumps({"id": "up1"}).encode())
+
+    @classmethod
+    def _meta(cls, fid):
+        name, mime, _ = cls.files[fid]
+        return {"id": fid, "name": name, "mimeType": mime}
+
+
+@pytest.fixture()
+def fake_drive():
+    _FakeDrive.files = {
+        "f1": ("a.csv", "text/csv", b"k,v\n1,x\n2,y\n"),
+        "f2": ("b.csv", "text/csv", b"k,v\n3,z\n"),
+        "f3": ("c.json", "application/json", b'{"k": 4, "v": "w"}\n'),
+    }
+    _FakeDrive.uploads = []
+    _FakeDrive.seen_auth = set()
+    _FakeDrive.seen_queries = []
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _FakeDrive)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_drive_rest_backend_end_to_end(spark, tmp_path, fake_drive):
+    from data_pipeline_foundations_spark.sources.connector import (
+        DriveRestBackend, FolderConnector,
+    )
+    backend = DriveRestBackend(lambda: "tok123", str(tmp_path / "staging"),
+                               base_url=fake_drive)
+    conn = FolderConnector(spark, backend)
+
+    files = backend.list_files("folder9")
+    assert [f["name"] for f in files] == ["a.csv", "b.csv", "c.json"]
+    assert _FakeDrive.seen_queries[0] == "'folder9' in parents and trashed = false"
+
+    # S4: download-on-access staging, then a real Spark read
+    df = conn.load_file_as_dataframe(files[0],
+                                     schema=T.StructType([
+                                         T.StructField("k", T.LongType()),
+                                         T.StructField("v", T.StringType())]))
+    assert {(r.k, r.v) for r in df.collect()} == {(1, "x"), (2, "y")}
+    dfj = conn.load_file_as_dataframe(files[2])
+    assert dfj.first().k == 4
+
+    # S10/S11: report export → multipart upload with parent folder
+    report = spark.createDataFrame([Row(a=1, b="r")])
+    fid = conn.export_dataframe(report, "folder9", "report.csv")
+    assert fid == "up1"
+    meta, payload = _FakeDrive.uploads[0]
+    assert meta == {"name": "report.csv", "parents": ["folder9"]}
+    assert payload == b"a,b\n1,r\n"
+
+    # every request carried the injected bearer token
+    assert _FakeDrive.seen_auth == {"Bearer tok123"}
