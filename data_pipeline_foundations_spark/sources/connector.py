@@ -73,7 +73,58 @@ _MIME_EXT = {
 }
 
 
-class DriveRestBackend:
+class _RestClient:
+    """Shared bearer-token HTTP plumbing for the Google REST backends."""
+
+    def __init__(self, token_provider, base_url: str):
+        self.token = token_provider
+        self.base = base_url.rstrip("/")
+
+    def _call(self, url: str, data: bytes | None = None,
+              headers: dict | None = None, method: str | None = None) -> bytes:
+        req = urllib.request.Request(url, data=data, method=method, headers={
+            "Authorization": f"Bearer {self.token()}", **(headers or {})})
+        with urllib.request.urlopen(req) as resp:
+            return resp.read()
+
+
+class SheetsRestBackend(_RestClient):
+    """Google Sheets REST v4 sink (S11, reference utils/gsheets_utils.py:
+    64-78: clear the tab, then write the DataFrame with a header row).
+
+    The reference uses gspread; the underlying API is two REST calls —
+    ``values:clear`` then ``values:update?valueInputOption=RAW`` — so
+    stdlib HTTP covers it. Sheets are small report outputs by contract
+    (never data-scale); rows pass driver-side.
+    """
+
+    def __init__(self, token_provider, *,
+                 base_url: str = "https://sheets.googleapis.com"):
+        super().__init__(token_provider, base_url)
+
+    def write_values(self, spreadsheet_id: str, tab: str,
+                     header: list[str], rows: list[list], *,
+                     clear: bool = True) -> None:
+        rng = urllib.parse.quote(tab)
+        base = f"{self.base}/v4/spreadsheets/{urllib.parse.quote(spreadsheet_id)}"
+        if clear:
+            self._call(f"{base}/values/{rng}:clear", data=b"{}",
+                       headers={"Content-Type": "application/json"})
+        body = json.dumps({"values": [header] + [
+            [v if v is None or isinstance(v, (int, float, bool)) else str(v)
+             for v in row] for row in rows]}).encode()
+        self._call(f"{base}/values/{rng}?valueInputOption=RAW",
+                   data=body, method="PUT",
+                   headers={"Content-Type": "application/json"})
+
+    def export_dataframe(self, df: DataFrame, spreadsheet_id: str,
+                         tab: str, *, clear: bool = True) -> None:
+        pdf = df.toPandas()
+        self.write_values(spreadsheet_id, tab, list(pdf.columns),
+                          pdf.values.tolist(), clear=clear)
+
+
+class DriveRestBackend(_RestClient):
     """Google Drive REST v3 backend (reference utils/gsheets_utils.py:
     114-186) over stdlib HTTP.
 
@@ -92,17 +143,9 @@ class DriveRestBackend:
     def __init__(self, token_provider, staging_dir: str, *,
                  base_url: str = "https://www.googleapis.com",
                  page_size: int = 100):
-        self.token = token_provider
+        super().__init__(token_provider, base_url)
         self.staging_dir = staging_dir
-        self.base = base_url.rstrip("/")
         self.page_size = page_size
-
-    def _call(self, url: str, data: bytes | None = None,
-              headers: dict | None = None) -> bytes:
-        req = urllib.request.Request(url, data=data, headers={
-            "Authorization": f"Bearer {self.token()}", **(headers or {})})
-        with urllib.request.urlopen(req) as resp:
-            return resp.read()
 
     def list_files(self, folder: str) -> list[dict]:
         out, token = [], None

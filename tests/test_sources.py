@@ -228,3 +228,55 @@ def test_drive_rest_backend_end_to_end(spark, tmp_path, fake_drive):
 
     # every request carried the injected bearer token
     assert _FakeDrive.seen_auth == {"Bearer tok123"}
+
+
+class _FakeSheets(http.server.BaseHTTPRequestHandler):
+    calls = []
+
+    def log_message(self, *a):
+        pass
+
+    def _handle(self):
+        body = b""
+        n = self.headers.get("Content-Length")
+        if n:
+            body = self.rfile.read(int(n))
+        self.calls.append((self.command, self.path,
+                           self.headers.get("Authorization"),
+                           _json.loads(body) if body else None))
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(b"{}")
+
+    do_POST = _handle
+    do_PUT = _handle
+
+
+@pytest.fixture()
+def fake_sheets():
+    _FakeSheets.calls = []
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _FakeSheets)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_sheets_rest_sink(spark, fake_sheets):
+    """S11: clear-then-update with a header row, RAW values, bearer auth."""
+    from data_pipeline_foundations_spark.sources.connector import (
+        SheetsRestBackend,
+    )
+    be = SheetsRestBackend(lambda: "tok9", base_url=fake_sheets)
+    df = spark.createDataFrame([Row(month="2025-01", total=10.5),
+                                Row(month="2025-02", total=20.0)])
+    be.export_dataframe(df, "sheet123", "Report Tab")
+
+    clear, update = _FakeSheets.calls
+    assert clear[0] == "POST" and clear[1].endswith(
+        "/v4/spreadsheets/sheet123/values/Report%20Tab:clear")
+    assert update[0] == "PUT"
+    assert "/values/Report%20Tab?valueInputOption=RAW" in update[1]
+    assert update[3] == {"values": [["month", "total"],
+                                    ["2025-01", 10.5], ["2025-02", 20.0]]}
+    assert {c[2] for c in _FakeSheets.calls} == {"Bearer tok9"}
