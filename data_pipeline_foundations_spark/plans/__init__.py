@@ -7,6 +7,8 @@ Importing the submodules registers every query in ``registry``. Modules:
                 apportionment, cohort, DPD, calendar dim, accounting rollups)
   extensions  — training-data operators (dedup family, similarity search,
                 text analysis, multimodal plumbing)
+  training    — training-data operators part 2 (temporal joins, mixture
+                sampling, sequence packing, IVF ANN, corpus curation)
 """
 
 from __future__ import annotations
