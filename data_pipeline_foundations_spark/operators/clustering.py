@@ -71,8 +71,18 @@ def connected_components(vertices: DataFrame, edges: DataFrame, *,
            .distinct()
            .localCheckpoint(eager=True))
     sym_ids = persistent_rdd_ids(sc) - before
-    labels = vertices.select(F.col(id_col).alias("v"),
-                             F.col(id_col).alias("label"))
+    # Only vertices incident to an edge can ever change label: the loop
+    # iterates over those participants alone, and every other vertex is a
+    # self-labeled singleton unioned in at the end. At corpus scale this
+    # is the difference between shuffling |pair participants| rows per
+    # round (near-dup pairs are sparse) and shuffling the whole corpus
+    # per round. The corpus is touched exactly once (the anti join).
+    verts = vertices.select(F.col(id_col).alias("v"))
+    participants = sym.select(F.col("a").alias("v")).distinct()
+    labels = (verts.join(participants, "v", "leftsemi")
+              .select("v", F.col("v").alias("label")))
+    singletons = (verts.join(participants, "v", "leftanti")
+                  .select("v", F.col("v").alias("label")))
     prev_ids: set[int] = set()
     for _ in range(max_rounds):
         nbr_min = (sym.join(labels, sym["a"] == labels["v"])
@@ -92,10 +102,14 @@ def connected_components(vertices: DataFrame, edges: DataFrame, *,
         changed = nxt.filter(F.col("_chg")).limit(1).count()
         labels = nxt.drop("_chg")
         if changed == 0:
-            unpersist_rdd_ids(sc, sym_ids)
-            track_checkpoint_rdds(sc, prev_ids)
-            return labels.select(F.col("v").alias(id_col),
-                                 F.col("label").alias("cluster_id"))
+            # sym stays alive: the returned plan's singleton branch
+            # (anti join against the participants) still reads it — both
+            # it and the final label snapshot go to the caching registry
+            # for release after the caller's terminal action.
+            track_checkpoint_rdds(sc, sym_ids | prev_ids)
+            return (labels.unionByName(singletons)
+                    .select(F.col("v").alias(id_col),
+                            F.col("label").alias("cluster_id")))
     unpersist_rdd_ids(sc, sym_ids | prev_ids)
     raise RuntimeError(
         f"connected_components: no fixed point after {max_rounds} rounds "
