@@ -60,12 +60,16 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     Expressed with ``transform`` over token indexes — stays in codegen.
     """
     toks = tokens(col)
-    # index i in 0..size-n  → concat_ws(' ', slice(toks, i+1, n))
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), count),
+    # index i in 1..size-n+1  → concat_ws(' ', slice(toks, i, n)). Guarded:
+    # sequence(1, 0) would run DESCENDING in Spark (step defaults to -1),
+    # so a doc shorter than n tokens must short-circuit to [] — which is
+    # what the oracle twin's range(1, 1) already produces.
+    count = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
+    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(grams)
 
 
 def oracle_shingles(sql_col: str, n: int = 3) -> str:
@@ -74,6 +78,107 @@ def oracle_shingles(sql_col: str, n: int = 3) -> str:
         f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
         f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
     )
+
+
+def unique_token_ratio(col: Column | str) -> Column:
+    """distinct tokens / total tokens — the basic lexical-diversity signal
+    (near-0 for degenerate repeated-word documents). Scan-local HOFs."""
+    toks = tokens(col)
+    return (F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double"))
+
+
+def oracle_unique_token_ratio(sql_col: str) -> str:
+    toks = f"string_split({sql_col}, ' ')"
+    return (f"CAST(len(list_distinct({toks})) AS DOUBLE)"
+            f" / CAST(len({toks}) AS DOUBLE)")
+
+
+def top_token_frac(col: Column | str) -> Column:
+    """Fraction of tokens taken by the single most frequent token (the
+    Gopher-style "most common word" repetition signal).
+
+    Scan-local: sort the token array, then one ``aggregate`` fold tracking
+    (prev token, current run, best run) — O(n log n) per row inside
+    whole-stage codegen, no explode/shuffle. The oracle computes the same
+    maximum count by brute force over the distinct-token list (O(d·n) per
+    row — fine for an oracle, wrong for the engine)."""
+    toks = tokens(col)
+    best_run = F.aggregate(
+        F.array_sort(toks),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)))
+            .alias("best")),
+        lambda acc: acc["best"])
+    return best_run.cast("double") / F.size(toks).cast("double")
+
+
+def oracle_top_token_frac(sql_col: str) -> str:
+    toks = f"string_split({sql_col}, ' ')"
+    top = (f"list_max(list_transform(list_distinct({toks}), "
+           f"t -> len(list_filter({toks}, x -> x = t))))")
+    return f"CAST({top} AS DOUBLE) / CAST(len({toks}) AS DOUBLE)"
+
+
+def dup_ngram_frac(col: Column | str, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram
+    (1 - distinct/total), the Gopher duplicate-n-gram signal. 0.0 for
+    documents too short to have any n-gram."""
+    grams = shingles(col, n)
+    return F.when(F.size(grams) <= 0, F.lit(0.0)).otherwise(
+        F.lit(1).cast("double")
+        - F.size(F.array_distinct(grams)).cast("double")
+        / F.size(grams).cast("double"))
+
+
+def oracle_dup_ngram_frac(sql_col: str, n: int = 2) -> str:
+    grams = oracle_shingles(sql_col, n)
+    return (f"CASE WHEN len({grams}) <= 0 THEN CAST(0 AS DOUBLE)"
+            f" ELSE CAST(1 AS DOUBLE)"
+            f" - CAST(len(list_distinct({grams})) AS DOUBLE)"
+            f" / CAST(len({grams}) AS DOUBLE) END")
+
+
+# --- PII detection / redaction ---------------------------------------------
+# Patterns restricted to syntax Java's regex engine and DuckDB's RE2 parse
+# identically (character classes + bounded quantifiers; no lookaround, no
+# backreferences).
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_counts(col: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in the column — JVM-side regexp_count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.regexp_count(c, F.lit(EMAIL_RE)).cast("long"),
+            F.regexp_count(c, F.lit(PHONE_RE)).cast("long"))
+
+
+def oracle_pii_counts(sql_col: str) -> tuple[str, str]:
+    return (
+        f"CAST(len(regexp_extract_all({sql_col}, '{EMAIL_RE}')) AS BIGINT)",
+        f"CAST(len(regexp_extract_all({sql_col}, '{PHONE_RE}')) AS BIGINT)")
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Replace every email / phone match with a typed placeholder. Spark's
+    regexp_replace is global by default; the oracle passes RE2's 'g' flag."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>")
+
+
+def oracle_pii_redact(sql_col: str) -> str:
+    return (f"regexp_replace(regexp_replace({sql_col}, "
+            f"'{EMAIL_RE}', '<EMAIL>', 'g'), '{PHONE_RE}', '<PHONE>', 'g')")
 
 
 def fingerprint(col: Column | str) -> Column:

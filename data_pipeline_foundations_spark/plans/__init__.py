@@ -9,6 +9,8 @@ Importing the submodules registers every query in ``registry``. Modules:
                 text analysis, multimodal plumbing)
   training    — training-data operators part 2 (temporal joins, mixture
                 sampling, sequence packing, IVF ANN, corpus curation)
+  quality     — training-data operators part 3 (repetition filters, PII
+                redaction, BM25 retrieval)
 """
 
 from __future__ import annotations
@@ -20,5 +22,5 @@ def load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import relational, pipelines, extensions, training  # noqa: F401
+    from . import relational, pipelines, extensions, training, quality  # noqa: F401
     _LOADED = True

@@ -1,0 +1,145 @@
+"""Training-data pipeline queries, part 3: corpus-quality filters, PII
+redaction, keyword retrieval (x22-x24).
+
+Completes the curation surface of plans/extensions.py + plans/training.py
+with the remaining operators a production LLM-data pipeline runs before
+training: Gopher-style repetition filters, PII scrubbing, and BM25
+first-stage retrieval. The reference repo has none of these (its ETL is
+financial snapshot pandas), so the citations are per-operator design notes;
+SURVEY.md §7.6 inventories the family.
+
+Every stat here is scan-local (HOFs over the token array, regexp built-ins)
+— zero shuffles for x22/x23; x24's only shuffle is the postings groupBy
+(see operators/retrieval.py for the scale analysis).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    dup_ngram_frac, oracle_dup_ngram_frac, oracle_pii_counts,
+    oracle_pii_redact, oracle_token_count, oracle_top_token_frac,
+    oracle_unique_token_ratio, pii_counts, pii_redact, token_count,
+    top_token_frac, unique_token_ratio,
+)
+from ..operators.retrieval import bm25_topk, oracle_bm25_topk_sql
+from ..registry import query
+from ..tables import load
+
+# ---------------------------------------------------------------------------
+# x22 — repetition quality filters (Gopher-style)
+# ---------------------------------------------------------------------------
+# Thresholds chosen to split the synthetic corpus non-trivially (sf0.01
+# medians: unique_token_ratio ~0.46, top_token_frac ~0.09, dup_bigram_frac
+# ~0.03); on real data these would come from held-out calibration, per
+# Rae et al. 2021 (Gopher) §A1.1's repetition-filter family.
+
+MIN_UNIQUE_RATIO = 0.45
+MAX_TOP_TOKEN = 0.12
+MAX_DUP_BIGRAM = 0.05
+
+
+@query(
+    "x22_repetition_filters",
+    oracle=f"""
+    SELECT doc_id, lang, {oracle_token_count('text')} AS n_tokens,
+           {oracle_unique_token_ratio('text')} AS unique_token_ratio,
+           {oracle_top_token_frac('text')} AS top_token_frac,
+           {oracle_dup_ngram_frac('text', 2)} AS dup_bigram_frac,
+           ({oracle_unique_token_ratio('text')} >= CAST({MIN_UNIQUE_RATIO!r} AS DOUBLE)
+            AND {oracle_top_token_frac('text')} <= CAST({MAX_TOP_TOKEN!r} AS DOUBLE)
+            AND {oracle_dup_ngram_frac('text', 2)} <= CAST({MAX_DUP_BIGRAM!r} AS DOUBLE))
+               AS keep
+    FROM documents
+    """,
+)
+def x22_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals + keep verdict: lexical diversity
+    (distinct/total tokens), most-common-token fraction (sorted-array fold,
+    no explode), duplicate-bigram fraction. All three are scan-local HOF
+    expressions inside one whole-stage-codegen span — the filter costs one
+    corpus scan and zero shuffles at any scale."""
+    d = load(spark, sf_dir, "documents")
+    utr = unique_token_ratio("text")
+    ttf = top_token_frac("text")
+    dbf = dup_ngram_frac("text", 2)
+    return d.select(
+        "doc_id", "lang", token_count("text").alias("n_tokens"),
+        utr.alias("unique_token_ratio"), ttf.alias("top_token_frac"),
+        dbf.alias("dup_bigram_frac"),
+        ((utr >= F.lit(MIN_UNIQUE_RATIO)) & (ttf <= F.lit(MAX_TOP_TOKEN))
+         & (dbf <= F.lit(MAX_DUP_BIGRAM))).alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# x23 — PII detection + redaction
+# ---------------------------------------------------------------------------
+# The synthetic corpus contains no PII, so the query derives a
+# deterministic PII-bearing column from doc_id first (emails on doc_id%3>0,
+# phones on doc_id%2=0) and then runs the real operator over it — the
+# redaction is observable and oracle-checked, and the operator itself
+# (functions/text.py pii_counts / pii_redact) is what a real pipeline would
+# point at its raw text column.
+
+_SYNTH_SPARK = (
+    "concat(text,"
+    " CASE WHEN doc_id % 3 > 0 THEN"
+    "   concat(' contact user', CAST(doc_id AS STRING), '@example.com')"
+    "   ELSE '' END,"
+    " CASE WHEN doc_id % 2 = 0 THEN"
+    "   concat(' call +1-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"
+    "   ELSE '' END)")
+
+_SYNTH_SQL = (
+    "text ||"
+    " (CASE WHEN doc_id % 3 > 0 THEN"
+    "   ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    "   ELSE '' END) ||"
+    " (CASE WHEN doc_id % 2 = 0 THEN"
+    "   ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    "   ELSE '' END)")
+
+_ORACLE_EMAILS, _ORACLE_PHONES = oracle_pii_counts("raw")
+
+
+@query(
+    "x23_pii_redaction",
+    oracle=f"""
+    SELECT doc_id, {_ORACLE_EMAILS} AS n_emails, {_ORACLE_PHONES} AS n_phones,
+           ({_ORACLE_EMAILS} + {_ORACLE_PHONES} > 0) AS has_pii,
+           {oracle_pii_redact('raw')} AS redacted
+    FROM (SELECT doc_id, {_SYNTH_SQL} AS raw FROM documents)
+    """,
+)
+def x23_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count and scrub emails/phones: JVM-side regexp_count + global
+    regexp_replace with typed placeholders, patterns restricted to the
+    Java-regex ∩ RE2 common subset. Scan-local, zero shuffles; at 100 TB
+    this is a pure map stage that fuses with whatever filter follows."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SYNTH_SPARK).alias("raw"))
+    n_emails, n_phones = pii_counts("raw")
+    return d.select(
+        "doc_id", n_emails.alias("n_emails"), n_phones.alias("n_phones"),
+        ((n_emails + n_phones) > 0).alias("has_pii"),
+        pii_redact("raw").alias("redacted"))
+
+
+# ---------------------------------------------------------------------------
+# x24 — BM25 keyword retrieval (inverted-index shape)
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "join", "window", "scan", "merge", "vector")
+BM25_K = 20
+
+
+@query("x24_bm25_topk", oracle=oracle_bm25_topk_sql(BM25_TERMS, BM25_K))
+def x24_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by log-free BM25 for a fixed 6-term query.
+    Postings are pruned at the scan (token-array filter before explode),
+    document frequencies and corpus stats broadcast, top-k is
+    TakeOrderedAndProject — see operators/retrieval.py for the full scale
+    and determinism analysis."""
+    return bm25_topk(load(spark, sf_dir, "documents"), BM25_TERMS, BM25_K)

@@ -48,3 +48,37 @@ def test_ngram_jaccard_releases_cache(spark, docs):
     ngram_jaccard_pairs(docs).count()
     assert release_cached_intermediates() >= 1
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def _executed(df) -> str:
+    df.count()  # materialize so AQE finalizes the physical plan
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_repetition_filters_are_scan_local(spark, sf_dir):
+    """x22's contract: all three repetition stats are HOF expressions in
+    ONE scan stage — no Exchange of any kind, no explode-shuffle."""
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(all_queries()["x22_repetition_filters"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_pii_redaction_is_scan_local(spark, sf_dir):
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(all_queries()["x23_pii_redaction"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_bm25_plan_broadcasts_and_takeordered(spark, sf_dir):
+    """x24's contract: df table and corpus stats broadcast (never a
+    shuffled join on term), top-k is TakeOrderedAndProject (never a global
+    Sort), and the explode runs over the pruned hits array, not raw
+    tokens."""
+    from data_pipeline_foundations_spark.registry import all_queries
+    df = all_queries()["x24_bm25_topk"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert plan.count("BroadcastExchange") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "filter(" in opt and "explode" in opt.lower()
