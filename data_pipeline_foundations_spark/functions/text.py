@@ -104,20 +104,8 @@ def top_token_frac(col: Column | str) -> Column:
     maximum count by brute force over the distinct-token list (O(d·n) per
     row — fine for an oracle, wrong for the engine)."""
     toks = tokens(col)
-    best_run = F.aggregate(
-        F.array_sort(toks),
-        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
-                 F.lit(0).alias("best")),
-        lambda acc, t: F.struct(
-            t.alias("prev"),
-            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-            .alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)))
-            .alias("best")),
-        lambda acc: acc["best"])
-    return best_run.cast("double") / F.size(toks).cast("double")
+    return (_best_run(F.array_sort(toks)).cast("double")
+            / F.size(toks).cast("double"))
 
 
 def oracle_top_token_frac(sql_col: str) -> str:
@@ -144,6 +132,57 @@ def oracle_dup_ngram_frac(sql_col: str, n: int = 2) -> str:
             f" ELSE CAST(1 AS DOUBLE)"
             f" - CAST(len(list_distinct({grams})) AS DOUBLE)"
             f" / CAST(len({grams}) AS DOUBLE) END")
+
+
+def _best_run(sorted_toks: Column) -> Column:
+    """Longest equal-run in a sorted array via one aggregate fold."""
+    return F.aggregate(
+        sorted_toks,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)))
+            .alias("best")),
+        lambda acc: acc["best"])
+
+
+def with_repetition_stats(df, text_col: str = "text", n: int = 2):
+    """Add n_tokens / unique_token_ratio / top_token_frac / dup_ngram_frac
+    in STAGED projections: every lambda-bearing intermediate (token array,
+    sorted array, n-gram array, their distinct sizes, the run fold) is a
+    named column computed exactly once. Spark's codegen subexpression
+    elimination skips higher-order functions, so the composable
+    single-column forms above re-run each HOF once per reference — fine
+    for a one-off expression, 2-3× waste when several stats plus a keep
+    flag share them (measured ~2× on the x22 bench at sf0.1)."""
+    toks = F.col("_toks")
+    count = F.size(toks) - F.lit(n - 1)
+    grams = F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+    d = (df.withColumn("_toks", tokens(text_col))
+         .withColumn("_grams", grams)
+         .withColumn("_best", _best_run(F.array_sort(toks)))
+         .withColumn("_n", F.size(toks))
+         .withColumn("_nd", F.size(F.array_distinct(toks)))
+         .withColumn("_ng", F.size("_grams"))
+         .withColumn("_ngd", F.size(F.array_distinct("_grams"))))
+    return (d.withColumn("n_tokens", F.col("_n").cast("long"))
+            .withColumn("unique_token_ratio",
+                        F.col("_nd").cast("double") / F.col("_n").cast("double"))
+            .withColumn("top_token_frac",
+                        F.col("_best").cast("double") / F.col("_n").cast("double"))
+            .withColumn("dup_ngram_frac",
+                        F.when(F.col("_ng") <= 0, F.lit(0.0)).otherwise(
+                            F.lit(1).cast("double")
+                            - F.col("_ngd").cast("double")
+                            / F.col("_ng").cast("double")))
+            .drop("_toks", "_grams", "_best", "_n", "_nd", "_ng", "_ngd"))
 
 
 # --- PII detection / redaction ---------------------------------------------

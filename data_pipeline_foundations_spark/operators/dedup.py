@@ -442,3 +442,73 @@ def oracle_ngram_jaccard_sql(*, n: int = 3, max_df: int = MAX_SHINGLE_DF,
     JOIN sizes nb ON nb.doc_id = c.doc_b
     WHERE i.shared / CAST(na.n_sh + nb.n_sh - i.shared AS DOUBLE) >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+DECON_N = 5  # eval-overlap n-gram size: longer than the dedup 3-grams —
+             # contamination checks want near-verbatim spans, not topical
+             # similarity (GPT-3 appendix C / FineWeb use 8-13; this corpus's
+             # docs are 10-100 tokens, so 5 keeps the check meaningful).
+
+
+def decontaminate(docs: DataFrame, bench_pred: Column, *,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = DECON_N) -> DataFrame:
+    """Flag corpus documents sharing any ``n``-gram with a benchmark set.
+
+    ``bench_pred`` selects the benchmark rows; everything else is corpus.
+    Returns one row per contaminated document: (doc_id, n_shingles,
+    n_shared, contaminated_frac).
+
+    Scale shape: the benchmark side (an eval set — thousands of docs, not
+    terabytes) reduces to a DISTINCT shingle-hash set that **broadcasts**;
+    the corpus side explodes its distinct shingles straight into the
+    broadcast hash join, so non-colliding shingles die map-side and the
+    only shuffle is the (doc_id) count of actual collisions — there is no
+    corpus self-join anywhere. Shuffled payload: longs.
+
+    In production the benchmark would be its own table; deriving both
+    sides from one table here costs a second scan of the benchmark slice
+    only (predicate-pushdown prunes it).
+    """
+    marked = with_shingle_hashes(scale_out(docs), text_col, n, out="_sh") \
+        .select(id_col, bench_pred.alias("_is_bench"),
+                F.array_distinct("_sh").alias("sh"))
+    bench_s = (marked.filter(F.col("_is_bench"))
+               .select(F.explode("sh").alias("s")).distinct())
+    corpus = (marked.filter(~F.col("_is_bench"))
+              .select(id_col, F.size("sh").cast("long").alias("n_shingles"),
+                      F.explode("sh").alias("s")))
+    return (corpus.join(F.broadcast(bench_s), "s")
+            .groupBy(id_col, "n_shingles")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .select(id_col, "n_shingles", "n_shared",
+                    (F.col("n_shared").cast("double")
+                     / F.col("n_shingles").cast("double"))
+                    .alias("contaminated_frac")))
+
+
+def oracle_decontaminate_sql(bench_where: str, *, n: int = DECON_N,
+                             table: str = "documents") -> str:
+    """DuckDB twin: same distinct-shingle sets, same counts."""
+    th, sh_expr = oracle_shingle_hashes("text", n)
+    return f"""
+    WITH pre AS (
+        SELECT doc_id, {th} AS th FROM {table}
+    ), base AS (
+        SELECT doc_id, list_distinct({sh_expr}) AS sh FROM pre
+    ), bench AS (
+        SELECT DISTINCT unnest(sh) AS s FROM base WHERE {bench_where}
+    ), corpus AS (
+        SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+               unnest(sh) AS s
+        FROM base WHERE NOT ({bench_where})
+    )
+    SELECT c.doc_id, c.n_shingles, CAST(COUNT(*) AS BIGINT) AS n_shared,
+           CAST(COUNT(*) AS DOUBLE) / CAST(c.n_shingles AS DOUBLE)
+               AS contaminated_frac
+    FROM corpus c JOIN bench USING (s)
+    GROUP BY c.doc_id, c.n_shingles
+    """

@@ -108,3 +108,65 @@ def oracle_sequence_packing_cols(*, group_sql: str, order_sql: str,
     # back to BIGINT so dtypes match Spark's longs.
     return (f"CAST(FLOOR({start} / {budget}.0) AS BIGINT)",
             f"CAST(({start} % {budget}) AS BIGINT)")
+
+
+# ---------------------------------------------------------------------------
+# Per-stratum quantile thresholds (adaptive quality cutoffs)
+# ---------------------------------------------------------------------------
+
+
+def stratum_quantile_thresholds(df: DataFrame, *, strata_col: str,
+                                value_col: str,
+                                lo=(1, 10), hi=(9, 10)) -> DataFrame:
+    """Per-stratum discrete quantile cutoffs over an integer column:
+    (strata, lo_value, hi_value) where lo/hi are (numerator, denominator)
+    fractions — e.g. (1,10)/(9,10) for the p10/p90 trim window.
+
+    The quantile is the smallest value whose cumulative count reaches
+    ceil(q·N) — computed from a **value histogram**, not a sort of the
+    data: groupBy (stratum, value) bounds the shuffle by the number of
+    DISTINCT values (thousands), never corpus rows; the running sum is a
+    window over that tiny histogram. All arithmetic is integer
+    (cum·den >= num·N), so both engines agree exactly — no interpolated
+    percentile, whose (1-g)·a + g·b float form is engine-ordering bait.
+    """
+    lo_n, lo_d = lo
+    hi_n, hi_d = hi
+    hist = (df.groupBy(strata_col, value_col)
+            .agg(F.count(F.lit(1)).alias("_c")))
+    w = (W.partitionBy(strata_col).orderBy(value_col)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = hist.select(
+        strata_col, value_col,
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(W.partitionBy(strata_col)).alias("_n"))
+    return (cum.groupBy(strata_col).agg(
+        F.min(F.when(F.col("_cum") * lo_d >= F.col("_n") * lo_n,
+                     F.col(value_col))).alias("lo_value"),
+        F.min(F.when(F.col("_cum") * hi_d >= F.col("_n") * hi_n,
+                     F.col(value_col))).alias("hi_value")))
+
+
+def oracle_stratum_quantile_ctes(*, strata_sql: str, value_sql: str,
+                                 lo=(1, 10), hi=(9, 10),
+                                 table: str = "documents") -> str:
+    """CTE block ending in ``thresholds(strata, lo_value, hi_value)``."""
+    lo_n, lo_d = lo
+    hi_n, hi_d = hi
+    return f"""
+    hist AS (
+        SELECT {strata_sql} AS strata, {value_sql} AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM {table} GROUP BY 1, 2
+    ), cum AS (
+        SELECT strata, v,
+               CAST(SUM(c) OVER (PARTITION BY strata ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(c) OVER (PARTITION BY strata) AS BIGINT) AS n
+        FROM hist
+    ), thresholds AS (
+        SELECT strata,
+               MIN(CASE WHEN cum * {lo_d} >= n * {lo_n} THEN v END) AS lo_value,
+               MIN(CASE WHEN cum * {hi_d} >= n * {hi_n} THEN v END) AS hi_value
+        FROM cum GROUP BY strata
+    )"""

@@ -19,12 +19,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import (
-    dup_ngram_frac, oracle_dup_ngram_frac, oracle_pii_counts,
-    oracle_pii_redact, oracle_token_count, oracle_top_token_frac,
-    oracle_unique_token_ratio, pii_counts, pii_redact, token_count,
-    top_token_frac, unique_token_ratio,
+    oracle_dup_ngram_frac, oracle_pii_counts, oracle_pii_redact,
+    oracle_token_count, oracle_top_token_frac, oracle_unique_token_ratio,
+    pii_counts, pii_redact, with_repetition_stats,
 )
+from ..operators.dedup import decontaminate, oracle_decontaminate_sql
 from ..operators.retrieval import bm25_topk, oracle_bm25_topk_sql
+from ..operators.sampling import (
+    oracle_stratum_quantile_ctes, stratum_quantile_thresholds,
+)
 from ..registry import query
 from ..tables import load
 
@@ -58,19 +61,18 @@ MAX_DUP_BIGRAM = 0.05
 def x22_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition signals + keep verdict: lexical diversity
     (distinct/total tokens), most-common-token fraction (sorted-array fold,
-    no explode), duplicate-bigram fraction. All three are scan-local HOF
-    expressions inside one whole-stage-codegen span — the filter costs one
-    corpus scan and zero shuffles at any scale."""
-    d = load(spark, sf_dir, "documents")
-    utr = unique_token_ratio("text")
-    ttf = top_token_frac("text")
-    dbf = dup_ngram_frac("text", 2)
+    no explode), duplicate-bigram fraction. Staged projections compute
+    each lambda-bearing intermediate exactly once
+    (functions/text.py with_repetition_stats); the filter costs one corpus
+    scan and zero shuffles at any scale."""
+    d = with_repetition_stats(load(spark, sf_dir, "documents"), "text", 2)
     return d.select(
-        "doc_id", "lang", token_count("text").alias("n_tokens"),
-        utr.alias("unique_token_ratio"), ttf.alias("top_token_frac"),
-        dbf.alias("dup_bigram_frac"),
-        ((utr >= F.lit(MIN_UNIQUE_RATIO)) & (ttf <= F.lit(MAX_TOP_TOKEN))
-         & (dbf <= F.lit(MAX_DUP_BIGRAM))).alias("keep"))
+        "doc_id", "lang", "n_tokens", "unique_token_ratio",
+        "top_token_frac",
+        F.col("dup_ngram_frac").alias("dup_bigram_frac"),
+        ((F.col("unique_token_ratio") >= F.lit(MIN_UNIQUE_RATIO))
+         & (F.col("top_token_frac") <= F.lit(MAX_TOP_TOKEN))
+         & (F.col("dup_ngram_frac") <= F.lit(MAX_DUP_BIGRAM))).alias("keep"))
 
 
 # ---------------------------------------------------------------------------
@@ -143,3 +145,58 @@ def x24_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — see operators/retrieval.py for the full scale
     and determinism analysis."""
     return bm25_topk(load(spark, sf_dir, "documents"), BM25_TERMS, BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# x25 — benchmark decontamination (n-gram overlap sweep)
+# ---------------------------------------------------------------------------
+# Pseudo-benchmark: every 17th doc_id stands in for the eval set (a real
+# pipeline points bench_pred at its benchmark table).
+
+_BENCH_WHERE = "doc_id % 17 = 0"
+
+
+@query("x25_decontamination",
+       oracle=oracle_decontaminate_sql(_BENCH_WHERE))
+def x25_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus docs sharing any 5-gram with the benchmark subset
+    (doc_id % 17 == 0): the standard eval-contamination sweep. The
+    benchmark's distinct shingle hashes broadcast; corpus shingles die
+    map-side unless they collide — no corpus self-join, longs-only
+    shuffle (operators/dedup.py decontaminate)."""
+    return decontaminate(load(spark, sf_dir, "documents"),
+                         F.col("doc_id") % 17 == 0)
+
+
+# ---------------------------------------------------------------------------
+# x26 — adaptive per-language quality window (p10/p90 trim)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x26_adaptive_quality_window",
+    oracle=f"""
+    WITH {oracle_stratum_quantile_ctes(strata_sql='lang',
+                                       value_sql='n_chars')}
+    SELECT d.doc_id, d.lang, d.n_chars,
+           t.lo_value AS lo_chars, t.hi_value AS hi_chars,
+           (d.n_chars >= t.lo_value AND d.n_chars <= t.hi_value) AS keep
+    FROM documents d JOIN thresholds t ON t.strata = d.lang
+    """,
+)
+def x26_adaptive_quality_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language p10/p90 length window, computed from a value
+    HISTOGRAM (shuffle bounded by distinct (lang, n_chars) values, never
+    corpus rows) in exact integer arithmetic, then broadcast back onto
+    the corpus as a keep flag — the adaptive-threshold trim a curation
+    pipeline runs instead of hard-coded cutoffs
+    (operators/sampling.py stratum_quantile_thresholds)."""
+    d = load(spark, sf_dir, "documents")
+    thr = stratum_quantile_thresholds(d, strata_col="lang",
+                                      value_col="n_chars")
+    return (d.join(F.broadcast(thr), "lang")
+            .select("doc_id", "lang", "n_chars",
+                    F.col("lo_value").alias("lo_chars"),
+                    F.col("hi_value").alias("hi_chars"),
+                    ((F.col("n_chars") >= F.col("lo_value"))
+                     & (F.col("n_chars") <= F.col("hi_value"))).alias("keep")))
