@@ -25,6 +25,7 @@ from ..functions.text import (
 )
 from ..operators.dedup import decontaminate, oracle_decontaminate_sql
 from ..operators.retrieval import bm25_topk, oracle_bm25_topk_sql
+from ..operators.sketches import hll_distinct_by, oracle_hll_distinct_sql
 from ..operators.sampling import (
     oracle_stratum_quantile_ctes, stratum_quantile_thresholds,
 )
@@ -200,3 +201,21 @@ def x26_adaptive_quality_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("hi_value").alias("hi_chars"),
                     ((F.col("n_chars") >= F.col("lo_value"))
                      & (F.col("n_chars") <= F.col("hi_value"))).alias("keep")))
+
+
+# ---------------------------------------------------------------------------
+# x27 — deterministic HyperLogLog distinct sketch
+# ---------------------------------------------------------------------------
+
+
+@query("x27_hll_distinct", oracle=oracle_hll_distinct_sql())
+def x27_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-fingerprint cardinality two ways: a
+    cross-engine-deterministic HLL sketch (m=256, integer-only register
+    math, bit-identical estimate on both engines) next to the exact
+    count. The sketch's shuffle is |langs|x256 registers regardless of
+    corpus size and merges associatively across shards
+    (operators/sketches.py)."""
+    return (hll_distinct_by(load(spark, sf_dir, "documents"), spark)
+            .select(F.col("strata").alias("lang"), "est_distinct",
+                    "zero_registers", "n_exact"))

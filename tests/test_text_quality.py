@@ -62,3 +62,38 @@ def test_pii_noop_on_clean_text(spark):
                    *[c.alias(n) for c, n in
                      zip(pii_counts("text"), ("e", "p"))]).first())
     assert (row.e, row.p, row.r) == (0, 0, "no pii here")
+
+
+def test_hll_estimate_accuracy(spark):
+    """The raw HLL estimator (m=256, no small-range correction — see the
+    module docstring's documented deviation) is only contractual when
+    n >> m; feed it 20k distinct docs (n/m ~ 78) and require ~3 sigma
+    (1.04/sqrt(256) ~ 6.5%). The sparse regime is covered by
+    test_hll_sparse_regime_flags below; cross-engine parity by
+    test_oracle_parity[x27]."""
+    from data_pipeline_foundations_spark.operators.sketches import (
+        hll_distinct_by,
+    )
+    n = 20_000
+    d = spark.range(n).selectExpr("'en' AS lang",
+                                  "concat('doc ', id) AS text")
+    row = hll_distinct_by(d, spark).first()
+    assert row.n_exact == n
+    assert abs(row.est_distinct - n) / n < 0.20, row
+
+
+def test_hll_sparse_regime_flags(spark):
+    """When n << m the raw estimate is biased high — the sketch must
+    say so via zero_registers (the caller's signal to fall back to
+    linear counting), and occupied registers ~ n because collisions are
+    rare."""
+    from data_pipeline_foundations_spark.operators.sketches import (
+        HLL_M, hll_distinct_by,
+    )
+    n = 40
+    d = spark.range(n).selectExpr("'en' AS lang",
+                                  "concat('doc ', id) AS text")
+    row = hll_distinct_by(d, spark).first()
+    occupied = HLL_M - row.zero_registers
+    assert row.zero_registers > HLL_M // 2
+    assert abs(occupied - n) <= 5
