@@ -102,3 +102,29 @@ def test_interval_join_stream_equals_batch(spark, sf_dir, tmp_path):
                                  end_col="w_end",
                                  bin_width=dt.timedelta(hours=2)).collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_dedup_stream_equals_batch_fingerprints(spark, sf_dir, tmp_path):
+    """Streaming first-occurrence dedup keeps exactly one survivor per
+    fingerprint, and the surviving fingerprint SET equals the batch
+    x01 canonical set (which instance survives differs by design —
+    arrival order vs min doc_id; see streaming/dedup.py docstring)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.streaming import dedup as sdedup
+
+    docs_dir = str(tmp_path / "docs_stream")
+    (load(spark, sf_dir, "documents")
+     .withColumn("n_chars", F.col("n_chars").cast("long"))
+     .withColumn("event_ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+     .coalesce(1).write.parquet(docs_dir))
+
+    survivors = sdedup.run_over_dir(spark, docs_dir, "test_dedup_out")
+    got = {r.fp for r in survivors.select("fp").collect()}
+    assert survivors.count() == len(got)  # one survivor per fingerprint
+
+    from data_pipeline_foundations_spark.functions.text import fingerprint
+    want = {r.fp for r in (load(spark, sf_dir, "documents")
+                           .select(fingerprint("text").alias("fp"))
+                           .distinct().collect())}
+    assert got == want
