@@ -90,3 +90,39 @@ def test_packing_concat_and_chunk(spark):
     assert rows[1] == (0, 60)    # straddles 100-token boundary, starts in 0
     assert rows[2] == (1, 10)    # doc 1 consumed through token 110
     assert rows[3] == (0, 0)     # s2 packs independently of s1
+
+
+# ---------------------------------------------------------------------------
+# stratum_quantile_thresholds: property vs the brute-force definition
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_pipeline_foundations_spark.operators.sampling import (
+    stratum_quantile_thresholds,
+)
+
+
+def _brute_quantile(values, num, den):
+    """Smallest v whose cumulative count reaches ceil(q*N) — the
+    definition the histogram/window form must reproduce."""
+    s = sorted(values)
+    n = len(s)
+    need = -(-num * n // den)  # ceil(num*n/den)
+    return s[need - 1]
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(vals=st.lists(st.integers(0, 30), min_size=1, max_size=60),
+       lo=st.tuples(st.integers(1, 9), st.just(10)),
+       hi=st.tuples(st.integers(1, 9), st.just(10)))
+def test_stratum_quantiles_match_brute_force(vals, lo, hi):
+    from data_pipeline_foundations_spark.session import get_spark
+    spark = get_spark("tests", shuffle_partitions=8)
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    row = stratum_quantile_thresholds(
+        df, strata_col="g", value_col="v", lo=lo, hi=hi).first()
+    assert row.lo_value == _brute_quantile(vals, *lo)
+    assert row.hi_value == _brute_quantile(vals, *hi)
