@@ -83,11 +83,24 @@ def main() -> None:
         stable[name] = round(min(min(timed_run(spec) for _ in range(STABLE_RUNS)),
                                  timings[name]), 3)
 
+    total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "total_runtime_all_registered_queries",
-        "value": round(sum(timings.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": timings,
+        "stable": stable,
+        "sf": sf,
+    }))
+    # Compact twin of the line above: the full per-query dict can exceed
+    # the driver's tail-capture window (BENCH_r02 recorded "parsed": null),
+    # so a short line with the headline number and the trustworthy stable
+    # re-probes is printed LAST — the tail always ends with parseable JSON.
+    print(json.dumps({
+        "metric": "total_runtime_all_registered_queries",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
         "stable": stable,
         "sf": sf,
     }))

@@ -7,12 +7,26 @@ principles on the portable md5 hash (functions/hashing.py), entirely in
 integer arithmetic, so the *same estimate, bit for bit* comes out of both
 engines — the property every other operator in this repo holds.
 
+API split (three composable stages, so a production caller never pays an
+exact-count shuffle to get an estimate):
+  - :func:`hll_registers` — docs → sparse register table
+    (strata, bucket, m_j). This IS the sketch: |strata|·≤256 rows.
+  - :func:`hll_merge` — register tables → one register table
+    (max-of-maxes). Sketches from different shards/days/engines combine
+    associatively; this is the mergeable-summary contract, exercised by
+    tests/test_text_quality.py::test_hll_merge_equals_whole.
+  - :func:`hll_estimate` — register table → (strata, est_distinct,
+    zero_registers). Densifies to the full 256-register grid and takes
+    the harmonic mean.
+:func:`hll_distinct_by` is the one-shot composition (registers →
+estimate); the x27 registry entry joins an exact ``countDistinct`` twin
+alongside purely as the oracle-coverage device — the operator itself no
+longer computes it.
+
 Scale shape (the reason to sketch at all):
   - The register table is a ``groupBy(stratum, bucket).max(rho)`` — a
     map-side partial-max over m=256 buckets per stratum, so the shuffle
-    carries at most |strata|·m tiny rows regardless of corpus size, and
-    sketches merge associatively across partitions/days/shards (max of
-    maxes) — the standard mergeable-summary contract.
+    carries at most |strata|·m tiny rows regardless of corpus size.
   - rho (the trailing-zero rank of the hash suffix) comes from a
     broadcast 52-row lowbit→rank lookup, not log2() — float logs differ
     across libm implementations; ``w & -w`` plus an equi-join does not.
@@ -24,13 +38,13 @@ Scale shape (the reason to sketch at all):
 Deviation from textbook HLL, documented: the small/large-range bias
 corrections (linear counting below 2.5m, the 2^32 clamp) are omitted —
 both need ln(), whose last-ulp behavior is libm-specific. The raw
-estimator's error (~1.04/√m ≈ 6.5% at m=256) is reported alongside the
-exact count so the oracle check covers both.
+estimator's error (~1.04/√m ≈ 6.5% at m=256) is reported alongside
+``zero_registers``, the caller's signal for the sparse regime.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, oracle_fingerprint
@@ -45,12 +59,15 @@ HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 HLL_NUMERATOR = HLL_ALPHA * HLL_M * HLL_M * float(1 << 53)
 
 
-def hll_distinct_by(docs: DataFrame, spark: SparkSession, *,
-                    strata_col: str = "lang",
-                    text_col: str = "text") -> DataFrame:
-    """Per-stratum HLL estimate of distinct document fingerprints, with
-    the exact count joined alongside: (strata, est_distinct,
-    zero_registers, n_exact)."""
+def hll_registers(docs: DataFrame, *, strata_col: str = "lang",
+                  text_col: str = "text") -> DataFrame:
+    """Sparse per-stratum HLL register table: (strata, bucket, m_j).
+
+    This is the sketch itself — |strata|·≤256 rows, mergeable with
+    :func:`hll_merge`, estimable with :func:`hll_estimate`. Buckets no
+    fingerprint hashed into are absent (their register value is 0).
+    """
+    spark = docs.sparkSession
     d = docs.select(F.col(strata_col).alias("strata"),
                     fingerprint(text_col).alias("h"))
     posts = d.select(
@@ -70,25 +87,58 @@ def hll_distinct_by(docs: DataFrame, spark: SparkSession, *,
            .select("strata", "bucket",
                    F.when(F.col("w") == 0, F.lit(HLL_RHO_CAP))
                    .otherwise(F.col("t") + 1).alias("rho")))
-    regs = rho.groupBy("strata", "bucket").agg(F.max("rho").alias("m_j"))
+    return rho.groupBy("strata", "bucket").agg(F.max("rho").alias("m_j"))
 
-    # Dense register grid: strata × 256, absent buckets are register 0.
-    grid = (d.select("strata").distinct()
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge register tables from :func:`hll_registers` (max-of-maxes).
+
+    Associative and commutative: sketching each shard then merging gives
+    bit-identical registers to sketching the union — the property that
+    lets a 1000-executor fleet sketch day-partitions independently and
+    combine them driver-free. Shuffle payload: the registers themselves.
+    """
+    if not sketches:
+        raise ValueError("hll_merge needs at least one register table")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("strata", "bucket").agg(F.max("m_j").alias("m_j"))
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """Register table → (strata, est_distinct, zero_registers).
+
+    Densifies to the full strata×256 grid (absent buckets are register
+    0), then the integer-exact harmonic mean described in the module
+    docstring. Input rows: |strata|·≤256 — trivially small at any corpus
+    scale.
+    """
+    spark = regs.sparkSession
+    grid = (regs.select("strata").distinct()
             .crossJoin(F.broadcast(
                 spark.range(HLL_M).select(F.col("id").alias("bucket")))))
     full = (grid.join(regs, ["strata", "bucket"], "left")
             .select("strata", F.coalesce("m_j", F.lit(0)).alias("m_j")))
-    agg = full.groupBy("strata").agg(
+    return full.groupBy("strata").agg(
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m_j AS INT))"))
         .alias("s"),
         F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0)).cast("long")
-        .alias("zero_registers"))
-    exact = d.groupBy("strata").agg(
-        F.countDistinct("h").alias("n_exact"))
-    return (agg.join(exact, "strata")
-            .select("strata",
-                    (F.lit(HLL_NUMERATOR) / F.col("s")).alias("est_distinct"),
-                    "zero_registers", "n_exact"))
+        .alias("zero_registers")).select(
+            "strata",
+            (F.lit(HLL_NUMERATOR) / F.col("s")).alias("est_distinct"),
+            "zero_registers")
+
+
+def hll_distinct_by(docs: DataFrame, *, strata_col: str = "lang",
+                    text_col: str = "text") -> DataFrame:
+    """Per-stratum HLL estimate of distinct document fingerprints:
+    (strata, est_distinct, zero_registers). Sketch-only — the exact
+    count a caller may want next to it is a separate (and much more
+    expensive) ``countDistinct`` shuffle, deliberately NOT bundled here.
+    """
+    return hll_estimate(
+        hll_registers(docs, strata_col=strata_col, text_col=text_col))
 
 
 def oracle_hll_distinct_sql(*, strata_sql: str = "lang",

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import (
-    oracle_dup_ngram_frac, oracle_pii_counts, oracle_pii_redact,
+    fingerprint, oracle_dup_ngram_frac, oracle_pii_counts, oracle_pii_redact,
     oracle_token_count, oracle_top_token_frac, oracle_unique_token_ratio,
     pii_counts, pii_redact, with_repetition_stats,
 )
@@ -215,7 +215,15 @@ def x27_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     math, bit-identical estimate on both engines) next to the exact
     count. The sketch's shuffle is |langs|x256 registers regardless of
     corpus size and merges associatively across shards
-    (operators/sketches.py)."""
-    return (hll_distinct_by(load(spark, sf_dir, "documents"), spark)
+    (operators/sketches.py). The exact ``countDistinct`` twin is joined
+    HERE, not inside the operator — it exists purely so the oracle can
+    verify the estimate against ground truth; a production caller gets
+    the O(strata*256) sketch without paying this shuffle."""
+    d = load(spark, sf_dir, "documents")
+    exact = (d.select(F.col("lang").alias("strata"),
+                      fingerprint("text").alias("h"))
+             .groupBy("strata")
+             .agg(F.countDistinct("h").alias("n_exact")))
+    return (hll_distinct_by(d).join(exact, "strata")
             .select(F.col("strata").alias("lang"), "est_distinct",
                     "zero_registers", "n_exact"))

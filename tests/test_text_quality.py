@@ -77,8 +77,7 @@ def test_hll_estimate_accuracy(spark):
     n = 20_000
     d = spark.range(n).selectExpr("'en' AS lang",
                                   "concat('doc ', id) AS text")
-    row = hll_distinct_by(d, spark).first()
-    assert row.n_exact == n
+    row = hll_distinct_by(d).first()
     assert abs(row.est_distinct - n) / n < 0.20, row
 
 
@@ -93,7 +92,32 @@ def test_hll_sparse_regime_flags(spark):
     n = 40
     d = spark.range(n).selectExpr("'en' AS lang",
                                   "concat('doc ', id) AS text")
-    row = hll_distinct_by(d, spark).first()
+    row = hll_distinct_by(d).first()
     occupied = HLL_M - row.zero_registers
     assert row.zero_registers > HLL_M // 2
     assert abs(occupied - n) <= 5
+
+
+def test_hll_merge_equals_whole(spark):
+    """The mergeable-summary contract: sketch two disjoint shards,
+    max-merge the registers, estimate — the registers AND the estimate
+    must be bit-identical to sketching the union in one pass. This is
+    what lets day-partitions be sketched independently at 100 TB."""
+    from data_pipeline_foundations_spark.operators.sketches import (
+        hll_distinct_by, hll_estimate, hll_merge, hll_registers,
+    )
+    d = spark.range(5_000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'es' END AS lang",
+        "concat('doc ', id) AS text")
+    a = d.filter("id < 2000")       # overlapping strata, disjoint docs
+    b = d.filter("id >= 2000")
+    merged = hll_merge(hll_registers(a), hll_registers(b))
+    whole = hll_registers(d)
+    key = lambda r: (r.strata, r.bucket)
+    assert sorted(merged.collect(), key=key) == \
+        sorted(whole.collect(), key=key)
+    est_m = {r.strata: (r.est_distinct, r.zero_registers)
+             for r in hll_estimate(merged).collect()}
+    est_w = {r.strata: (r.est_distinct, r.zero_registers)
+             for r in hll_distinct_by(d).collect()}
+    assert est_m == est_w  # bit-identical doubles, same zero counts
