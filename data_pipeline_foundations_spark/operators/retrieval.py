@@ -60,8 +60,14 @@ def bm25_topk(docs: DataFrame, terms: Sequence[str], k: int = 20,
     stats = base.agg(F.count(F.lit(1)).alias("n_docs"),
                      F.sum("dl").alias("sum_dl"))
 
-    posts = (base.filter(F.size("hits") > 0)
-             .select("doc_id", "dl", F.explode("hits").alias("term"))
+    # explode_outer, and no size(hits)>0 pre-filter: both the explicit
+    # size filter and plain explode's inferred one inline the `hits` HOF
+    # into the scan predicate, tokenizing every row twice. The outer
+    # explode emits one null term for hit-less docs; the post-generate
+    # null-drop is a cheap string check (see dedup.decontaminate).
+    posts = (base.select("doc_id", "dl",
+                         F.explode_outer("hits").alias("term"))
+             .filter(F.col("term").isNotNull())
              .groupBy("doc_id", "term", "dl")
              .agg(F.count(F.lit(1)).alias("tf")))
     dfs = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

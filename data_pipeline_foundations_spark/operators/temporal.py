@@ -129,9 +129,13 @@ def range_join(points: DataFrame, intervals: DataFrame, *, on,
     keys = _keys(on)
     width_us = int(bin_width.total_seconds() * 1_000_000)
 
-    iv = intervals.withColumn(
-        "_bin", F.explode(F.sequence(bin_of(start_col, bin_width),
-                                     bin_of(end_col, bin_width))))
+    # explode_outer + null-drop: plain explode's inferred size()>0 filter
+    # re-evaluates the sequence() array in the scan predicate (up to
+    # max_bins elements per interval, built twice more per row).
+    iv = (intervals.withColumn(
+        "_bin", F.explode_outer(F.sequence(bin_of(start_col, bin_width),
+                                           bin_of(end_col, bin_width))))
+        .filter(F.col("_bin").isNotNull()))
     # The guard folds into the JOIN KEY itself (an unused side column
     # would be pruned by Catalyst and never evaluated): any interval
     # spanning more than max_bins bins poisons its key with raise_error.

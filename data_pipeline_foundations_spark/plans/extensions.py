@@ -425,8 +425,13 @@ def x14_winnow_fingerprint(spark, sf_dir):
         F.sequence(F.lit(1), F.size("_sh") - F.lit(_WINNOW_W - 1)),
         lambda i: F.array_min(F.slice(F.col("_sh"), i, _WINNOW_W)),
     )
+    # explode_outer + null-drop: plain explode's inferred size()>0 filter
+    # would re-inline the whole shingle+window-min pipeline into the scan
+    # filter (see operators/dedup.py decontaminate).
     return (d.withColumn("_mins", mins)
-            .select("doc_id", F.explode(F.array_distinct("_mins")).alias("fp")))
+            .select("doc_id",
+                    F.explode_outer(F.array_distinct("_mins")).alias("fp"))
+            .filter(F.col("fp").isNotNull()))
 
 
 @query("x15_dedup_clusters",
