@@ -48,7 +48,8 @@ def asof_join(left: DataFrame, right: DataFrame, *, on,
               left_ts: str = "ts", right_ts: str = "ts",
               direction: str = "backward",
               tolerance: _dt.timedelta | None = None,
-              right_prefix: str = "r_") -> DataFrame:
+              right_prefix: str = "r_",
+              split_width: _dt.timedelta | None = None) -> DataFrame:
     """For every left row, the single nearest right row per key:
     ``backward`` → latest right with right_ts <= left_ts (the pandas
     merge_asof / DuckDB ASOF JOIN default), ``forward`` → earliest right
@@ -66,9 +67,22 @@ def asof_join(left: DataFrame, right: DataFrame, *, on,
     with a side tag, and a per-key window ordered by (ts, side) carries
     the last-seen struct onto each left row. Right sorts before left at
     equal ts, which is exactly the <= boundary.
+
+    ``split_width`` — HOT-KEY MITIGATION (r2 verdict task #2). The plain
+    window partitions by key alone, so one entity holding half the rows
+    degrades to a single-partition sort. With ``split_width`` set, rows
+    are windowed per (key, time-bin of that width) instead — a hot key
+    spreads over its time range — and a per-(key, bin) "carry-in" struct
+    (the last right state from earlier bins, computed over the tiny
+    per-bin summary table and injected as a pre-row) preserves exact
+    cross-bin semantics. Identical output to the plain path (pinned by
+    tests and the x29 oracle); choose a width that yields
+    rows-per-(key, bin) ≈ a healthy partition, e.g. a day for per-second
+    events.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    backward = direction == "backward"
     keys = _keys(on)
     rcols = [c for c in right.columns if c not in keys]
     overlap = set(right_prefix + c for c in rcols) & set(left.columns)
@@ -81,14 +95,56 @@ def asof_join(left: DataFrame, right: DataFrame, *, on,
           .withColumn("_side", F.lit(1)))
     lp = (left.withColumn("_t", F.col(left_ts))
           .withColumn("_side", F.lit(0)))
-    u = lp.unionByName(rp, allowMissingColumns=True)
 
-    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
-    w = (W.partitionBy(*keys)
-         .orderBy(t_order, F.col("_side").desc(), F.col("_r").asc())
-         .rowsBetween(W.unboundedPreceding, W.currentRow))
-    matched = (u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
-               .filter(F.col("_side") == 0))
+    t_order = F.col("_t").asc() if backward else F.col("_t").desc()
+    if split_width is None:
+        u = lp.unionByName(rp, allowMissingColumns=True)
+        w = (W.partitionBy(*keys)
+             .orderBy(t_order, F.col("_side").desc(), F.col("_r").asc())
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+        matched = (u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+                   .filter(F.col("_side") == 0))
+    else:
+        b = bin_of(F.col("_t"), split_width)
+        lpb = lp.withColumn("_bin", b).withColumn("_pre", F.lit(0))
+        rpb = rp.withColumn("_bin", b).withColumn("_pre", F.lit(0))
+
+        # Closing state of each (key, bin): the struct the plain window
+        # would carry at the bin boundary — first row under the REVERSED
+        # per-bin order. Partitioned by (key, bin): hot keys split here
+        # too.
+        close_order = ([F.col("_t").desc(), F.col("_r").desc()] if backward
+                       else [F.col("_t").asc(), F.col("_r").desc()])
+        wc = W.partitionBy(*keys, "_bin").orderBy(*close_order)
+        closing = (rpb.withColumn("_rn", F.row_number().over(wc))
+                   .filter(F.col("_rn") == 1)
+                   .select(*keys, "_bin", F.col("_r").alias("_close")))
+
+        # Carry-in per occupied (key, bin): last closing state of any
+        # STRICTLY earlier bin (later, for forward). This window runs
+        # over the per-bin summary — O(#bins) rows per key, immune to
+        # row-count skew.
+        cells = (lpb.select(*keys, "_bin")
+                 .unionByName(rpb.select(*keys, "_bin")).distinct())
+        wcar = (W.partitionBy(*keys)
+                .orderBy(F.col("_bin").asc() if backward
+                         else F.col("_bin").desc())
+                .rowsBetween(W.unboundedPreceding, -1))
+        carry = (cells.join(closing, [*keys, "_bin"], "left")
+                 .withColumn("_carry",
+                             F.last("_close", ignorenulls=True).over(wcar))
+                 .filter(F.col("_carry").isNotNull())
+                 .select(*keys, "_bin", F.col("_carry").alias("_r"),
+                         F.lit(1).alias("_side"), F.lit(1).alias("_pre")))
+
+        u = (lpb.unionByName(rpb, allowMissingColumns=True)
+             .unionByName(carry, allowMissingColumns=True))
+        w = (W.partitionBy(*keys, "_bin")
+             .orderBy(F.col("_pre").desc(), t_order,
+                      F.col("_side").desc(), F.col("_r").asc())
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+        matched = (u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+                   .filter(F.col("_side") == 0))
 
     if tolerance is not None:
         gap_ok = (F.abs(F.unix_micros(F.col("_t").cast("timestamp_ltz"))

@@ -65,6 +65,39 @@ def x16_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("view_event_id").alias("view_id"), "view_ts", "view_value")
 
 
+@query(
+    "x29_asof_join_split",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           p.ts AS purchase_ts, p.value AS purchase_value,
+           v.event_id AS view_id, v.ts AS view_ts, v.value AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def x29_asof_join_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x16's as-of join through the HOT-KEY-SPLIT plan
+    (split_width=7 days): windows partition by (user_id, time-bin) with
+    a carry-in fix-up instead of user_id alone, so one user holding
+    half the events no longer serializes onto a single partition's
+    sort. Same oracle as x16 — the two plans must agree bit-for-bit
+    (operators/temporal.py asof_join)."""
+    ev = load(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts", "value"))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", "event_id", "ts", "value"))
+    out = asof_join(purchases, views, on="user_id",
+                    left_ts="ts", right_ts="ts", right_prefix="view_",
+                    split_width=_dt.timedelta(days=7))
+    return out.select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+        F.col("view_event_id").alias("view_id"), "view_ts", "view_value")
+
+
 # ---------------------------------------------------------------------------
 # x17 — range join: clicks landing in 2-hour post-error windows
 # ---------------------------------------------------------------------------

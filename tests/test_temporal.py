@@ -95,6 +95,52 @@ def test_asof_plan_is_single_key_shuffle(spark):
     assert "Window" in plan
 
 
+def _skew(spark):
+    """Key 1 holds ~50% of both sides, spread over ~116 days."""
+    left = spark.range(400).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN CAST(1 AS LONG) ELSE 2 + id % 5 END AS k",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id*7 AS INT),0,0) AS ts",
+        "CAST(id AS DOUBLE) AS lv")
+    right = spark.range(300).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN CAST(1 AS LONG) ELSE 2 + id % 5 END AS k",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id*11 AS INT),0,0) AS ts",
+        "CAST(id*10 AS DOUBLE) AS rv")
+    return left, right
+
+
+def test_asof_split_width_equals_plain_on_hot_key(spark):
+    """The hot-key-split plan must be output-identical to the plain plan
+    across directions and tolerance — the split is a physical rewrite,
+    not a semantics change."""
+    left, right = _skew(spark)
+    for kwargs in (dict(), dict(direction="forward"),
+                   dict(tolerance=dt.timedelta(hours=24))):
+        plain = asof_join(left, right, on="k", **kwargs).collect()
+        split = asof_join(left, right, on="k",
+                          split_width=dt.timedelta(days=7),
+                          **kwargs).collect()
+        key = lambda r: tuple(str(x) for x in r)
+        assert sorted(split, key=key) == sorted(plain, key=key), kwargs
+
+
+def test_asof_split_windows_partition_by_bin(spark):
+    """The scale assertion: with split_width, the matching window
+    partitions by (key, _bin) — the hot key's rows land on as many
+    partitions as it has occupied bins (>1 here), instead of one."""
+    import re
+
+    from data_pipeline_foundations_spark.operators.temporal import bin_of
+    left, right = _skew(spark)
+    df = asof_join(left, right, on="k",
+                   split_width=dt.timedelta(days=7))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"windowspecdefinition\(k#\d+L?, _bin#", plan), plan
+    nbins = (left.filter("k = 1")
+             .select(bin_of("ts", dt.timedelta(days=7)).alias("b"))
+             .distinct().count())
+    assert nbins > 1
+
+
 def _points(spark):
     return spark.createDataFrame(
         [(1, T(2024, 1, 1, 10, 30), 1.0), (1, T(2024, 1, 1, 13, 30), 2.0),
