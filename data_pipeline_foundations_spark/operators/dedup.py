@@ -528,3 +528,77 @@ def oracle_decontaminate_sql(bench_where: str, *, n: int = DECON_N,
     FROM corpus c JOIN bench USING (s)
     GROUP BY c.doc_id, c.n_shingles
     """
+
+
+# ---------------------------------------------------------------------------
+# Incremental batch dedup against a persisted fingerprint store
+# ---------------------------------------------------------------------------
+def incremental_dedup(batch: DataFrame, history_fp: DataFrame, *,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      fp_col: str = "fp") -> DataFrame:
+    """Rows of ``batch`` that are genuinely new: the first occurrence
+    (min ``id_col``) of each content fingerprint within the batch, minus
+    anything whose fingerprint already exists in ``history_fp`` (a
+    DataFrame with column ``fp_col`` — in production, the bucketed store
+    read via :func:`dedup_against_store`).
+
+    This is the operating shape between x01 (closed-corpus batch dedup)
+    and the streaming first-occurrence twin: a daily/hourly batch lands,
+    is deduped within itself, then anti-joined against everything ever
+    accepted. Scale: ONE shuffle of the new batch on the 60-bit
+    fingerprint (a window picks the first occurrence, and the anti-join
+    reuses that partitioning), and the (huge) history side never
+    re-shuffles when it is a table bucketed on ``fp_col`` (plan pinned
+    in tests/test_incremental_dedup.py).
+    """
+    from pyspark.sql.window import Window as W
+
+    from ..functions.text import fingerprint
+    b = batch.withColumn(fp_col, fingerprint(text_col))
+    w = W.partitionBy(fp_col).orderBy(F.col(id_col).asc())
+    first = (b.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1).drop("_rn"))
+    return first.join(history_fp.select(fp_col), fp_col, "leftanti")
+
+
+def dedup_against_store(spark, batch: DataFrame, store_table: str, *,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        fp_col: str = "fp", n_buckets: int = 32,
+                        database: str = "default") -> DataFrame:
+    """Stateful wrapper: dedup ``batch`` against the persisted fingerprint
+    store ``store_table``, append the survivors' fingerprints, return the
+    surviving rows.
+
+    Survivors are snapshotted with ``localCheckpoint`` BEFORE the append
+    — a cache/persist is not enough, because appending to the store
+    refreshes every cached plan that reads the store table, and the
+    survivors' plan does: a lazy (or merely cached) result re-evaluated
+    after the append would anti-join against its own output and come
+    back empty. The checkpoint breaks that lineage; it is registered
+    with the caching registry for the caller's
+    ``release_cached_intermediates()``.
+
+    The store is a parquet table bucketed+sorted on ``fp_col``
+    (sources/warehouse.py discipline): the per-batch anti-join probe pays
+    the shuffle on the new batch only, never on the accumulated history —
+    the "pay the shuffle once at load" contract applied to dedup state.
+    First call bootstraps an empty store.
+    """
+    from .caching import persistent_rdd_ids, track_checkpoint_rdds
+    full = f"{database}.{store_table}"
+    if not spark.catalog.tableExists(full):
+        (spark.createDataFrame([], f"{fp_col} long")
+         .write.format("parquet")
+         .bucketBy(n_buckets, fp_col).sortBy(fp_col)
+         .saveAsTable(full))
+    sc = spark.sparkContext
+    before = persistent_rdd_ids(sc)
+    survivors = incremental_dedup(
+        batch, spark.table(full), id_col=id_col,
+        text_col=text_col, fp_col=fp_col).localCheckpoint(eager=True)
+    track_checkpoint_rdds(sc, persistent_rdd_ids(sc) - before)
+    (survivors.select(fp_col)
+     .write.mode("append").format("parquet")
+     .bucketBy(n_buckets, fp_col).sortBy(fp_col)
+     .saveAsTable(full))
+    return survivors

@@ -19,11 +19,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import (
-    fingerprint, oracle_dup_ngram_frac, oracle_pii_counts, oracle_pii_redact,
-    oracle_token_count, oracle_top_token_frac, oracle_unique_token_ratio,
-    pii_counts, pii_redact, with_repetition_stats,
+    fingerprint, oracle_dup_ngram_frac, oracle_fingerprint,
+    oracle_pii_counts, oracle_pii_redact, oracle_token_count,
+    oracle_top_token_frac, oracle_unique_token_ratio, pii_counts,
+    pii_redact, with_repetition_stats,
 )
-from ..operators.dedup import decontaminate, oracle_decontaminate_sql
+from ..operators.dedup import (
+    decontaminate, incremental_dedup, oracle_decontaminate_sql,
+)
 from ..operators.retrieval import bm25_topk, oracle_bm25_topk_sql
 from ..operators.sketches import hll_distinct_by, oracle_hll_distinct_sql
 from ..operators.sampling import (
@@ -227,3 +230,44 @@ def x27_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (hll_distinct_by(d).join(exact, "strata")
             .select(F.col("strata").alias("lang"), "est_distinct",
                     "zero_registers", "n_exact"))
+
+
+# ---------------------------------------------------------------------------
+# x28 — incremental batch dedup vs a fingerprint history
+# ---------------------------------------------------------------------------
+# History simulated as the doc_id % 4 == 0 slice (in production the
+# history side is the bucketed fingerprint store —
+# operators/dedup.py dedup_against_store; tests exercise that path with
+# the Exchange-free probe pinned).
+
+_ORACLE_FP = oracle_fingerprint("text")
+
+
+@query(
+    "x28_incremental_dedup",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, lang, {_ORACLE_FP} AS fp FROM documents
+        WHERE doc_id % 4 <> 0
+    ), h AS (
+        SELECT {_ORACLE_FP} AS fp FROM documents WHERE doc_id % 4 = 0
+    ), first AS (
+        SELECT fp, MIN(doc_id) AS doc_id FROM b GROUP BY fp
+    )
+    SELECT b.doc_id, b.lang, b.fp
+    FROM b JOIN first USING (fp, doc_id)
+    WHERE NOT EXISTS (SELECT 1 FROM h WHERE h.fp = b.fp)
+    """,
+)
+def x28_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch dedup against accumulated history: first occurrence per
+    fingerprint within the batch, minus fingerprints already accepted.
+    The batch pays one fingerprint groupBy; the history side of the
+    anti-join never re-shuffles when it is the bucketed store
+    (operators/dedup.py incremental_dedup / dedup_against_store)."""
+    d = load(spark, sf_dir, "documents")
+    history = (d.filter(F.col("doc_id") % 4 == 0)
+               .select(fingerprint("text").alias("fp")))
+    batch = d.filter(F.col("doc_id") % 4 != 0)
+    return (incremental_dedup(batch, history)
+            .select("doc_id", "lang", "fp"))
