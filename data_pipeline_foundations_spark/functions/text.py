@@ -187,37 +187,65 @@ def with_repetition_stats(df, text_col: str = "text", n: int = 2):
 
 # --- PII detection / redaction ---------------------------------------------
 # Patterns restricted to syntax Java's regex engine and DuckDB's RE2 parse
-# identically (character classes + bounded quantifiers; no lookaround, no
-# backreferences).
+# identically (character classes, bounded quantifiers, non-capturing
+# groups, \b word boundaries; no lookaround, no backreferences). All
+# deliberately conservative — a dedup pipeline redacting too eagerly
+# destroys data; these only fire on well-formed shapes:
+#   credit_card requires 4x4 digits WITH separators (a bare 16-digit run
+#   is usually an id, and validating checksums needs Luhn, which regex
+#   can't express without backreferences);
+#   national_id is the 3-2-4 dashed SSN shape;
+#   ipv4 enforces 0-255 octets.
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+IPV4_RE = (r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}"
+           r"(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b")
+CC_RE = r"\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b"
+NID_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+
+# name → (pattern, placeholder); dict order IS the redaction order (the
+# shapes are mutually non-overlapping — digit counts + \b make a match
+# of one class impossible inside another — so order only needs to be
+# deterministic, not clever).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (EMAIL_RE, "<EMAIL>"),
+    "phone": (PHONE_RE, "<PHONE>"),
+    "ipv4": (IPV4_RE, "<IPV4>"),
+    "credit_card": (CC_RE, "<CC>"),
+    "national_id": (NID_RE, "<NID>"),
+}
 
 
-def pii_counts(col: Column | str) -> tuple[Column, Column]:
-    """(n_emails, n_phones) found in the column — JVM-side regexp_count."""
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """{class: match count} for every PII pattern class — JVM-side
+    regexp_count, scan-local."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.regexp_count(c, F.lit(EMAIL_RE)).cast("long"),
-            F.regexp_count(c, F.lit(PHONE_RE)).cast("long"))
+    return {name: F.regexp_count(c, F.lit(pat)).cast("long")
+            for name, (pat, _) in PII_PATTERNS.items()}
 
 
-def oracle_pii_counts(sql_col: str) -> tuple[str, str]:
-    return (
-        f"CAST(len(regexp_extract_all({sql_col}, '{EMAIL_RE}')) AS BIGINT)",
-        f"CAST(len(regexp_extract_all({sql_col}, '{PHONE_RE}')) AS BIGINT)")
+def oracle_pii_counts(sql_col: str) -> dict[str, str]:
+    return {name:
+            f"CAST(len(regexp_extract_all({sql_col}, '{pat}')) AS BIGINT)"
+            for name, (pat, _) in PII_PATTERNS.items()}
 
 
 def pii_redact(col: Column | str) -> Column:
-    """Replace every email / phone match with a typed placeholder. Spark's
-    regexp_replace is global by default; the oracle passes RE2's 'g' flag."""
+    """Replace every match of every class with its typed placeholder.
+    Spark's regexp_replace is global by default; the oracle passes RE2's
+    'g' flag."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(
-        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>")
+    for pat, placeholder in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pat, placeholder)
+    return c
 
 
 def oracle_pii_redact(sql_col: str) -> str:
-    return (f"regexp_replace(regexp_replace({sql_col}, "
-            f"'{EMAIL_RE}', '<EMAIL>', 'g'), '{PHONE_RE}', '<PHONE>', 'g')")
+    e = sql_col
+    for pat, placeholder in PII_PATTERNS.values():
+        e = f"regexp_replace({e}, '{pat}', '{placeholder}', 'g')"
+    return e
 
 
 def fingerprint(col: Column | str) -> Column:

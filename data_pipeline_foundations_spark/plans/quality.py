@@ -83,11 +83,11 @@ def x22_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x23 — PII detection + redaction
 # ---------------------------------------------------------------------------
 # The synthetic corpus contains no PII, so the query derives a
-# deterministic PII-bearing column from doc_id first (emails on doc_id%3>0,
-# phones on doc_id%2=0) and then runs the real operator over it — the
-# redaction is observable and oracle-checked, and the operator itself
-# (functions/text.py pii_counts / pii_redact) is what a real pipeline would
-# point at its raw text column.
+# deterministic PII-bearing column from doc_id first (one modulus per
+# class, so every subset combination occurs) and then runs the real
+# operator over it — the redaction is observable and oracle-checked, and
+# the operator itself (functions/text.py pii_counts / pii_redact) is what
+# a real pipeline would point at its raw text column.
 
 _SYNTH_SPARK = (
     "concat(text,"
@@ -96,6 +96,17 @@ _SYNTH_SPARK = (
     "   ELSE '' END,"
     " CASE WHEN doc_id % 2 = 0 THEN"
     "   concat(' call +1-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"
+    "   ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN"
+    "   concat(' from 10.0.', CAST(doc_id % 256 AS STRING), '.',"
+    "          CAST(doc_id % 100 AS STRING))"
+    "   ELSE '' END,"
+    " CASE WHEN doc_id % 7 = 0 THEN"
+    "   concat(' card 4111-1111-1111-',"
+    "          lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"
+    "   ELSE '' END,"
+    " CASE WHEN doc_id % 11 = 0 THEN"
+    "   concat(' ssn 123-45-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"
     "   ELSE '' END)")
 
 _SYNTH_SQL = (
@@ -105,31 +116,48 @@ _SYNTH_SQL = (
     "   ELSE '' END) ||"
     " (CASE WHEN doc_id % 2 = 0 THEN"
     "   ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    "   ELSE '' END) ||"
+    " (CASE WHEN doc_id % 5 = 0 THEN"
+    "   ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||"
+    "   CAST(doc_id % 100 AS VARCHAR)"
+    "   ELSE '' END) ||"
+    " (CASE WHEN doc_id % 7 = 0 THEN"
+    "   ' card 4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    "   ELSE '' END) ||"
+    " (CASE WHEN doc_id % 11 = 0 THEN"
+    "   ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
     "   ELSE '' END)")
 
-_ORACLE_EMAILS, _ORACLE_PHONES = oracle_pii_counts("raw")
+_ORACLE_PII = oracle_pii_counts("raw")
+_ORACLE_PII_SUM = " + ".join(_ORACLE_PII.values())
 
 
 @query(
     "x23_pii_redaction",
     oracle=f"""
-    SELECT doc_id, {_ORACLE_EMAILS} AS n_emails, {_ORACLE_PHONES} AS n_phones,
-           ({_ORACLE_EMAILS} + {_ORACLE_PHONES} > 0) AS has_pii,
+    SELECT doc_id,
+           {", ".join(f"{e} AS n_{name}" for name, e in _ORACLE_PII.items())},
+           ({_ORACLE_PII_SUM} > 0) AS has_pii,
            {oracle_pii_redact('raw')} AS redacted
     FROM (SELECT doc_id, {_SYNTH_SQL} AS raw FROM documents)
     """,
 )
 def x23_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count and scrub emails/phones: JVM-side regexp_count + global
-    regexp_replace with typed placeholders, patterns restricted to the
-    Java-regex ∩ RE2 common subset. Scan-local, zero shuffles; at 100 TB
-    this is a pure map stage that fuses with whatever filter follows."""
+    """Count and scrub five PII classes (email, phone, IPv4,
+    separator-form credit card, SSN-shaped national id): JVM-side
+    regexp_count + global regexp_replace with typed placeholders,
+    patterns restricted to the Java-regex ∩ RE2 common subset
+    (functions/text.py PII_PATTERNS). Scan-local, zero shuffles; at
+    100 TB this is a pure map stage that fuses with whatever filter
+    follows."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_SYNTH_SPARK).alias("raw"))
-    n_emails, n_phones = pii_counts("raw")
+    counts = pii_counts("raw")
+    total = sum(counts.values(), F.lit(0))
     return d.select(
-        "doc_id", n_emails.alias("n_emails"), n_phones.alias("n_phones"),
-        ((n_emails + n_phones) > 0).alias("has_pii"),
+        "doc_id",
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+        (total > 0).alias("has_pii"),
         pii_redact("raw").alias("redacted"))
 
 

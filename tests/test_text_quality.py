@@ -46,22 +46,56 @@ def test_dup_bigram_frac(spark, text, expected):
     assert _one(spark, text, dup_ngram_frac("text", 2)) == expected
 
 
-def test_pii_counts_and_redact(spark):
-    raw = "mail a.b@x.co and c@y.io call +1-555-0100 not 555-0100"
-    n_e, n_p = pii_counts("text")
+def _pii(spark, raw: str):
+    counts = pii_counts("text")
     row = (spark.createDataFrame([(raw,)], "text string")
-           .select(n_e.alias("e"), n_p.alias("p"),
+           .select(*[c.alias(n) for n, c in counts.items()],
                    pii_redact("text").alias("r")).first())
-    assert (row.e, row.p) == (2, 1)
-    assert row.r == "mail <EMAIL> and <EMAIL> call <PHONE> not 555-0100"
+    return row.asDict()
+
+
+def test_pii_counts_and_redact(spark):
+    got = _pii(spark, "mail a.b@x.co and c@y.io call +1-555-0100 not 555-0100")
+    assert (got["email"], got["phone"]) == (2, 1)
+    assert got["r"] == "mail <EMAIL> and <EMAIL> call <PHONE> not 555-0100"
+
+
+def test_pii_ipv4(spark):
+    got = _pii(spark, "from 10.0.7.255 and 256.1.1.1 and v1.2.3")
+    # 256.1.1.1: the first octet fails the 0-255 range, and \b blocks a
+    # partial match starting mid-number; v1.2.3 has no 4th octet
+    assert got["ipv4"] == 1
+    assert got["r"] == "from <IPV4> and 256.1.1.1 and v1.2.3"
+
+
+def test_pii_credit_card(spark):
+    got = _pii(spark, "card 4111-1111-1111-1234 or 4111 1111 1111 1234 "
+                      "but not 4111111111111234")
+    assert got["credit_card"] == 2          # bare 16-digit run: too risky
+    assert got["r"] == "card <CC> or <CC> but not 4111111111111234"
+
+
+def test_pii_national_id(spark):
+    got = _pii(spark, "ssn 123-45-6789 midnumber 9123-45-6789x")
+    # the second has a digit before 123 -> no word boundary -> no match
+    assert got["national_id"] == 1
+    assert got["r"] == "ssn <NID> midnumber 9123-45-6789x"
+
+
+def test_pii_classes_do_not_cross_match(spark):
+    """A credit card must not be half-eaten by the SSN pattern, a phone
+    by the card pattern, etc. — digit counts + \\b make the classes
+    mutually exclusive."""
+    got = _pii(spark, "4111-1111-1111-1234 +1-555-0100 123-45-6789 10.0.0.1")
+    assert (got["credit_card"], got["phone"],
+            got["national_id"], got["ipv4"]) == (1, 1, 1, 1)
+    assert got["r"] == "<CC> <PHONE> <NID> <IPV4>"
 
 
 def test_pii_noop_on_clean_text(spark):
-    row = (spark.createDataFrame([("no pii here",)], "text string")
-           .select(pii_redact("text").alias("r"),
-                   *[c.alias(n) for c, n in
-                     zip(pii_counts("text"), ("e", "p"))]).first())
-    assert (row.e, row.p, row.r) == (0, 0, "no pii here")
+    got = _pii(spark, "no pii here")
+    assert got["r"] == "no pii here"
+    assert all(got[n] == 0 for n in got if n != "r")
 
 
 def test_hll_estimate_accuracy(spark):
