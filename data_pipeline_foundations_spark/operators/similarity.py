@@ -361,11 +361,18 @@ def cosine_near_dup_pairs(emb: DataFrame, *, id_col: str = "vec_id",
     mask = (1 << band_bits) - 1
     # THREE consumers (banding + both sides of the verification join):
     # persist so the 16-fold SRP signature computes once per vector.
+    # LAZY persist, deliberately: every consumer lives inside the ONE
+    # job the caller's action submits, so the first stage to touch the
+    # cache materializes it in-line and the rest hit it — an eager
+    # count() here is a whole extra pass over the signature scan
+    # (measured at sf0.1: ~3.1 s eager vs ~2.6 s lazy; worst case under
+    # racing stages is duplicated partition compute, never wrong data).
     base = tracked_persist(
         scale_out(emb)
         .select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
         .withColumn("nrm", l2_norm(F.col("v")))
-        .withColumn("sig", srp_signature(F.col("v"), dim, bits)))
+        .withColumn("sig", srp_signature(F.col("v"), dim, bits)),
+        eager=False)
     band_structs = [
         F.struct(F.lit(j).alias("band_id"),
                  F.shiftright(F.col("sig"), j * band_bits).bitwiseAND(F.lit(mask)).alias("band_key"))
