@@ -278,3 +278,64 @@ def x21_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(scale_out(load(spark, sf_dir, "documents")),
                          rates=MIX_RATES, min_tokens=MIN_TOKENS,
                          budget=PACK_BUDGET, seed=MIX_SEED)
+
+
+# ---------------------------------------------------------------------------
+# x30 — int8 embedding quantization (vector-storage compression)
+# ---------------------------------------------------------------------------
+# Symmetric per-vector int8: scale = max|x| / 127, q = round(x / scale).
+# The storage op a 100 TB vector corpus runs before writing its index
+# (4x smaller than float32, 8x than float64); scan-local HOFs, zero
+# shuffles. Rounding is the repo's engine-agnostic floor(x + 0.5) scheme
+# (works for negatives too: floor(-3.2 + 0.5) = -3 on both engines —
+# round-half-up, not banker's). Output is posexploded to scalar rows so
+# the driver's value-hash covers every quantized element.
+
+
+@query(
+    "x30_embedding_quantize",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), m AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS mx
+        FROM base
+    ), q AS (
+        SELECT vec_id,
+               CASE WHEN mx = 0 THEN 0.0 ELSE mx / 127.0 END AS scale,
+               list_transform(v, x -> CAST(CASE WHEN mx = 0 THEN 0
+                   ELSE floor(x * 127.0 / mx + 0.5) END AS INTEGER)) AS qv
+        FROM m
+    )
+    SELECT vec_id, scale, u.pos, u.q8
+    FROM (SELECT vec_id, scale,
+                 unnest(list_transform(range(1, len(qv) + 1),
+                        i -> {'pos': CAST(i - 1 AS INTEGER), 'q8': qv[i]}))
+                     AS u
+          FROM q)
+    """,
+)
+def x30_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column:
+    (vec_id, scale, pos, q8). Staged projections keep each HOF computed
+    once; posexplode_outer + null-drop dodges the inferred-generate
+    filter (operators/dedup.py decontaminate); zero-vector rows quantize
+    to all-zero with scale 0."""
+    d = (scale_out(load(spark, sf_dir, "embeddings"))
+         .withColumn("_v", F.transform("embedding",
+                                       lambda x: x.cast("double")))
+         .withColumn("_mx", F.array_max(
+             F.transform("_v", lambda x: F.abs(x))))
+         .withColumn("_q", F.transform(
+             "_v",
+             lambda x: F.when(F.col("_mx") == 0, F.lit(0))
+             .otherwise(F.floor(x * F.lit(127.0) / F.col("_mx")
+                                + F.lit(0.5))).cast("int"))))
+    return (d.select(
+        "vec_id",
+        F.when(F.col("_mx") == 0, F.lit(0.0))
+        .otherwise(F.col("_mx") / F.lit(127.0)).alias("scale"),
+        F.posexplode_outer("_q").alias("pos", "q8"))
+        .filter(F.col("q8").isNotNull()))
