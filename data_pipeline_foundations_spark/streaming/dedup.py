@@ -44,6 +44,28 @@ def dedup_stream(docs: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
             .dropDuplicatesWithinWatermark(["fp"]))
 
 
+def dedup_stream_against_store(docs: DataFrame, history_fp: DataFrame, *,
+                               watermark: str = "1 hour",
+                               fp_col: str = "fp") -> DataFrame:
+    """Streaming twin of operators/dedup.incremental_dedup — the
+    production ingest shape: within-stream first occurrence
+    (watermark-bounded state) THEN a stream-static LEFT ANTI join
+    against the persisted fingerprint store.
+
+    The static side is re-read every micro-batch (so fingerprints
+    appended between batches take effect at the next trigger) and, when
+    it is the bucketed store table, its scan stays Exchange-free just
+    like the batch probe. State stays O(active-window distinct docs):
+    the store holds all history; the stream state only bridges
+    within-horizon duplicates.
+    """
+    return (docs
+            .withColumn(fp_col, fingerprint("text"))
+            .withWatermark("event_ts", watermark)
+            .dropDuplicatesWithinWatermark([fp_col])
+            .join(history_fp.select(fp_col), fp_col, "left_anti"))
+
+
 def run_over_dir(spark: SparkSession, docs_dir: str,
                  query_name: str = "dedup_out") -> DataFrame:
     """Drive the dedup stream over a static directory to completion

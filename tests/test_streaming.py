@@ -128,3 +128,40 @@ def test_dedup_stream_equals_batch_fingerprints(spark, sf_dir, tmp_path):
                            .select(fingerprint("text").alias("fp"))
                            .distinct().collect())}
     assert got == want
+
+
+def test_dedup_stream_against_store(spark, sf_dir, tmp_path):
+    """Stream-static incremental dedup: within-stream dups collapse to
+    their first arrival AND anything already in the fingerprint store is
+    dropped — the streaming twin of dedup_against_store."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.functions.text import fingerprint
+    from data_pipeline_foundations_spark.streaming.dedup import (
+        DOCS_SCHEMA, dedup_stream_against_store,
+    )
+
+    docs = (load(spark, sf_dir, "documents").limit(200)
+            .withColumn("n_chars", F.col("n_chars").cast("long"))
+            .withColumn("event_ts",
+                        F.lit("2024-01-01 00:00:00").cast("timestamp")))
+    docs_dir = str(tmp_path / "docs_stream_store")
+    docs.coalesce(1).write.parquet(docs_dir)
+
+    # store: fingerprints of the doc_id % 3 == 0 slice
+    history = (docs.filter(F.col("doc_id") % 3 == 0)
+               .select(fingerprint("text").alias("fp")))
+    stream = (spark.readStream.schema(DOCS_SCHEMA)
+              .format("parquet").load(docs_dir))
+    q = (dedup_stream_against_store(stream, history)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("test_dedup_store_out")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r.fp for r in
+           spark.sql("SELECT fp FROM test_dedup_store_out").collect()}
+
+    all_fp = docs.select(F.col("doc_id"), fingerprint("text").alias("fp"))
+    h = {r.fp for r in history.collect()}
+    want = {r.fp for r in all_fp.collect()} - h
+    assert got == want and len(want) > 0
