@@ -82,3 +82,12 @@ def test_bm25_plan_broadcasts_and_takeordered(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "filter(" in opt and "explode" in opt.lower()
+
+
+def test_embedding_quantize_is_map_only(spark, sf_dir):
+    """x30's contract: quantization is a pure map pipeline — no hash
+    exchange anywhere (the only allowed Exchange is scale_out's local
+    round-robin parallelizer, a no-op on real multi-split layouts)."""
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(all_queries()["x30_embedding_quantize"].fn(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
