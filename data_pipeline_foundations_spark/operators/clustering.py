@@ -59,7 +59,13 @@ MAX_CC_ROUNDS = 25
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    """One large-star phase over a canonical (hi > lo) edge list."""
+    """One large-star phase over a canonical (hi > lo) edge list.
+
+    Output is a MULTISET (no distinct): the following small-star phase
+    is insensitive to duplicate edges (min aggregate + its own distinct),
+    and the duplicate volume is bounded by |sym| = 2|E| — cheaper than a
+    per-round dedup shuffle.
+    """
     sym = e.select(F.col("hi").alias("a"), F.col("lo").alias("b")).unionByName(
         e.select(F.col("lo").alias("a"), F.col("hi").alias("b")))
     mins = sym.groupBy("a").agg(F.min("b").alias("mb"))
@@ -68,8 +74,7 @@ def _large_star(e: DataFrame) -> DataFrame:
     return (sym.join(mins, "a")
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("hi"),
-                    F.least("mb", F.col("a")).alias("lo"))
-            .distinct())
+                    F.least("mb", F.col("a")).alias("lo")))
 
 
 def _small_star(e: DataFrame) -> DataFrame:
