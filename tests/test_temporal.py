@@ -123,6 +123,31 @@ def test_asof_split_width_equals_plain_on_hot_key(spark):
         assert sorted(split, key=key) == sorted(plain, key=key), kwargs
 
 
+def test_asof_split_carry_across_bin_boundary(spark):
+    """A left row whose only match lives in an EARLIER bin must get it
+    via the carry-in (backward), and symmetrically from a LATER bin
+    (forward) — including a left row sitting exactly on the boundary."""
+    wk = dt.timedelta(days=7)
+    left = spark.createDataFrame(
+        [(1, T(2024, 1, 8, 0, 0), "boundary"),   # exactly at bin edge
+         (1, T(2024, 1, 9, 3, 0), "inside")],
+        "k long, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, T(2024, 1, 7, 23, 0), 5.0)],        # previous bin only
+        "k long, ts timestamp, v double")
+    out = {r.tag: r.r_v for r in
+           asof_join(left, right, on="k", split_width=wk).collect()}
+    assert out == {"boundary": 5.0, "inside": 5.0}
+
+    fwd = {r.tag: r.r_v for r in
+           asof_join(left.filter("tag = 'boundary'"),
+                     spark.createDataFrame([(1, T(2024, 1, 20), 9.0)],
+                                           "k long, ts timestamp, v double"),
+                     on="k", direction="forward",
+                     split_width=wk).collect()}
+    assert fwd == {"boundary": 9.0}
+
+
 def test_asof_split_windows_partition_by_bin(spark):
     """The scale assertion: with split_width, the matching window
     partitions by (key, _bin) — the hot key's rows land on as many
