@@ -339,3 +339,64 @@ def x30_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("_mx") / F.lit(127.0)).alias("scale"),
         F.posexplode_outer("_q").alias("pos", "q8"))
         .filter(F.col("q8").isNotNull()))
+
+
+# ---------------------------------------------------------------------------
+# x31 — overlapping document chunking (context-window / RAG chunker)
+# ---------------------------------------------------------------------------
+# Fixed-size token windows with overlap: chunk i covers tokens
+# [1 + i*stride, 1 + i*stride + size) (1-based), stride = size - overlap;
+# start positions run to max(n_tokens - overlap, 1) so every token is
+# covered and a short doc yields exactly one chunk. Scan-local array ops
+# (split once, slice per chunk), zero shuffles.
+
+CHUNK_SIZE = 32
+CHUNK_OVERLAP = 8
+_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+@query(
+    "x31_document_chunking",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), c AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(len(toks) - {CHUNK_OVERLAP}, 1) + 1,
+                         {_STRIDE}),
+                   s -> array_to_string(
+                       list_slice(toks, s, s + {CHUNK_SIZE} - 1), ' '))
+                   AS chunks
+        FROM t
+    )
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS chunk_id,
+           chunks[i] AS chunk_text
+    FROM (SELECT doc_id, chunks, unnest(range(1, len(chunks) + 1)) AS i
+          FROM c)
+    """,
+)
+def x31_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token chunks per document — the
+    context-window segmentation a training/RAG pipeline runs before
+    tokenization: (doc_id, chunk_id, chunk_text), chunk i starting at
+    token i*stride with ``CHUNK_OVERLAP`` tokens shared between
+    neighbors. One split per doc (staged), slices per chunk, zero
+    shuffles; posexplode_outer + null-drop dodges the inferred-generate
+    filter."""
+    d = (scale_out(load(spark, sf_dir, "documents"))
+         .withColumn("_toks", F.split("text", " "))
+         .withColumn("_starts", F.sequence(
+             F.lit(1),
+             F.greatest(F.size("_toks") - F.lit(CHUNK_OVERLAP), F.lit(1)),
+             F.lit(_STRIDE)))
+         .withColumn("_chunks", F.transform(
+             "_starts",
+             lambda s: F.array_join(F.slice(F.col("_toks"), s, CHUNK_SIZE),
+                                    " "))))
+    return (d.select("doc_id",
+                     F.posexplode_outer("_chunks").alias("chunk_id",
+                                                         "chunk_text"))
+            .filter(F.col("chunk_text").isNotNull())
+            .select("doc_id", F.col("chunk_id").cast("int").alias("chunk_id"),
+                    "chunk_text"))
