@@ -33,7 +33,7 @@ from ..operators.sampling import (
     oracle_stratum_quantile_ctes, stratum_quantile_thresholds,
 )
 from ..registry import query
-from ..tables import load
+from ..tables import load, scale_out
 
 # ---------------------------------------------------------------------------
 # x22 — repetition quality filters (Gopher-style)
@@ -299,3 +299,36 @@ def x28_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.filter(F.col("doc_id") % 4 != 0)
     return (incremental_dedup(batch, history)
             .select("doc_id", "lang", "fp"))
+
+
+# ---------------------------------------------------------------------------
+# x32 — corpus vocabulary induction (top-k tokens by frequency)
+# ---------------------------------------------------------------------------
+
+VOCAB_K = 100
+
+
+@query(
+    "x32_vocab_topk",
+    oracle=f"""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT {VOCAB_K}
+    """,
+)
+def x32_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} corpus tokens by frequency — the vocabulary-induction
+    scan a tokenizer-training pipeline runs first. The token shuffle is
+    map-side partially aggregated (each partition ships its local
+    (token, count) partials, not raw tokens) and the limit is
+    TakeOrderedAndProject with a deterministic (n desc, token asc)
+    tie-break — no global sort at any scale."""
+    d = scale_out(load(spark, sf_dir, "documents"))
+    return (d.select(F.explode_outer(F.split("text", " ")).alias("token"))
+            .filter(F.col("token").isNotNull() & (F.col("token") != ""))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("token").asc())
+            .limit(VOCAB_K))
