@@ -332,3 +332,50 @@ def x32_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), F.col("token").asc())
             .limit(VOCAB_K))
+
+
+# ---------------------------------------------------------------------------
+# x33 — token rarity score (corpus-relative quality signal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x33_token_rarity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), t AS (
+        SELECT doc_id, token FROM toks WHERE token <> ''
+    ), cf AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS tok_cf FROM t GROUP BY token
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(tok_cf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS mean_token_freq
+    FROM t JOIN cf USING (token)
+    GROUP BY doc_id
+    """,
+)
+def x33_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean corpus-frequency of each document's tokens — the
+    corpus-RELATIVE quality signal (gibberish and boilerplate sit at
+    the two extremes) that x22's doc-local stats cannot express.
+    Scale shape: the token-frequency aggregate and the join back to the
+    token stream shuffle on the SAME key, so the exchange is reused
+    (x06's inverted-index discipline); the per-doc rollup is one more
+    map-side-combined shuffle. Exact integer sum, one final double
+    division — cross-engine bit-stable."""
+    d = scale_out(load(spark, sf_dir, "documents"))
+    toks = (d.select("doc_id",
+                     F.explode_outer(F.split("text", " ")).alias("token"))
+            .filter(F.col("token").isNotNull() & (F.col("token") != "")))
+    cf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tok_cf"))
+    return (toks.join(cf, "token")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("tok_cf").alias("_sum_cf"))
+            .select("doc_id", "n_tokens",
+                    (F.col("_sum_cf").cast("double")
+                     / F.col("n_tokens").cast("double"))
+                    .alias("mean_token_freq")))
