@@ -109,3 +109,39 @@ def test_checkpoints_are_reclaimed(spark):
                              _pairs(spark, [(0, 1), (1, 2), (2, 3)]),
                              max_rounds=1)
     assert persistent_rdd_ids(sc) <= before
+
+
+def test_random_graphs_match_union_find(spark):
+    """Differential check of large-star/small-star against a driver-side
+    union-find on seeded random graphs (self-loops, duplicate and
+    reversed edges included) — the fixed cases above can't cover the
+    contraction's odd intermediate shapes."""
+    import random
+    rng = random.Random(20240813)
+    for _ in range(3):
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(50)]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        roots = {}
+        want = {}
+        for v in range(n):
+            r = find(v)
+            roots.setdefault(r, v)          # first-seen = min since v ascends
+            want[v] = min(roots[r], v)
+            roots[r] = want[v]
+        # second pass so every member sees the final min
+        want = {v: want[find(v)] for v in range(n)}
+
+        comp = connected_components(_docs(spark, n), _pairs(spark, edges))
+        got = {r.doc_id: r.cluster_id for r in comp.collect()}
+        release_cached_intermediates()
+        assert got == want
