@@ -213,3 +213,31 @@ def test_range_join_max_bins_guard(spark):
     with pytest.raises(Exception, match="max_bins"):
         range_join(_points(spark), wide, on="k", start_col="w_start",
                    end_col="w_end", max_bins=10).collect()
+
+
+def test_asof_split_random_frames_equal_plain(spark):
+    """Seeded random frames with duplicate right timestamps (tie-break
+    stress): the split plan must equal the plain plan in both
+    directions — including the per-bin closing-state tie handling."""
+    import random
+    rng = random.Random(7)
+
+    def mk(n, width_minutes):
+        return [(rng.randrange(4),
+                 T(2024, 1, 1) + dt.timedelta(
+                     minutes=rng.randrange(0, width_minutes)),
+                 float(i)) for i in range(n)]
+
+    left = spark.createDataFrame(mk(120, 7 * 24 * 60),
+                                 "k long, ts timestamp, lv double")
+    rrows = mk(80, 7 * 24 * 60)
+    rrows += [(k, ts, v + 1000.0) for k, ts, v in rrows[:15]]  # ts ties
+    right = spark.createDataFrame(rrows, "k long, ts timestamp, rv double")
+    key = lambda r: tuple(str(x) for x in r)
+    for d in ("backward", "forward"):
+        plain = sorted(asof_join(left, right, on="k", direction=d).collect(),
+                       key=key)
+        split = sorted(asof_join(left, right, on="k", direction=d,
+                                 split_width=dt.timedelta(hours=26)).collect(),
+                       key=key)
+        assert split == plain, d
