@@ -379,3 +379,132 @@ def x33_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("_sum_cf").cast("double")
                      / F.col("n_tokens").cast("double"))
                     .alias("mean_token_freq")))
+
+
+# ---------------------------------------------------------------------------
+# x34 — URL / domain extraction (web-corpus curation primitive)
+# ---------------------------------------------------------------------------
+# The scan behind domain blocklists and per-domain mixture weights.
+# Synthetic URL-bearing column like x23's PII synth (the corpus has no
+# URLs); patterns in the Java-regex ∩ RE2 subset.
+
+_URL_RE = r"https?://[A-Za-z0-9.-]+(?:/[^ ]*)?"
+_DOMAIN_RE = r"^https?://([^/]+)"
+
+_URL_SYNTH_SPARK = (
+    "concat(text,"
+    " CASE WHEN doc_id % 3 = 0 THEN"
+    "   concat(' ref https://news.example.org/item/', CAST(doc_id AS STRING))"
+    "   ELSE '' END,"
+    " CASE WHEN doc_id % 2 = 0 THEN"
+    "   concat(' src http://cdn', CAST(doc_id % 5 AS STRING),"
+    "          '.example.com/x')"
+    "   ELSE '' END)")
+
+_URL_SYNTH_SQL = (
+    "text ||"
+    " (CASE WHEN doc_id % 3 = 0 THEN"
+    "   ' ref https://news.example.org/item/' || CAST(doc_id AS VARCHAR)"
+    "   ELSE '' END) ||"
+    " (CASE WHEN doc_id % 2 = 0 THEN"
+    "   ' src http://cdn' || CAST(doc_id % 5 AS VARCHAR) ||"
+    "   '.example.com/x'"
+    "   ELSE '' END)")
+
+
+@query(
+    "x34_url_stats",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {_URL_SYNTH_SQL} AS raw FROM documents
+    ), u AS (
+        SELECT doc_id, regexp_extract_all(raw, '{_URL_RE}', 0) AS urls
+        FROM raw
+    ), d AS (
+        SELECT doc_id, CAST(len(urls) AS BIGINT) AS n_urls,
+               list_distinct(list_transform(urls,
+                   x -> regexp_extract(x, '{_DOMAIN_RE}', 1))) AS doms
+        FROM u
+    )
+    SELECT doc_id, n_urls,
+           CAST(len(doms) AS BIGINT) AS n_distinct_domains,
+           CASE WHEN len(doms) = 0 THEN NULL ELSE list_min(doms) END
+               AS first_domain
+    FROM d
+    """,
+)
+def x34_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document URL count, distinct-domain count, and the
+    lexicographically first domain — the extraction pass behind domain
+    blocklists and per-domain mixture weighting in web-corpus curation.
+    regexp_extract_all + array HOFs, scan-local, zero shuffles."""
+    d = (load(spark, sf_dir, "documents")
+         .select("doc_id", F.expr(_URL_SYNTH_SPARK).alias("raw"))
+         .withColumn("_urls",
+                     F.regexp_extract_all("raw", F.lit(_URL_RE), F.lit(0)))
+         .withColumn("_doms", F.array_distinct(F.transform(
+             "_urls",
+             lambda x: F.regexp_extract(x, _DOMAIN_RE, 1)))))
+    return d.select(
+        "doc_id",
+        F.size("_urls").cast("long").alias("n_urls"),
+        F.size("_doms").cast("long").alias("n_distinct_domains"),
+        F.when(F.size("_doms") == 0, F.lit(None).cast("string"))
+        .otherwise(F.array_min("_doms")).alias("first_domain"))
+
+
+# ---------------------------------------------------------------------------
+# x35 — HTML boilerplate stripping (web-corpus cleaning)
+# ---------------------------------------------------------------------------
+# Tag removal + the common entity decodes + whitespace renormalization —
+# the first cleaning pass over crawled text. Synthetic markup like x23's
+# synth (the corpus is plain text).
+
+_TAG_RE = r"<[^>]+>"
+
+_HTML_SYNTH_SPARK = (
+    "CASE WHEN doc_id % 2 = 0 THEN"
+    "  concat('<p class=\"body\">', text, '</p> &amp; <br/>')"
+    " WHEN doc_id % 3 = 0 THEN"
+    "  concat('<div><span>', text, '</span> &lt;ok&gt;</div>')"
+    " ELSE text END")
+
+_HTML_SYNTH_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN"
+    "  '<p class=\"body\">' || text || '</p> &amp; <br/>'"
+    " WHEN doc_id % 3 = 0 THEN"
+    "  '<div><span>' || text || '</span> &lt;ok&gt;</div>'"
+    " ELSE text END")
+
+
+@query(
+    "x35_html_strip",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {_HTML_SYNTH_SQL} AS raw FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_TAG_RE}')) AS BIGINT)
+               AS n_tags,
+           trim(regexp_replace(
+               replace(replace(replace(
+                   regexp_replace(raw, '{_TAG_RE}', ' ', 'g'),
+                   '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+               '\\s+', ' ', 'g')) AS clean_text
+    FROM raw
+    """,
+)
+def x35_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip markup from crawled text: remove tags (counted), decode the
+    common entities, renormalize whitespace — the first cleaning pass of
+    a web-corpus pipeline. Pure regexp/replace builtins in the
+    Java-regex ∩ RE2 subset; scan-local, zero shuffles."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_HTML_SYNTH_SPARK).alias("raw"))
+    decoded = F.expr(
+        "replace(replace(replace({s}, '&amp;', '&'), '&lt;', '<'),"
+        " '&gt;', '>')".format(s="regexp_replace(raw, '<[^>]+>', ' ')"))
+    return d.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(_TAG_RE)).cast("long").alias("n_tags"),
+        F.trim(F.regexp_replace(decoded, r"\s+", " ")).alias("clean_text"))
