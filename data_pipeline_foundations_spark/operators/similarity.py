@@ -455,3 +455,178 @@ def oracle_srp_neighbors_sql(*, dim: int = 64, bits: int = 16,
     FROM joined
     QUALIFY rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ-ADC) — the memory-bounded fourth tier
+# ---------------------------------------------------------------------------
+PQ_M = 8            # subspaces
+PQ_KS = 16          # centroids per subspace codebook
+PQ_SCALE = 1_000_000.0
+
+
+def pq_topk(emb: DataFrame, *, id_col: str = "vec_id",
+            vec_col: str = "embedding", dim: int = 64, m: int = PQ_M,
+            ks: int = PQ_KS, n_queries: int = 10, k: int = 5,
+            seed: int = 11) -> DataFrame:
+    """PQ-ADC approximate top-k: vectors compress to ``m`` codebook codes
+    (one per ``dim/m``-dim subspace); queries rank candidates by the sum
+    of per-subspace distances to the CENTROIDS the codes name, never
+    touching the raw corpus vectors (Jégou et al., TPAMI'11 — the PQ
+    part; the IVF part is ivf_topk). The fourth tier of the similarity
+    family: where IVF bounds candidates, PQ bounds BYTES — a scan reads
+    m codes per vector (8 B here) instead of dim floats (256 B).
+
+    Deterministic by construction, like ivf_topk: codebooks come from a
+    portable-hash partition of (vec_id, subspace) with integer-mean
+    centroids, and EVERY distance is an exact int64 — coordinates are
+    pre-scaled to 1e-6 longs, so a subspace distance is a sum of squared
+    long diffs (≤ 8·(8e6)² ≈ 5e14, safely in-range) with no float
+    reduction anywhere; the one double division happens at output.
+
+    Scale: codebook build is one partial-agg'd shuffle of
+    (s, bucket, pos) cells collapsed to a single broadcast row
+    (m·ks·block longs ≈ KBs); code assignment is a map-side array fold
+    over the staged scored-centroid column; scoring joins the corpus's
+    (vec_id, s, cid) code rows against the broadcast per-query distance
+    tables and partially aggregates map-side, so the only corpus-sized
+    shuffle carries (query, vec, partial-sum) longs; top-k is the final
+    per-query window. No corpus self-join, nothing O(n²).
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import md5_long
+
+    block = dim // m
+    base = (scale_out(emb)
+            .select(F.col(id_col),
+                    F.transform(vec_col, lambda x: F.floor(
+                        x.cast("double") * F.lit(PQ_SCALE) + F.lit(0.5))
+                        .cast("long")).alias("sv")))
+
+    # codebooks: integer-mean centroid per (subspace, hash-bucket, pos)
+    cells = (base.select(id_col, F.posexplode("sv").alias("pos", "sx"))
+             .withColumn("s", (F.col("pos") / block).cast("int"))
+             .withColumn("bucket", md5_long(
+                 F.concat(F.col(id_col).cast("string"), F.lit(":"),
+                          F.col("s").cast("string")), seed=seed) % ks))
+    cent = (cells.groupBy("s", "bucket", "pos")
+            .agg(F.floor(F.sum("sx").cast("double")
+                         / F.count(F.lit(1)).cast("double"))
+                 .cast("long").alias("c")))
+    cents_arr = (cent.groupBy("s", "bucket")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))
+                      .alias("pc"))
+                 .select("s", F.col("bucket").alias("cid"),
+                         F.transform("pc", lambda e: e["c"]).alias("cvec"))
+                 .agg(F.collect_list(F.struct("s", "cid", "cvec"))
+                      .alias("cents")))
+
+    def sq_dist(c):  # exact int64 distance of this row's s-block to c
+        sub = F.slice(F.col("sv"), c["s"] * F.lit(block) + F.lit(1), block)
+        return F.aggregate(
+            F.zip_with(sub, c["cvec"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    # staged per-row distance table to every (s, cid) centroid — computed
+    # once into the row, then both the code fold and the query explode
+    # read the column (HOF staging discipline)
+    scored_cents = F.transform(
+        "cents", lambda c: F.struct(
+            c["s"].alias("s"),
+            F.struct(sq_dist(c).alias("d"), c["cid"].alias("cid"))
+            .alias("dc")))
+    withsc = (base.crossJoin(F.broadcast(cents_arr))
+              .withColumn("_sc", scored_cents))
+
+    # code per subspace: argmin (d, cid) over this s's centroids
+    codes_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("s"),
+            F.array_min(F.transform(
+                F.filter("_sc", lambda e: e["s"] == s),
+                lambda e: e["dc"]))["cid"].alias("cid")))
+    codes = (withsc.withColumn("_codes", codes_arr)
+             .select(F.col(id_col).alias("neighbor_id"),
+                     F.explode_outer("_codes").alias("e"))
+             .filter(F.col("e").isNotNull())
+             .select("neighbor_id", F.col("e.s").alias("s"),
+                     F.col("e.cid").alias("cid")))
+
+    # per-query ADC tables: distance to EVERY (s, cid) — tiny, broadcast
+    qd = (withsc.filter(F.col(id_col) < n_queries)
+          .select(F.col(id_col).alias("query_id"),
+                  F.explode_outer("_sc").alias("e"))
+          .filter(F.col("e").isNotNull())
+          .select("query_id", F.col("e.s").alias("s"),
+                  F.col("e.dc.cid").alias("cid"),
+                  F.col("e.dc.d").alias("d")))
+
+    scored = (codes.join(F.broadcast(qd), ["s", "cid"])
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .groupBy("query_id", "neighbor_id")
+              .agg(F.sum("d").alias("total")))
+    wk = W.partitionBy("query_id").orderBy(F.col("total").asc(),
+                                           F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("int").alias("rank"),
+                    (F.col("total").cast("double")
+                     / F.lit(PQ_SCALE * PQ_SCALE)).alias("approx_dist")))
+
+
+def oracle_pq_topk_sql(*, dim: int = 64, m: int = PQ_M, ks: int = PQ_KS,
+                       n_queries: int = 10, k: int = 5,
+                       seed: int = 11) -> str:
+    from ..functions.hashing import oracle_md5_long
+    block = dim // m
+    bucket = oracle_md5_long(
+        "CAST(vec_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)", seed=seed)
+    return f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CAST(FLOOR(CAST(x AS DOUBLE) * {PQ_SCALE} + 0.5)
+                        AS BIGINT)) AS sv
+        FROM embeddings
+    ), bsv AS (
+        SELECT vec_id, CAST((i - 1) // {block} AS INT) AS s, i AS pos,
+               sv[i] AS sx
+        FROM base, range(1, {dim + 1}) t(i)
+    ), bk AS (
+        SELECT vec_id, s, pos, sx, ({bucket}) % {ks} AS bucket FROM bsv
+    ), cent AS (
+        SELECT s, bucket, pos,
+               CAST(FLOOR(CAST(SUM(sx) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+        FROM bk GROUP BY s, bucket, pos
+    ), dist AS (
+        SELECT v.vec_id, v.s, c.bucket AS cid,
+               SUM((v.sx - c.c) * (v.sx - c.c)) AS d
+        FROM bk v JOIN cent c ON c.s = v.s AND c.pos = v.pos
+        GROUP BY v.vec_id, v.s, c.bucket
+    ), codes AS (
+        SELECT vec_id AS neighbor_id, s, cid FROM (
+            SELECT vec_id, s, cid,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d ASC, cid ASC) AS rn
+            FROM dist) WHERE rn = 1
+    ), qd AS (
+        SELECT vec_id AS query_id, s, cid, d FROM dist
+        WHERE vec_id < {n_queries}
+    ), scored AS (
+        SELECT q.query_id, c.neighbor_id, SUM(q.d) AS total
+        FROM codes c JOIN qd q ON q.s = c.s AND q.cid = c.cid
+        WHERE c.neighbor_id <> q.query_id
+        GROUP BY q.query_id, c.neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY total ASC, neighbor_id ASC)
+                AS INTEGER) AS rank,
+           CAST(total AS DOUBLE) / {PQ_SCALE * PQ_SCALE} AS approx_dist
+    FROM scored
+    QUALIFY rank <= {k}
+    """

@@ -24,7 +24,9 @@ from ..operators.sampling import (
     oracle_sequence_packing_cols, oracle_stratified_sample_where,
     sequence_packing, stratified_sample,
 )
-from ..operators.similarity import ivf_topk, oracle_ivf_topk_sql
+from ..operators.similarity import (
+    ivf_topk, oracle_ivf_topk_sql, oracle_pq_topk_sql, pq_topk,
+)
 from ..operators.temporal import asof_join, range_join
 from ..registry import query
 from ..tables import load, scale_out
@@ -400,3 +402,19 @@ def x31_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("chunk_text").isNotNull())
             .select("doc_id", F.col("chunk_id").cast("int").alias("chunk_id"),
                     "chunk_text"))
+
+
+# ---------------------------------------------------------------------------
+# x36 — product-quantization ADC top-k (memory-bounded ANN)
+# ---------------------------------------------------------------------------
+
+
+@query("x36_pq_ann", oracle=oracle_pq_topk_sql())
+def x36_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors for the first 10 vectors via PQ-ADC:
+    8 subspace codebooks of 16 integer-mean centroids, per-vector codes
+    assigned by a map-side array fold, scoring = broadcast per-query
+    distance tables joined against the 8-byte code rows — the scan never
+    rereads the raw vectors (operators/similarity.py pq_topk; completes
+    the brute-force → SRP → IVF → PQ family)."""
+    return pq_topk(load(spark, sf_dir, "embeddings"))
