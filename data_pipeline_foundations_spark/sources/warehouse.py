@@ -63,3 +63,68 @@ def reconcile_catalog(spark: SparkSession, keep: set[str],
             spark.sql(f"DROP TABLE IF EXISTS {database}.`{t.name}`")
             dropped.append(t.name)
     return dropped
+
+
+def dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) under ``path`` — one recursive Hadoop
+    FS listing (HDFS/S3A/local), no data read."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return 0, 0
+    n, total = 0, 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not name.startswith(("_", ".")):
+            n += 1
+            total += st.getLen()
+    return n, total
+
+
+def compact_parquet_dir(spark: SparkSession, path: str, *,
+                        target_file_bytes: int = 128 << 20) -> int:
+    """Small-file compaction: rewrite ``path`` into
+    ceil(total_bytes / target_file_bytes) files. Returns the new file
+    count (0 = nothing to do).
+
+    The 100 TB maintenance op behind every streaming/incremental sink:
+    per-trigger appends leave thousands of KB-sized files whose open/seek
+    overhead eventually dominates scans. Sizing comes from ONE Hadoop FS
+    listing (no data read); the rewrite is a distributed
+    read→repartition→write into a sibling temp dir, then a directory
+    swap.
+
+    The swap (delete + two renames) is NOT atomic — a reader racing the
+    swap can see a missing directory. That is the documented limit of
+    raw-parquet layouts; production systems wanting transactional
+    compaction layer a table format (Delta/Iceberg) whose OPTIMIZE is
+    this same job under a metadata transaction. Batch maintenance
+    windows (this op's use case) tolerate it.
+    """
+    import math
+
+    n_files, total = dir_stats(spark, path)
+    if n_files == 0:
+        return 0
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    if n_out >= n_files:        # already at/below target granularity
+        return n_files
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._compact_tmp")
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._compact_old")
+    (spark.read.parquet(path).repartition(n_out)
+     .write.mode("overwrite").parquet(tmp.toString()))
+    if fs.exists(old):
+        fs.delete(old, True)
+    if not fs.rename(p, old):
+        raise IOError(f"compact: could not stage {path} aside")
+    if not fs.rename(tmp, p):
+        fs.rename(old, p)       # roll back: restore the original layout
+        raise IOError(f"compact: could not swap in compacted {path}")
+    fs.delete(old, True)
+    return dir_stats(spark, path)[0]

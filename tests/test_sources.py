@@ -280,3 +280,27 @@ def test_sheets_rest_sink(spark, fake_sheets):
     assert update[3] == {"values": [["month", "total"],
                                     ["2025-01", 10.5], ["2025-02", 20.0]]}
     assert {c[2] for c in _FakeSheets.calls} == {"Bearer tok9"}
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    """Small-file compaction: 32 tiny files collapse to the size-derived
+    target count, rows and values survive byte-identical, and an
+    already-compact dir is left untouched."""
+    from data_pipeline_foundations_spark.sources.warehouse import (
+        compact_parquet_dir, dir_stats,
+    )
+    path = str(tmp_path / "frag")
+    spark.range(10_000).selectExpr("id", "id * 2 AS v") \
+        .repartition(32).write.parquet(path)
+    n_before, total = dir_stats(spark, path)
+    assert n_before == 32
+    before = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+
+    n_after = compact_parquet_dir(spark, path,
+                                  target_file_bytes=max(total, 1))
+    assert n_after < n_before
+    assert {(r.id, r.v)
+            for r in spark.read.parquet(path).collect()} == before
+    # idempotent: already at/below target granularity -> no rewrite
+    assert compact_parquet_dir(spark, path,
+                               target_file_bytes=max(total, 1)) == n_after
