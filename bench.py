@@ -32,7 +32,7 @@ from data_pipeline_foundations_spark.tables import TABLES, load
 # multi-second noise (a 12 s reading for a 2 s query). Round-over-round
 # BENCH_r* deltas should be read off `stable`, not `queries`.
 STABLE_RUNS = 3
-STABLE_TOP_N = 5
+STABLE_TOP_N = 8
 
 
 def main() -> None:
