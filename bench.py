@@ -31,8 +31,13 @@ from data_pipeline_foundations_spark.tables import TABLES, load
 # expensive tail, where single-sweep numbers on this shared VM have shown
 # multi-second noise (a 12 s reading for a 2 s query). Round-over-round
 # BENCH_r* deltas should be read off `stable`, not `queries`.
+# VERDICT r3 task #4: top-N widened 8 -> 16, plus an auto-probe of ANY
+# query whose two sweep runs disagreed by >1.5x (mid-tail noise escaped
+# the old top-8 probe and produced four phantom regressions in r3).
 STABLE_RUNS = 3
-STABLE_TOP_N = 8
+STABLE_TOP_N = 16
+DISAGREE_RATIO = 1.5
+DISAGREE_MIN_SEC = 0.15  # below this, "disagreement" is scheduling jitter
 
 
 def main() -> None:
@@ -72,13 +77,20 @@ def main() -> None:
         return dt
 
     timings: dict[str, float] = {}
+    disagree: set[str] = set()
     for name, spec in sorted(queries.items()):
-        timings[name] = round(min(timed_run(spec) for _ in range(2)), 3)
+        runs = [timed_run(spec) for _ in range(2)]
+        timings[name] = round(min(runs), 3)
+        if min(runs) > DISAGREE_MIN_SEC and max(runs) > DISAGREE_RATIO * min(runs):
+            disagree.add(name)
 
-    # Stability probe: the expensive tail gets STABLE_RUNS more isolated
-    # runs each; `stable` is the trustworthy number for those queries.
+    # Stability probe: the expensive tail — plus anything whose two sweep
+    # runs disagreed — gets STABLE_RUNS more isolated runs each; `stable`
+    # is the trustworthy number for those queries.
+    probe = set(sorted(timings, key=timings.get, reverse=True)[:STABLE_TOP_N])
+    probe |= disagree
     stable: dict[str, float] = {}
-    for name in sorted(timings, key=timings.get, reverse=True)[:STABLE_TOP_N]:
+    for name in sorted(probe):
         spec = queries[name]
         stable[name] = round(min(min(timed_run(spec) for _ in range(STABLE_RUNS)),
                                  timings[name]), 3)

@@ -38,9 +38,11 @@ Scale design:
     storage and die with an executor — fine in local mode and for
     short runs) or a RELIABLE checkpoint directory via
     ``checkpoint_dir=`` (survives executor loss; the right choice for
-    long cluster runs). Reliable checkpoint files are NOT auto-deleted
-    — the caller owns the directory's lifecycle (or sets
-    ``spark.cleaner.referenceTracking.cleanCheckpoints``).
+    long cluster runs). Round k-1's checkpoint FILES are deleted when
+    round k materializes — peak storage is two snapshots in both
+    backends; only the FINAL snapshot's file (backing the returned
+    DataFrame) outlives the call, and that one is the caller-owned
+    directory's concern.
 
 The reference repo has no clustering operator; this is a BASELINE.json
 north-star extension (VERDICT r1 task #2; two-phase upgrade r2 task #3).
@@ -117,16 +119,41 @@ def connected_components(vertices: DataFrame, edges: DataFrame, *,
     """
     sc = vertices.sparkSession.sparkContext
     if checkpoint_dir is not None:
-        sc.setCheckpointDir(checkpoint_dir)
+        # setCheckpointDir is a GLOBAL SparkContext mutation: refuse to
+        # silently redirect another user's configured directory (ADVICE
+        # r3) — same dir is a no-op, no dir configured is ours to set.
+        existing = sc._jsc.sc().getCheckpointDir()
+        current = existing.get() if existing.isDefined() else None
+        if current is not None and current.rstrip("/") != checkpoint_dir.rstrip("/"):
+            raise ValueError(
+                f"connected_components: session checkpoint dir already set "
+                f"to {current!r}; refusing to override it with "
+                f"{checkpoint_dir!r} (setCheckpointDir is session-global)")
+        if current is None:
+            sc.setCheckpointDir(checkpoint_dir)
 
-    def snapshot(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    def _rm(paths: set[str]) -> None:
+        for p in paths:
+            jp = sc._jvm.org.apache.hadoop.fs.Path(p)
+            jp.getFileSystem(sc._jsc.hadoopConfiguration()).delete(jp, True)
+
+    def snapshot(df: DataFrame) -> tuple[DataFrame, set]:
         if checkpoint_dir is not None:
-            # reliable checkpoint: no block-manager entries to track;
-            # files are the caller-owned directory's concern.
-            return df.checkpoint(eager=True), set()
+            # reliable checkpoint: track the written file so round k-1's
+            # files are deleted when round k materializes (ADVICE r3 —
+            # otherwise every round's snapshot survives the whole run).
+            out = df.checkpoint(eager=True)
+            f = out.rdd.getCheckpointFile()
+            return out, ({f} if f else set())
         before = persistent_rdd_ids(sc)
         out = df.localCheckpoint(eager=True)
         return out, persistent_rdd_ids(sc) - before
+
+    def release(ids_or_paths: set) -> None:
+        if checkpoint_dir is not None:
+            _rm(ids_or_paths)
+        else:
+            unpersist_rdd_ids(sc, ids_or_paths)
 
     e, prev_ids = snapshot(
         edges.select(F.greatest(src, dst).alias("hi"),
@@ -142,25 +169,34 @@ def connected_components(vertices: DataFrame, edges: DataFrame, *,
         # recompute), and the except only runs when counts already match.
         converged = (cnt == prev_cnt
                      and nxt.exceptAll(e).limit(1).count() == 0)
-        unpersist_rdd_ids(sc, prev_ids)
+        release(prev_ids)
         prev_ids, prev_cnt, e = new_ids, cnt, nxt
         if converged:
             # Star forest: every non-root appears exactly once as hi
             # with its component min as lo; roots label themselves.
+            # Semi-join against `vertices` (ADVICE r3): the contract is
+            # one row per VERTEX, and pairs referencing ids outside the
+            # vertex frame must not inject extra rows. The semi-join and
+            # the singleton anti-join shuffle `vertices` on the same key,
+            # so the exchange is reused — the corpus is still scanned
+            # once.
             labels = (e.select(F.col("hi").alias("v"),
                                F.col("lo").alias("label"))
                       .unionByName(
                           e.select(F.col("lo").alias("v"),
-                                   F.col("lo").alias("label")).distinct()))
+                                   F.col("lo").alias("label")).distinct())
+                      .join(vertices.select(F.col(id_col).alias("v")),
+                            "v", "leftsemi"))
             participants = labels.select("v")
             singletons = (vertices.select(F.col(id_col).alias("v"))
                           .join(participants, "v", "leftanti")
                           .select("v", F.col("v").alias("label")))
-            track_checkpoint_rdds(sc, prev_ids)
+            if checkpoint_dir is None:
+                track_checkpoint_rdds(sc, prev_ids)
             return (labels.unionByName(singletons)
                     .select(F.col("v").alias(id_col),
                             F.col("label").alias("cluster_id")))
-    unpersist_rdd_ids(sc, prev_ids)
+    release(prev_ids)
     raise RuntimeError(
         f"connected_components: star fixed point not reached after "
         f"{max_rounds} large-star/small-star rounds (raise max_rounds)")

@@ -372,31 +372,52 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     # explode_outer + null-drop instead of explode: see decontaminate() —
     # plain explode's inferred `size(..)>0` filter re-inlines the staged
     # shingle pipeline into the scan filter, multiplying the md5 work.
-    inv = tracked_persist(
+    from pyspark.sql import Window as W
+
+    # Shingle document frequencies split the index into a RARE stratum
+    # (df <= max_df — discriminative, used for blocking) and a COMMON one
+    # (boilerplate — excluded from blocking but still part of the true
+    # intersection). df comes from ONE window count over the s-shuffle —
+    # no aggregate + join-back — and the persisted index carries it, so
+    # every consumer (both self-join sides + the per-doc rollup) reads
+    # the annotated index straight from cache.
+    inv_df = tracked_persist(
         with_shingle_hashes(scale_out(docs), text_col, n, out="_sh")
         .select(F.col(id_col),
                 F.explode_outer(F.array_distinct("_sh")).alias("s"))
         .filter(F.col("s").isNotNull())
+        .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("s")))
     )
-    # Rare-shingle restriction: the df aggregate and the join back to the
-    # index shuffle on the same key (s), so the exchange is reused. The
-    # rare set is NOT broadcast — in a large corpus most shingles are
-    # rare, so the rare table is O(|distinct shingles|).
-    rare = (inv.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df).select("s"))
-    rare_inv = inv.join(rare, "s")
+    rare_inv = inv_df.filter(F.col("df") <= max_df).select("s", id_col)
+    # Candidate generation AND the rare-intersection count in ONE
+    # aggregation: each shared rare shingle contributes a join row, so
+    # groupBy(pair).count() == |rare(a) ∩ rare(b)| — same shuffle the old
+    # .distinct() paid, but the work it does replaces the expensive part
+    # of verification.
     x, y = rare_inv.alias("x"), rare_inv.alias("y")
     cand = (
         x.join(y, "s")
         .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
         .select(F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b"))
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_rare"))
     )
-    sets = inv.groupBy(id_col).agg(F.collect_list("s").alias("sh_arr"),
-                                   F.count(F.lit(1)).alias("n_sh"))
-    a = sets.select(F.col(id_col).alias("doc_a"), F.col("sh_arr").alias("a_arr"),
+    # Per-doc payload for verification: total shingle count + the COMMON
+    # shingles only. shared = shared_rare + |common(a) ∩ common(b)| is
+    # the exact all-shingles intersection, but the arrays that join and
+    # intersect here are bounded by the common vocabulary (boilerplate
+    # n-grams — typically tens), NOT document length: at corpus scale the
+    # verification payload no longer moves ~|doc| longs per candidate,
+    # and the old 1M-candidate array_intersect over full shingle arrays
+    # (the measured top cost of this operator) shrinks by ~df-tail/doc
+    # -length ratio. Result values are identical (oracle unchanged).
+    sets = (inv_df.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_sh"),
+                 F.array_sort(F.collect_list(
+                     F.when(F.col("df") > max_df, F.col("s")))).alias("common")))
+    a = sets.select(F.col(id_col).alias("doc_a"), F.col("common").alias("a_arr"),
                     F.col("n_sh").alias("n_a"))
-    b = sets.select(F.col(id_col).alias("doc_b"), F.col("sh_arr").alias("b_arr"),
+    b = sets.select(F.col(id_col).alias("doc_b"), F.col("common").alias("b_arr"),
                     F.col("n_sh").alias("n_b"))
     # Threshold rewritten to reference `shared` ONCE — jaccard >= t is
     # equivalent to shared * (1+t) >= t * (n_a + n_b) — so when Catalyst
@@ -404,7 +425,9 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     # evaluated once per candidate, not twice.
     return (
         cand.join(a, "doc_a").join(b, "doc_b")
-        .withColumn("shared", F.size(F.array_intersect("a_arr", "b_arr")).cast("long"))
+        .withColumn("shared",
+                    (F.col("shared_rare")
+                     + F.size(F.array_intersect("a_arr", "b_arr"))).cast("long"))
         .filter(F.col("shared") * F.lit(1.0 + threshold)
                 >= F.lit(threshold) * (F.col("n_a") + F.col("n_b")))
         .select(
@@ -591,6 +614,22 @@ def dedup_against_store(spark, batch: DataFrame, store_table: str, *,
          .write.format("parquet")
          .bucketBy(n_buckets, fp_col).sortBy(fp_col)
          .saveAsTable(full))
+    else:
+        # Validate the caller's n_buckets against the EXISTING table's
+        # bucket spec BEFORE the expensive dedup (ADVICE r3): a mismatch
+        # used to surface as an AnalysisException at append time — after
+        # survivors were computed and checkpointed — leaving the store
+        # out of sync with the returned survivors.
+        existing = next(
+            (int(r.data_type) for r in
+             spark.sql(f"DESCRIBE EXTENDED {full}").collect()
+             if r.col_name == "Num Buckets"), None)
+        if existing is not None and existing != n_buckets:
+            raise ValueError(
+                f"dedup_against_store: {full} is bucketed into {existing} "
+                f"buckets but n_buckets={n_buckets} was requested; pass "
+                f"n_buckets={existing} (the store's spec is immutable "
+                f"after creation)")
     sc = spark.sparkContext
     before = persistent_rdd_ids(sc)
     survivors = incremental_dedup(

@@ -1,20 +1,40 @@
 """Similarity search over embedding columns (array<float>).
 
-Two tiers, per the BASELINE.json north star:
+Four tiers, per the BASELINE.json north star:
   - **Brute-force cosine top-k** — the exactness baseline. Queries are a
-    small set broadcast against the corpus; per-row dot products run as
-    JVM higher-order folds (zip_with → aggregate), no Python. At 100 TB
-    the corpus side stays partition-parallel and nothing shuffles except
-    the per-query top-k heaps (TakeOrdered-style window).
-  - **LSH-bucketed (random hyperplane / SRP)** — the scale path: sign-bit
-    signatures via deterministic hyperplanes derived from md5 hashes,
-    candidates only within matching buckets. Recall<1 by design; the
-    oracle checks the *plumbing* deterministically because the hyperplanes
-    are integer-hash-derived, not RNG state.
+    small set broadcast against the corpus; at 100 TB the corpus side
+    stays partition-parallel and nothing shuffles except the per-query
+    top-k reduction.
+  - **SRP-LSH (random hyperplane)** — query-independent sign-bit buckets;
+    candidates only within matching buckets.
+  - **IVF-flat** — data-adaptive inverted lists under a coarse quantizer;
+    search the nprobe nearest lists only.
+  - **PQ-ADC** — vectors compress to m codebook codes; queries rank by
+    code-table lookups, never rereading raw vectors.
 
-Float determinism: embeddings are float32; both engines widen each element
-to float64 and fold left-to-right (Spark ``aggregate`` with 0.0 init ==
-DuckDB ``list_reduce``, since 0.0 + x == x), giving bit-identical sums.
+QUANTIZED-EMBEDDING CONTRACT (determinism + speed, one mechanism): every
+vector is scaled ONCE to int64 (``sv[i] = floor(x[i] * 1e6 + 0.5)``), and
+every reduction — dot products, norms, PQ distances — is an int64 sum.
+Integer addition is associative, so ANY evaluation order (Spark HOF fold,
+DuckDB list_reduce, numpy matmul) produces the same value; the only
+floats are derived at output from those exact ints via individually-
+rounded IEEE ops (cast, sqrt, *, /) that all three engines round
+identically. Consequences:
+  - the DuckDB oracle reproduces results bit-for-bit with no left-fold
+    ordering contract (the float-fold scheme this replaces was
+    order-FRAGILE: any engine that resummed differently flipped last
+    bits);
+  - the hot per-row kernels (SRP signatures, PQ code assignment, bucket
+    pair verification) run Arrow-vectorized by default
+    (operators/vectorized.py) and remain hash-identical to the pure-SQL
+    twins kept here — tests pin kernel == twin equality.
+
+Cosine is ``idot / (sqrt(na2) * sqrt(nb2))`` — three IEEE roundings from
+exact ints. |x| <= ~0.6 in this corpus so idot <= ~2.2e13: far inside
+int64 and inside double's exact-integer range (2^53).
+
+Cited reference scope: the reference repo has no similarity operators;
+these are BASELINE.json north-star extensions (SURVEY.md §7.2 slice 7).
 """
 
 from __future__ import annotations
@@ -25,53 +45,73 @@ from pyspark.sql import functions as F
 from ..tables import scale_out
 from .caching import tracked_persist
 
-
-def _to_double(col: Column) -> Column:
-    return F.transform(col, lambda x: x.cast("double"))
+EMB_SCALE = 1_000_000.0  # quantization grid: 1e-6 — shared by all tiers
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Left-fold dot product in double — order-stable across engines."""
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, v: acc + v)
+def int_vec(col: Column | str) -> Column:
+    """array<float> -> array<long>: the 1e-6-grid quantized vector."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: F.floor(
+        x.cast("double") * F.lit(EMB_SCALE) + F.lit(0.5)).cast("long"))
 
 
-def l2_norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def idot(a: Column | str, b: Column | str) -> Column:
+    """Exact int64 dot product — associative, order-independent."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(F.zip_with(ca, cb, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
-def oracle_dot(a: str, b: str) -> str:
-    # strict left fold; elements pre-widened to double
+def qcos(d: Column, na2: Column, nb2: Column) -> Column:
+    """Quantized cosine: three IEEE roundings from exact ints."""
+    return d.cast("double") / (F.sqrt(na2.cast("double"))
+                               * F.sqrt(nb2.cast("double")))
+
+
+def oracle_int_vec(sql: str) -> str:
+    return (f"list_transform({sql}, x -> CAST(FLOOR(CAST(x AS DOUBLE) "
+            f"* {EMB_SCALE} + 0.5) AS BIGINT))")
+
+
+def oracle_idot(a: str, b: str) -> str:
     return (f"list_reduce(list_transform(list_zip({a}, {b}), "
-            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
-            f"(x, y) -> x + y)")
+            f"p -> p[1] * p[2]), (x, y) -> x + y)")
 
 
-def oracle_norm(a: str) -> str:
-    return f"sqrt({oracle_dot(a, a)})"
+def oracle_qcos(d: str, na2: str, nb2: str) -> str:
+    return (f"(CAST({d} AS DOUBLE) / (sqrt(CAST({na2} AS DOUBLE)) "
+            f"* sqrt(CAST({nb2} AS DOUBLE))))")
 
 
 def cosine_topk(emb: DataFrame, *, id_col: str = "vec_id",
                 vec_col: str = "embedding", n_queries: int = 10,
                 k: int = 5) -> DataFrame:
-    """Exact cosine top-k: the first ``n_queries`` vectors (by id) against
-    the whole corpus. Returns (query_id, neighbor_id, rank, cosine).
+    """Exact quantized-cosine top-k: the first ``n_queries`` vectors (by
+    id) against the whole corpus. Returns (query_id, neighbor_id, rank,
+    cosine).
 
-    The query side is tiny → broadcast; the corpus never shuffles until the
-    final per-query top-k, which is a k-row reduction per query.
+    The query side is tiny → broadcast; the corpus never shuffles until
+    the final per-query top-k, which is a k-row reduction per query.
     """
     from pyspark.sql import Window as W
-    base = scale_out(emb).select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
-    base = base.withColumn("nrm", l2_norm(F.col("v")))
+    base = (scale_out(emb)
+            .select(F.col(id_col), int_vec(vec_col).alias("sv"))
+            .withColumn("n2", idot("sv", "sv"))
+            # hoisted sqrt: same derived-float value as qcos (the sqrt of
+            # an exact int is one rounding wherever it is computed), but
+            # evaluated once per row instead of once per pair
+            .withColumn("rt", F.sqrt(F.col("n2").cast("double"))))
     q = (base.filter(F.col(id_col) < n_queries)
-         .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
-                 F.col("nrm").alias("qn")))
+         .select(F.col(id_col).alias("query_id"), F.col("sv").alias("qv"),
+                 F.col("rt").alias("qrt")))
     joined = (
         base.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+            (idot("qv", "sv").cast("double")
+             / (F.col("qrt") * F.col("rt"))).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -84,16 +124,16 @@ def cosine_topk(emb: DataFrame, *, id_col: str = "vec_id",
 
 def oracle_cosine_topk_sql(*, n_queries: int = 10, k: int = 5) -> str:
     return f"""
-    WITH base AS (
-        SELECT vec_id, embedding AS v,
-               {oracle_norm('embedding')} AS nrm
-        FROM embeddings
+    WITH b0 AS (
+        SELECT vec_id, {oracle_int_vec('embedding')} AS sv FROM embeddings
+    ), base AS (
+        SELECT vec_id, sv, {oracle_idot('sv', 'sv')} AS n2 FROM b0
     ), q AS (
-        SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM base
+        SELECT vec_id AS query_id, sv AS qv, n2 AS qn2 FROM base
         WHERE vec_id < {n_queries}
     ), joined AS (
         SELECT q.query_id, b.vec_id AS neighbor_id,
-               {oracle_dot('q.qv', 'b.v')} / (q.qn * b.nrm) AS cosine
+               {oracle_qcos(oracle_idot('q.qv', 'b.sv'), 'q.qn2', 'b.n2')} AS cosine
         FROM base b, q
         WHERE b.vec_id <> q.query_id
     )
@@ -109,68 +149,84 @@ def oracle_cosine_topk_sql(*, n_queries: int = 10, k: int = 5) -> str:
 # ---------------------------------------------------------------------------
 # Signed-random-projection LSH (deterministic hyperplanes)
 # ---------------------------------------------------------------------------
-def _srp_signs(dim: int, bits: int) -> list[list[float]]:
+def _srp_signs(dim: int, bits: int) -> list[list[int]]:
     """±1 hyperplane components, derived from md5 of "bit:component".
 
-    Computed once driver-side (hashlib md5 == Spark md5 == DuckDB md5) and
-    embedded as literal arrays in both dialects: deterministic like an
-    RNG-free scheme, but evaluated at zero per-row hashing cost.
+    Computed once driver-side (hashlib md5 is deterministic) and embedded
+    as literal arrays in Spark, DuckDB, and the numpy kernel — like an
+    RNG-free scheme, at zero per-row hashing cost.
     """
     import hashlib
     return [
-        [1.0 if int(hashlib.md5(f"{b}:{c}".encode()).hexdigest()[:15], 16) & 1
-         else -1.0 for c in range(dim)]
+        [1 if int(hashlib.md5(f"{b}:{c}".encode()).hexdigest()[:15], 16) & 1
+         else -1 for c in range(dim)]
         for b in range(bits)
     ]
 
 
-def srp_signature(vec: Column, dim: int, bits: int = 16) -> Column:
-    """Sign-bit signature under ``bits`` deterministic pseudo-hyperplanes:
-    bit b is 1 when the signed projection of the vector onto hyperplane b
-    is positive. One left-fold per bit, all inside codegen."""
+def srp_signature(sv: Column, dim: int, bits: int = 16) -> Column:
+    """Sign-bit signature under ``bits`` deterministic pseudo-hyperplanes
+    over the QUANTIZED vector: bit b is 1 when the exact int64 projection
+    onto hyperplane b is positive. Pure-SQL twin of
+    vectorized.srp_sig_udf — one integer fold per bit."""
     signs = _srp_signs(dim, bits)
     out = F.lit(0).cast("long")
     for b in range(bits):
         sign_arr = F.array(*[F.lit(s) for s in signs[b]])
-        proj = F.aggregate(F.zip_with(vec, sign_arr, lambda x, s: x * s),
-                           F.lit(0.0), lambda acc, v: acc + v)
+        proj = F.aggregate(F.zip_with(sv, sign_arr, lambda x, s: x * s),
+                           F.lit(0).cast("long"), lambda acc, v: acc + v)
         out = out + F.when(proj > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
     return out
 
 
-def oracle_srp_expr(vec_sql: str, dim: int, bits: int = 16) -> str:
+def oracle_srp_expr(sv_sql: str, dim: int, bits: int = 16) -> str:
     terms = []
     for b, signs in enumerate(_srp_signs(dim, bits)):
-        arr = "[" + ", ".join(str(s) for s in signs) + "]::DOUBLE[]"
-        proj = (f"list_reduce(list_transform("
-                f"list_zip(list_transform({vec_sql}, x -> CAST(x AS DOUBLE)), {arr}), "
-                f"p -> p[1] * p[2]), (x, y) -> x + y)")
+        arr = "[" + ", ".join(str(s) for s in signs) + "]::BIGINT[]"
+        proj = oracle_idot(sv_sql, arr)
         terms.append(f"CASE WHEN {proj} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END")
     return "(" + " + ".join(terms) + ")"
+
+
+def _with_sig(raw: DataFrame, id_col: str, vec_col: str, dim: int,
+              bits: int, arrow: bool, out: str) -> DataFrame:
+    """(id, sv, n2, <out>=signature) — Arrow kernel or SQL twin."""
+    base = (raw.select(F.col(id_col), F.col(vec_col).alias("_emb"),
+                       int_vec(vec_col).alias("sv"))
+            .withColumn("n2", idot("sv", "sv")))
+    if arrow:
+        from .vectorized import srp_sig_udf
+        sig = srp_sig_udf(_srp_signs(dim, bits), EMB_SCALE)(F.col("_emb"))
+    else:
+        sig = srp_signature(F.col("sv"), dim, bits)
+    return base.withColumn(out, sig).drop("_emb")
 
 
 def srp_bucket_neighbors(emb: DataFrame, *, id_col: str = "vec_id",
                          vec_col: str = "embedding", dim: int = 64,
                          bits: int = 16, n_queries: int = 10,
-                         k: int = 5) -> DataFrame:
-    """ANN: exact cosine ranking restricted to same-SRP-bucket candidates.
+                         k: int = 5, arrow: bool = True) -> DataFrame:
+    """ANN: exact quantized-cosine ranking restricted to same-SRP-bucket
+    candidates.
 
     The bucket equi-join replaces the cross join — at corpus scale the
     candidate set per query is |bucket|, not |corpus|. Recall depends on
-    ``bits``; this is the documented trade."""
+    ``bits``; this is the documented trade. ``arrow=True`` computes the
+    signature with one int64 matmul per Arrow batch (bit-identical to
+    the SQL folds — see vectorized.py).
+    """
     from pyspark.sql import Window as W
-    base = scale_out(emb).select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
-    base = (base
-            .withColumn("nrm", l2_norm(F.col("v")))
-            .withColumn("bucket", srp_signature(F.col("v"), dim, bits)))
+    base = (_with_sig(scale_out(emb), id_col, vec_col, dim, bits, arrow, "bucket")
+            .withColumn("rt", F.sqrt(F.col("n2").cast("double"))))
     q = (base.filter(F.col(id_col) < n_queries)
-         .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
-                 F.col("nrm").alias("qn"), F.col("bucket").alias("qb")))
+         .select(F.col(id_col).alias("query_id"), F.col("sv").alias("qv"),
+                 F.col("rt").alias("qrt"), F.col("bucket").alias("qb")))
     joined = (
         base.join(F.broadcast(q),
                   (F.col("bucket") == F.col("qb")) & (F.col(id_col) != F.col("query_id")))
         .select("query_id", F.col(id_col).alias("neighbor_id"),
-                (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cosine"))
+                (idot("qv", "sv").cast("double")
+                 / (F.col("qrt") * F.col("rt"))).alias("cosine"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -180,16 +236,42 @@ def srp_bucket_neighbors(emb: DataFrame, *, id_col: str = "vec_id",
     )
 
 
+def oracle_srp_neighbors_sql(*, dim: int = 64, bits: int = 16,
+                             n_queries: int = 10, k: int = 5) -> str:
+    sig = oracle_srp_expr("sv", dim, bits)
+    return f"""
+    WITH b0 AS (
+        SELECT vec_id, {oracle_int_vec('embedding')} AS sv FROM embeddings
+    ), base AS (
+        SELECT vec_id, sv, {oracle_idot('sv', 'sv')} AS n2, {sig} AS bucket
+        FROM b0
+    ), q AS (
+        SELECT vec_id AS query_id, sv AS qv, n2 AS qn2, bucket AS qb FROM base
+        WHERE vec_id < {n_queries}
+    ), joined AS (
+        SELECT q.query_id, b.vec_id AS neighbor_id,
+               {oracle_qcos(oracle_idot('q.qv', 'b.sv'), 'q.qn2', 'b.n2')} AS cosine
+        FROM base b JOIN q ON b.bucket = q.qb AND b.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank,
+           cosine
+    FROM joined
+    QUALIFY rank <= {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # ---------------------------------------------------------------------------
 def ivf_topk(emb: DataFrame, *, id_col: str = "vec_id",
              vec_col: str = "embedding", k_clusters: int = 16,
              nprobe: int = 6, n_queries: int = 10, k: int = 5,
-             seed: int = 3) -> DataFrame:
+             seed: int = 3, arrow: bool = False) -> DataFrame:
     """IVF-flat ANN: partition the corpus into ``k_clusters`` inverted
     lists under a coarse quantizer, search only the ``nprobe`` lists
-    nearest each query, rank candidates by exact cosine.
+    nearest each query, rank candidates by exact quantized cosine.
 
     This is the third tier of the similarity family (after brute-force
     and SRP-LSH): where SRP buckets are query-independent bit patterns,
@@ -198,66 +280,113 @@ def ivf_topk(emb: DataFrame, *, id_col: str = "vec_id",
     (Jégou et al., "Product Quantization for Nearest Neighbor Search",
     TPAMI'11, the IVF part).
 
-    The coarse quantizer is deliberately RNG-free so the DuckDB oracle
-    reproduces it exactly: initial lists are a portable-hash partition
-    of the ids, each centroid is the list's mean with coordinates
-    quantized to 1e-6 via the engine-agnostic floor(x*s + 0.5) scheme
-    (integer sums → order-independent), and every vector is then
-    re-assigned to its nearest centroid (one Lloyd refinement step —
-    more would just repeat the same two jobs).
+    The coarse quantizer is RNG-free so the DuckDB oracle reproduces it
+    exactly: initial lists are a portable-hash partition of the ids,
+    each centroid is the list's integer-mean on the 1e-6 grid (int sums
+    → order-independent), and every vector is re-assigned to its nearest
+    centroid (one Lloyd refinement step). Centroid cosines are derived
+    floats from exact ints — bit-identical in every engine, so even the
+    argmax needs no tie-epsilon.
 
     Scale: centroid computation is one partial-agg'd shuffle of
-    (bucket, pos) cells, reduced to a SINGLE broadcast row holding the
-    k×dim ≈ KBs centroid array. Assignment and probe selection are then
-    pure map-side array folds over that broadcast array — no groupBy,
-    no window, no 16× row blow-up — and the scored candidates keep
-    their vectors, so no neighbor-vector join exists either. The ONLY
-    shuffle in the whole search path is the final per-query top-k
-    window, whose input is the probed lists' candidates, not the
-    corpus. Nothing in the plan scales with corpus².
+    (bucket, pos) cells, reduced to a SINGLE persisted broadcast row
+    holding the k×dim ≈ KBs centroid array. Assignment and probe
+    selection are pure map-side array folds over that broadcast array,
+    and scored candidates keep their vectors, so no neighbor-vector
+    join exists. The ONLY shuffle in the search path is the final
+    per-query top-k window. Nothing in the plan scales with corpus².
 
     The corpus-side projection is deliberately NOT persisted (VERDICT
-    r2 "what's wrong" #2): it is a map-only projection over the scan
-    (cast + norm + one md5); its consumers re-read the column-pruned
-    parquet — cheap map stages — whereas caching it would materialize a
-    corpus-sized vector table (at 100 TB: a 100 TB cache spill), and at
-    sf0.1 the eager persist's extra job made the query ~1 s slower.
+    r2 "what's wrong" #2): it is a map-only projection over the scan;
+    its consumers re-read the column-pruned parquet — cheap map stages —
+    whereas caching it would materialize a corpus-sized vector table.
     """
     from pyspark.sql import Window as W
 
     from ..functions.hashing import md5_long
-    from ..functions.money import scaled_long
 
     base = (
         scale_out(emb)
-        .select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
-        .withColumn("nrm", l2_norm(F.col("v")))
+        .select(F.col(id_col), int_vec(vec_col).alias("sv"))
+        .withColumn("n2", idot("sv", "sv"))
+        # hoisted sqrt (one rounding either way — value identical to
+        # inlining qcos): evaluated once per row, not once per centroid
+        .withColumn("rt", F.sqrt(F.col("n2").cast("double")))
         .withColumn("bucket",
                     md5_long(F.col(id_col).cast("string"), seed=seed)
                     % k_clusters))
-    cells = base.select("bucket", F.posexplode("v").alias("pos", "x"))
+    cells = base.select("bucket", F.posexplode("sv").alias("pos", "sx"))
     cent_cells = (cells.groupBy("bucket", "pos")
-                  .agg((F.floor(F.sum(scaled_long("x", 1e6))
-                                / F.count(F.lit(1))) / F.lit(1e6)).alias("c")))
+                  .agg(F.floor(F.sum("sx").cast("double")
+                               / F.count(F.lit(1)).cast("double"))
+                       .cast("long").alias("c")))
     cents = (cent_cells.groupBy("bucket")
              .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
              .select(F.col("bucket").alias("cid"),
                      F.transform("pc", lambda s: s["c"]).alias("cv"))
-             .withColumn("cn", l2_norm(F.col("cv"))))
-    # All k centroids as ONE array row (collect_list order is
-    # nondeterministic, but every consumer below is a fold/sort whose
-    # result is order-independent).
-    cents_arr = cents.agg(
-        F.collect_list(F.struct("cid", "cv", "cn")).alias("cents"))
+             .withColumn("cn2", idot("cv", "cv"))
+             .withColumn("crt", F.sqrt(F.col("cn2").cast("double"))))
+    if arrow:
+        import math
 
-    def cos_c(c):  # cosine(row vector, centroid struct) — map-side fold
-        return dot(F.col("v"), c["cv"]) / (F.col("nrm") * c["cn"])
+        from .vectorized import ivf_assign_udf
+        # KB-sized collects (driver-side broadcast equivalents): the k
+        # centroids, and the n_queries query vectors for probe selection.
+        cents_rows = [r.asDict() for r in cents.collect()]
+        # the kernel stage needs only modest partitioning (numpy does the
+        # per-row work); the query-side collect skips scale_out entirely —
+        # a pushed-down point-filter scan needs no repartition job.
+        asg = (scale_out(emb, 8)
+               .select(F.col(id_col), int_vec(vec_col).alias("sv"))
+               .withColumn("n2", idot("sv", "sv"))
+               .withColumn("cid", ivf_assign_udf(cents_rows)(F.col("sv")))
+               .select(F.col(id_col).alias("neighbor_id"), "sv", "n2", "cid"))
+        qrows = (emb.filter(F.col(id_col) < n_queries)
+                 .select(F.col(id_col), int_vec(vec_col).alias("sv"))
+                 .withColumn("n2", idot("sv", "sv")).collect())
+        # probe selection driver-side (same derived-float cosine, same
+        # DESC cos / DESC cid order as the SQL twin); the probe table
+        # ships only (query_id, cid) — query vectors ride the kernel
+        # closure, so candidate rows never carry a second vector.
+        probe_data = []
+        qvecs = {}
+        for r in qrows:
+            qn2 = int(r["n2"])
+            qvecs[int(r[id_col])] = (list(r["sv"]), qn2)
+            scored_c = sorted(
+                ((float(sum(a * b for a, b in zip(r["sv"], c["cv"])))
+                  / (math.sqrt(float(qn2)) * math.sqrt(float(c["cn2"]))),
+                  int(c["cid"])) for c in cents_rows),
+                reverse=True)[:nprobe]
+            for _, cid in scored_c:
+                probe_data.append((int(r[id_col]), cid))
+        probe = emb.sparkSession.createDataFrame(
+            probe_data, "query_id long, cid long")
+        cand = (asg.join(F.broadcast(probe), "cid")
+                .filter(F.col("neighbor_id") != F.col("query_id"))
+                .select("query_id", "neighbor_id", "sv", "n2"))
+        # scoring + per-query top-k fused into one kernel: no per-pair
+        # HOF fold, no window shuffle — ONE exchange on query_id.
+        from .vectorized import query_topk_udf
+        return query_topk_udf(cand, qvecs, k)
+
+    # Pure-SQL twin. All k centroids as ONE array row (collect_list order
+    # is nondeterministic, but every consumer below is a fold/sort whose
+    # result is order-independent). PERSISTED: the assignment and probe
+    # branches each broadcast this row, and without the persist each
+    # broadcast job re-runs the full corpus codebook pass — the whole
+    # centroid build executed twice (VERDICT r3 "wrong" #2 family). One
+    # cached row costs nothing at any scale.
+    cents_arr = tracked_persist(cents.agg(
+        F.collect_list(F.struct("cid", "cv", "crt")).alias("cents")))
+
+    def cos_c(c):  # quantized cosine(row vector, centroid) — map-side fold
+        return idot(F.col("sv"), c["cv"]).cast("double") / (F.col("rt") * c["crt"])
 
     # (cos, cid) per centroid as ONE array expression — lexicographic
     # struct ordering makes max/sort match the oracle's ORDER BY cos
     # DESC, cid DESC. Built once and reused so the Py4J expression tree
-    # stays small (an aggregate() fold that restated the scoring struct
-    # twice measurably cost ~0.8 s of driver-side plan construction).
+    # stays small.
     scored_cents = F.transform(
         "cents", lambda c: F.struct(cos_c(c).alias("cos"),
                                     c["cid"].alias("cid")))
@@ -265,23 +394,23 @@ def ivf_topk(emb: DataFrame, *, id_col: str = "vec_id",
     # nearest-centroid assignment: array_max = (max cos, tie → max cid).
     # Pure projection — no shuffle, no 16× row blow-up.
     asg = (base.crossJoin(F.broadcast(cents_arr))
-           .select(F.col(id_col).alias("neighbor_id"), "v", "nrm",
+           .select(F.col(id_col).alias("neighbor_id"), "sv", "rt",
                    F.array_max(scored_cents)["cid"].alias("cid")))
     probe = (base.filter(F.col(id_col) < n_queries)
              .crossJoin(F.broadcast(cents_arr))
              .select(F.col(id_col).alias("query_id"),
-                     F.col("v").alias("qv"), F.col("nrm").alias("qn"),
+                     F.col("sv").alias("qv"), F.col("rt").alias("qrt"),
                      F.explode(F.slice(F.reverse(F.array_sort(scored_cents)),
                                        1, nprobe)).alias("p"))
-             .select("query_id", "qv", "qn", F.col("p.cid").alias("cid")))
+             .select("query_id", "qv", "qrt", F.col("p.cid").alias("cid")))
 
     # candidates keep their vectors through the map-side assignment, so
     # scoring is the broadcast probe join alone — zero shuffles here.
     scored = (asg.join(F.broadcast(probe), "cid")
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      (dot(F.col("qv"), F.col("v"))
-                       / (F.col("qn") * F.col("nrm"))).alias("cosine")))
+                      (idot("qv", "sv").cast("double")
+                       / (F.col("qrt") * F.col("rt"))).alias("cosine")))
     wk = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                            F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(wk))
@@ -294,28 +423,28 @@ def oracle_ivf_topk_sql(*, dim: int = 64, k_clusters: int = 16,
                         nprobe: int = 6, n_queries: int = 10, k: int = 5,
                         seed: int = 3) -> str:
     from ..functions.hashing import oracle_md5_long
-    from ..functions.money import oracle_scaled_long
     bucket = (f"({oracle_md5_long('CAST(vec_id AS VARCHAR)', seed=seed)}"
               f" % {k_clusters})")
     nearest = (f"row_number() OVER (PARTITION BY b.vec_id ORDER BY "
-               f"{oracle_dot('b.v', 'c.cv')} / (b.nrm * c.cn) DESC, "
+               f"{oracle_qcos(oracle_idot('b.sv', 'c.cv'), 'b.n2', 'c.cn2')} DESC, "
                f"c.cid DESC)")
     return f"""
-    WITH base AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-               {oracle_norm('embedding')} AS nrm, {bucket} AS bucket
-        FROM embeddings
+    WITH b0 AS (
+        SELECT vec_id, {oracle_int_vec('embedding')} AS sv FROM embeddings
+    ), base AS (
+        SELECT vec_id, sv, {oracle_idot('sv', 'sv')} AS n2, {bucket} AS bucket
+        FROM b0
     ), cent AS (
         SELECT bucket, i AS pos,
-               FLOOR(SUM({oracle_scaled_long('v[i]', 1e6)}) / COUNT(*))
-                   / 1000000.0 AS c
+               CAST(FLOOR(CAST(SUM(sv[i]) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
         FROM base, range(1, {dim + 1}) t(i)
         GROUP BY bucket, i
     ), cents AS (
         SELECT bucket AS cid, list(c ORDER BY pos) AS cv
         FROM cent GROUP BY bucket
     ), cents2 AS (
-        SELECT cid, cv, sqrt({oracle_dot('cv', 'cv')}) AS cn FROM cents
+        SELECT cid, cv, {oracle_idot('cv', 'cv')} AS cn2 FROM cents
     ), asg AS (
         SELECT vec_id AS neighbor_id, cid FROM (
             SELECT b.vec_id, c.cid, {nearest} AS rn
@@ -326,7 +455,7 @@ def oracle_ivf_topk_sql(*, dim: int = 64, k_clusters: int = 16,
             FROM base b, cents2 c WHERE b.vec_id < {n_queries}) WHERE rn <= {nprobe}
     ), scored AS (
         SELECT p.query_id, a.neighbor_id,
-               {oracle_dot('qb.v', 'nb.v')} / (qb.nrm * nb.nrm) AS cosine
+               {oracle_qcos(oracle_idot('qb.sv', 'nb.sv'), 'qb.n2', 'nb.n2')} AS cosine
         FROM probe p
         JOIN asg a USING (cid)
         JOIN base qb ON qb.vec_id = p.query_id
@@ -346,43 +475,53 @@ def oracle_ivf_topk_sql(*, dim: int = 64, k_clusters: int = 16,
 def cosine_near_dup_pairs(emb: DataFrame, *, id_col: str = "vec_id",
                           vec_col: str = "embedding", dim: int = 64,
                           bits: int = 16, band_bits: int = 4,
-                          threshold: float = 0.9) -> DataFrame:
+                          threshold: float = 0.9,
+                          arrow: bool = True) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, SRP-band blocked.
 
     The 16-bit SRP signature splits into 4-bit bands; vectors sharing ANY
     band are candidates (LSH banding — recall rises with band count), and
-    candidates are verified with the exact cosine >= threshold. At 100 TB
-    the pair space never materializes: only (id, band) rows shuffle, and
-    the verification join moves one vector per candidate row. The two
-    band-join sides share a canonicalized plan → exchange reuse.
+    candidates are verified with the exact quantized cosine >= threshold.
+
+    ``arrow=True`` (default): verification happens INSIDE each band
+    bucket — one int64 Gram matmul per bucket (vectorized.py), pairs
+    deduped across bands afterward (cosines are bit-identical across
+    bands, so the distinct is exact). Each vector moves once per band
+    (~KBs), the pair space never materializes outside a bucket, and the
+    per-candidate 64-dim interpreted fold — the measured top cost of
+    this operator at r3 — disappears.
+
+    ``arrow=False`` is the pure-SQL twin: banded candidate join, then a
+    vector join-back + HOF cosine per unique candidate. Same results,
+    pinned by tests.
     """
-    from ..tables import scale_out
     nbands = bits // band_bits
     mask = (1 << band_bits) - 1
-    # THREE consumers (banding + both sides of the verification join):
-    # persist so the 16-fold SRP signature computes once per vector.
-    # LAZY persist, deliberately: every consumer lives inside the ONE
-    # job the caller's action submits, so the first stage to touch the
-    # cache materializes it in-line and the rest hit it — an eager
-    # count() here is a whole extra pass over the signature scan
-    # (measured at sf0.1: ~3.1 s eager vs ~2.6 s lazy; worst case under
-    # racing stages is duplicated partition compute, never wrong data).
+    raw = scale_out(emb)
+    if arrow:
+        from .vectorized import bucket_pair_cosines
+        base = _with_sig(raw, id_col, vec_col, dim, bits, True, "sig")
+        band_structs = [
+            F.struct(F.lit(j).alias("band_id"),
+                     F.shiftright(F.col("sig"), j * band_bits).bitwiseAND(F.lit(mask)).alias("band_key"))
+            for j in range(nbands)
+        ]
+        bands = (base.select(F.col(id_col), "sv", "n2",
+                             F.explode(F.array(*band_structs)).alias("b"))
+                 .select(id_col, "sv", "n2", "b.band_id", "b.band_key"))
+        return bucket_pair_cosines(bands, id_col, threshold).distinct()
+    # SQL twin — THREE consumers (banding + both sides of the
+    # verification join): persist so the 16-fold SRP signature computes
+    # once per vector. LAZY persist, deliberately: every consumer lives
+    # inside the ONE job the caller's action submits (see r3 notes).
     base = tracked_persist(
-        scale_out(emb)
-        .select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
-        .withColumn("nrm", l2_norm(F.col("v")))
-        .withColumn("sig", srp_signature(F.col("v"), dim, bits)),
+        _with_sig(raw, id_col, vec_col, dim, bits, False, "sig"),
         eager=False)
     band_structs = [
         F.struct(F.lit(j).alias("band_id"),
                  F.shiftright(F.col("sig"), j * band_bits).bitwiseAND(F.lit(mask)).alias("band_key"))
         for j in range(nbands)
     ]
-    # The quadratic-risk self-join moves ONLY (id, band_id, band_key) —
-    # never the vectors. Candidate pairs are deduped before verification
-    # so a pair sharing several bands is verified once, and the exact
-    # cosine is computed by joining each side's vector back from the
-    # persisted base (one vector per unique candidate).
     bands = (base.select(id_col, F.explode(F.array(*band_structs)).alias("b"))
              .select(id_col, "b.band_id", "b.band_key"))
     x, y = bands.alias("x"), bands.alias("y")
@@ -392,15 +531,14 @@ def cosine_near_dup_pairs(emb: DataFrame, *, id_col: str = "vec_id",
         .select(F.col(f"x.{id_col}").alias("vec_a"), F.col(f"y.{id_col}").alias("vec_b"))
         .distinct()
     )
-    a = base.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"),
-                    F.col("nrm").alias("na"))
-    b = base.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"),
-                    F.col("nrm").alias("nb"))
+    a = base.select(F.col(id_col).alias("vec_a"), F.col("sv").alias("va"),
+                    F.col("n2").alias("na2"))
+    b = base.select(F.col(id_col).alias("vec_b"), F.col("sv").alias("vb"),
+                    F.col("n2").alias("nb2"))
     return (
         cand.join(a, "vec_a").join(b, "vec_b")
         .select("vec_a", "vec_b",
-                (dot(F.col("va"), F.col("vb"))
-                 / (F.col("na") * F.col("nb"))).alias("cosine"))
+                qcos(idot("va", "vb"), F.col("na2"), F.col("nb2")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -410,50 +548,26 @@ def oracle_cosine_near_dup_sql(*, dim: int = 64, bits: int = 16,
                                threshold: float = 0.9) -> str:
     nbands = bits // band_bits
     mask = (1 << band_bits) - 1
-    sig = oracle_srp_expr("embedding", dim, bits)
+    sig = oracle_srp_expr("sv", dim, bits)
+    cos = oracle_qcos(oracle_idot('x.sv', 'y.sv'), 'x.n2', 'y.n2')
     band_selects = "\n        UNION ALL\n        ".join(
-        f"SELECT vec_id, v, nrm, {j} AS band_id, (sig >> {j * band_bits}) & {mask} AS band_key FROM base"
+        f"SELECT vec_id, sv, n2, {j} AS band_id, (sig >> {j * band_bits}) & {mask} AS band_key FROM base"
         for j in range(nbands)
     )
     return f"""
-    WITH base AS (
-        SELECT vec_id, embedding AS v, {oracle_norm('embedding')} AS nrm,
-               {sig} AS sig
-        FROM embeddings
+    WITH b0 AS (
+        SELECT vec_id, {oracle_int_vec('embedding')} AS sv FROM embeddings
+    ), base AS (
+        SELECT vec_id, sv, {oracle_idot('sv', 'sv')} AS n2, {sig} AS sig
+        FROM b0
     ), bands AS (
         {band_selects}
     )
     SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
-           {oracle_dot('x.v', 'y.v')} / (x.nrm * y.nrm) AS cosine
+           {cos} AS cosine
     FROM bands x JOIN bands y USING (band_id, band_key)
     WHERE x.vec_id < y.vec_id
-      AND {oracle_dot('x.v', 'y.v')} / (x.nrm * y.nrm) >= {threshold}
-    """
-
-
-def oracle_srp_neighbors_sql(*, dim: int = 64, bits: int = 16,
-                             n_queries: int = 10, k: int = 5) -> str:
-    sig = oracle_srp_expr("embedding", dim, bits)
-    return f"""
-    WITH base AS (
-        SELECT vec_id, embedding AS v,
-               {oracle_norm('embedding')} AS nrm,
-               {sig} AS bucket
-        FROM embeddings
-    ), q AS (
-        SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qb FROM base
-        WHERE vec_id < {n_queries}
-    ), joined AS (
-        SELECT q.query_id, b.vec_id AS neighbor_id,
-               {oracle_dot('q.qv', 'b.v')} / (q.qn * b.nrm) AS cosine
-        FROM base b JOIN q ON b.bucket = q.qb AND b.vec_id <> q.query_id
-    )
-    SELECT query_id, neighbor_id,
-           CAST(row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank,
-           cosine
-    FROM joined
-    QUALIFY rank <= {k}
+      AND {cos} >= {threshold}
     """
 
 
@@ -462,13 +576,13 @@ def oracle_srp_neighbors_sql(*, dim: int = 64, bits: int = 16,
 # ---------------------------------------------------------------------------
 PQ_M = 8            # subspaces
 PQ_KS = 16          # centroids per subspace codebook
-PQ_SCALE = 1_000_000.0
+PQ_SCALE = EMB_SCALE
 
 
 def pq_topk(emb: DataFrame, *, id_col: str = "vec_id",
             vec_col: str = "embedding", dim: int = 64, m: int = PQ_M,
             ks: int = PQ_KS, n_queries: int = 10, k: int = 5,
-            seed: int = 11) -> DataFrame:
+            seed: int = 11, arrow: bool = True) -> DataFrame:
     """PQ-ADC approximate top-k: vectors compress to ``m`` codebook codes
     (one per ``dim/m``-dim subspace); queries rank candidates by the sum
     of per-subspace distances to the CENTROIDS the codes name, never
@@ -477,20 +591,25 @@ def pq_topk(emb: DataFrame, *, id_col: str = "vec_id",
     family: where IVF bounds candidates, PQ bounds BYTES — a scan reads
     m codes per vector (8 B here) instead of dim floats (256 B).
 
-    Deterministic by construction, like ivf_topk: codebooks come from a
-    portable-hash partition of (vec_id, subspace) with integer-mean
-    centroids, and EVERY distance is an exact int64 — coordinates are
-    pre-scaled to 1e-6 longs, so a subspace distance is a sum of squared
-    long diffs (≤ 8·(8e6)² ≈ 5e14, safely in-range) with no float
+    Deterministic by construction: codebooks come from a portable-hash
+    partition of (vec_id, subspace) with integer-mean centroids, and
+    EVERY distance is an exact int64 on the 1e-6 grid — no float
     reduction anywhere; the one double division happens at output.
 
-    Scale: codebook build is one partial-agg'd shuffle of
-    (s, bucket, pos) cells collapsed to a single broadcast row
-    (m·ks·block longs ≈ KBs); code assignment is a map-side array fold
-    over the staged scored-centroid column; scoring joins the corpus's
-    (vec_id, s, cid) code rows against the broadcast per-query distance
-    tables and partially aggregates map-side, so the only corpus-sized
-    shuffle carries (query, vec, partial-sum) longs; top-k is the final
+    ``arrow=True`` (default): the KB-sized codebook is collected once;
+    code assignment is one int64 distance matmul per Arrow batch
+    (vectorized.py, bit-identical argmin), and the per-query ADC tables
+    are computed driver-side from the same exact ints — the corpus-side
+    crossJoin + per-row 128-centroid interpreted fold (r3's measured
+    double-computation, VERDICT "wrong" #2) disappears entirely.
+    ``arrow=False`` keeps the pure-SQL staged-fold twin.
+
+    Scale: codebook build is one partial-agg'd shuffle of (s, bucket,
+    pos) cells (collapsing to m·ks·block longs ≈ KBs); code assignment
+    is a map-side kernel; scoring joins the corpus's (vec_id, s, cid)
+    code rows against the broadcast per-query distance tables and
+    partially aggregates map-side, so the only corpus-sized shuffle
+    carries (query, vec, partial-sum) longs; top-k is the final
     per-query window. No corpus self-join, nothing O(n²).
     """
     from pyspark.sql import Window as W
@@ -499,10 +618,7 @@ def pq_topk(emb: DataFrame, *, id_col: str = "vec_id",
 
     block = dim // m
     base = (scale_out(emb)
-            .select(F.col(id_col),
-                    F.transform(vec_col, lambda x: F.floor(
-                        x.cast("double") * F.lit(PQ_SCALE) + F.lit(0.5))
-                        .cast("long")).alias("sv")))
+            .select(F.col(id_col), int_vec(vec_col).alias("sv")))
 
     # codebooks: integer-mean centroid per (subspace, hash-bucket, pos)
     cells = (base.select(id_col, F.posexplode("sv").alias("pos", "sx"))
@@ -514,61 +630,96 @@ def pq_topk(emb: DataFrame, *, id_col: str = "vec_id",
             .agg(F.floor(F.sum("sx").cast("double")
                          / F.count(F.lit(1)).cast("double"))
                  .cast("long").alias("c")))
-    cents_arr = (cent.groupBy("s", "bucket")
-                 .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))
-                      .alias("pc"))
-                 .select("s", F.col("bucket").alias("cid"),
-                         F.transform("pc", lambda e: e["c"]).alias("cvec"))
-                 .agg(F.collect_list(F.struct("s", "cid", "cvec"))
-                      .alias("cents")))
+    cents_df = (cent.groupBy("s", "bucket")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))
+                     .alias("pc"))
+                .select("s", F.col("bucket").alias("cid"),
+                        F.transform("pc", lambda e: e["c"]).alias("cvec")))
 
-    def sq_dist(c):  # exact int64 distance of this row's s-block to c
-        sub = F.slice(F.col("sv"), c["s"] * F.lit(block) + F.lit(1), block)
-        return F.aggregate(
-            F.zip_with(sub, c["cvec"], lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"), lambda acc, v: acc + v)
+    wk = W.partitionBy("query_id").orderBy(F.col("total").asc(),
+                                           F.col("neighbor_id").asc())
 
-    # staged per-row distance table to every (s, cid) centroid — computed
-    # once into the row, then both the code fold and the query explode
-    # read the column (HOF staging discipline)
-    scored_cents = F.transform(
-        "cents", lambda c: F.struct(
-            c["s"].alias("s"),
-            F.struct(sq_dist(c).alias("d"), c["cid"].alias("cid"))
-            .alias("dc")))
-    withsc = (base.crossJoin(F.broadcast(cents_arr))
-              .withColumn("_sc", scored_cents))
+    if arrow:
+        from .vectorized import pq_adc_totals_udf
+        # KB-sized collects, both documented: the codebook (m·ks rows of
+        # `block` longs) and the query vectors (n_queries rows) — the
+        # driver-side equivalents of a broadcast.
+        cents_rows = [r.asDict() for r in cents_df.collect()]
+        qrows = sorted((emb.filter(F.col(id_col) < n_queries)
+                        .select(F.col(id_col), int_vec(vec_col).alias("sv"))
+                        .collect()),
+                       key=lambda r: r[id_col])
+        qids = [int(r[id_col]) for r in qrows]
+        totals_udf = pq_adc_totals_udf(
+            cents_rows, [list(r["sv"]) for r in qrows], m, block)
+        qid_arr = F.array(*[F.lit(q).cast("long") for q in qids])
+        # codes + per-query totals fused into ONE map stage (ADC lookup
+        # tables in the kernel closure): the only shuffle left is the
+        # final per-query top-k window.
+        scored = (scale_out(emb, 8)
+                  .select(F.col(id_col), int_vec(vec_col).alias("sv"))
+                  .withColumn("_tot", totals_udf("sv"))
+                  .select(F.col(id_col).alias("neighbor_id"),
+                          F.posexplode("_tot").alias("qi", "total"))
+                  .select(qid_arr[F.col("qi")].alias("query_id"),
+                          "neighbor_id", "total")
+                  .filter(F.col("neighbor_id") != F.col("query_id")))
+        return (scored.withColumn("rank", F.row_number().over(wk))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id",
+                        F.col("rank").cast("int").alias("rank"),
+                        (F.col("total").cast("double")
+                         / F.lit(PQ_SCALE * PQ_SCALE)).alias("approx_dist")))
+    else:
+        cents_arr = tracked_persist(
+            cents_df.agg(F.collect_list(F.struct("s", "cid", "cvec"))
+                         .alias("cents")))
 
-    # code per subspace: argmin (d, cid) over this s's centroids
-    codes_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: F.struct(
-            s.cast("int").alias("s"),
-            F.array_min(F.transform(
-                F.filter("_sc", lambda e: e["s"] == s),
-                lambda e: e["dc"]))["cid"].alias("cid")))
-    codes = (withsc.withColumn("_codes", codes_arr)
-             .select(F.col(id_col).alias("neighbor_id"),
-                     F.explode_outer("_codes").alias("e"))
-             .filter(F.col("e").isNotNull())
-             .select("neighbor_id", F.col("e.s").alias("s"),
-                     F.col("e.cid").alias("cid")))
+        def sq_dist(c):  # exact int64 distance of this row's s-block to c
+            sub = F.slice(F.col("sv"), c["s"] * F.lit(block) + F.lit(1), block)
+            return F.aggregate(
+                F.zip_with(sub, c["cvec"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, v: acc + v)
 
-    # per-query ADC tables: distance to EVERY (s, cid) — tiny, broadcast
-    qd = (withsc.filter(F.col(id_col) < n_queries)
-          .select(F.col(id_col).alias("query_id"),
-                  F.explode_outer("_sc").alias("e"))
-          .filter(F.col("e").isNotNull())
-          .select("query_id", F.col("e.s").alias("s"),
-                  F.col("e.dc.cid").alias("cid"),
-                  F.col("e.dc.d").alias("d")))
+        # staged per-row distance table to every (s, cid) centroid —
+        # computed once into the row, then both the code fold and the
+        # query explode read the column (HOF staging discipline)
+        scored_cents = F.transform(
+            "cents", lambda c: F.struct(
+                c["s"].alias("s"),
+                F.struct(sq_dist(c).alias("d"), c["cid"].alias("cid"))
+                .alias("dc")))
+        withsc = (base.crossJoin(F.broadcast(cents_arr))
+                  .withColumn("_sc", scored_cents))
+
+        # code per subspace: argmin (d, cid) over this s's centroids
+        codes_arr = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.struct(
+                s.cast("int").alias("s"),
+                F.array_min(F.transform(
+                    F.filter("_sc", lambda e: e["s"] == s),
+                    lambda e: e["dc"]))["cid"].alias("cid")))
+        codes = (withsc.withColumn("_codes", codes_arr)
+                 .select(F.col(id_col).alias("neighbor_id"),
+                         F.explode_outer("_codes").alias("e"))
+                 .filter(F.col("e").isNotNull())
+                 .select("neighbor_id", F.col("e.s").alias("s"),
+                         F.col("e.cid").alias("cid")))
+
+        # per-query ADC tables: distance to EVERY (s, cid) — tiny
+        qd = (withsc.filter(F.col(id_col) < n_queries)
+              .select(F.col(id_col).alias("query_id"),
+                      F.explode_outer("_sc").alias("e"))
+              .filter(F.col("e").isNotNull())
+              .select("query_id", F.col("e.s").alias("s"),
+                      F.col("e.dc.cid").alias("cid"),
+                      F.col("e.dc.d").alias("d")))
 
     scored = (codes.join(F.broadcast(qd), ["s", "cid"])
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .groupBy("query_id", "neighbor_id")
               .agg(F.sum("d").alias("total")))
-    wk = W.partitionBy("query_id").orderBy(F.col("total").asc(),
-                                           F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(wk))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id",
@@ -586,10 +737,7 @@ def oracle_pq_topk_sql(*, dim: int = 64, m: int = PQ_M, ks: int = PQ_KS,
         "CAST(vec_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)", seed=seed)
     return f"""
     WITH base AS (
-        SELECT vec_id,
-               list_transform(embedding, x ->
-                   CAST(FLOOR(CAST(x AS DOUBLE) * {PQ_SCALE} + 0.5)
-                        AS BIGINT)) AS sv
+        SELECT vec_id, {oracle_int_vec('embedding')} AS sv
         FROM embeddings
     ), bsv AS (
         SELECT vec_id, CAST((i - 1) // {block} AS INT) AS s, i AS pos,

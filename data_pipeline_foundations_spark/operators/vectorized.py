@@ -1,0 +1,246 @@
+"""Arrow-vectorized kernels for the similarity family.
+
+Each kernel is the NUMERICALLY IDENTICAL twin of a pure-SQL (higher-order
+function) formulation in operators/similarity.py. That identity is not a
+tolerance claim — it is exact, because the quantized-embedding contract
+makes every reduction an int64 sum:
+
+  - embeddings are scaled once to int64 (``floor(x * 1e6 + 0.5)``),
+  - dot products / norms / PQ distances are integer sums (associative —
+    any evaluation order, including numpy's, gives the same value),
+  - the only floats are DERIVED at output from those exact ints via
+    individually-rounded IEEE ops (``cast``, ``sqrt``, ``*``, ``/``) that
+    every engine (Spark JVM, numpy/libm, DuckDB) rounds identically.
+
+So a registry query may run the vectorized path by default and still hash-
+match the DuckDB oracle bit-for-bit; tests assert kernel == SQL twin.
+
+Why vectorize at all: HOF lambdas evaluate interpreted, one element at a
+time (and are excluded from codegen subexpression elimination). A 16-bit
+SRP signature over dim=64 is ~2k interpreted evals per row; a PQ code
+assignment is ~2k more; a 64-dim cosine verification is ~128 per
+candidate pair — these dominated every weak ANN query in VERDICT r3.
+numpy does the same arithmetic as packed int64 matrix ops at ~100x the
+throughput, and the Arrow exchange moves each vector ONCE (the kernels
+are applied per-row or per-bucket, never per-pair).
+
+Scale notes: pandas_udf kernels stream Arrow batches (bounded memory);
+the per-bucket pair kernel materializes one LSH bucket per group — bucket
+size is governed by the banding parameters, the same contract the
+SQL-join formulation relies on for its join fan-out.
+"""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def srp_sig_udf(signs, scale: float):
+    """pandas_udf: embedding array<float> -> 64-bit SRP signature (long).
+
+    ``signs`` is the (bits x dim) ±1 hyperplane matrix. Projection of the
+    SCALED integer vector onto each hyperplane is an exact int64 sum;
+    bit b is set when the projection is > 0 — identical to the SQL twin's
+    per-bit integer folds.
+    """
+    sgn = np.asarray(signs, dtype=np.int64)
+    bits = sgn.shape[0]
+    weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+
+    @F.pandas_udf("long")
+    def sig(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="int64")
+        M = np.vstack(col.to_numpy()).astype(np.float64)
+        sv = np.floor(M * scale + 0.5).astype(np.int64)
+        proj = sv @ sgn.T                      # exact int64
+        return pd.Series((proj > 0).astype(np.int64) @ weights)
+
+    return sig
+
+
+def bucket_pair_cosines(bands_df, id_col: str, threshold: float):
+    """Per-LSH-bucket pairwise quantized cosines via one int64 matmul.
+
+    ``bands_df``: (band_id, band_key, id, sv: array<long>, n2: long) —
+    one row per (vector, band). Returns (vec_a, vec_b, cosine) for every
+    within-bucket pair with cosine >= threshold, a < b, NOT deduped
+    across bands (caller applies .distinct(); cosines are bit-identical
+    across bands so the dedup is exact).
+
+    The Gram matrix S @ S.T reproduces the SQL twin's idot fold exactly
+    (integer sums); cosine = idot / (sqrt(na2) * sqrt(nb2)) with the same
+    three IEEE roundings as the column expression.
+    """
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                              "vec_b": pd.Series([], dtype="int64"),
+                              "cosine": pd.Series([], dtype="float64")})
+        if n < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        S = np.vstack(pdf["sv"].to_numpy()).astype(np.int64)
+        rt = np.sqrt(pdf["n2"].to_numpy().astype(np.int64).astype(np.float64))
+        G = (S @ S.T).astype(np.float64)       # exact: |idot| < 2^53
+        cos = G / (rt[:, None] * rt[None, :])
+        iu = np.triu_indices(n, 1)
+        a, b, cv = ids[iu[0]], ids[iu[1]], cos[iu]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        m = cv >= threshold
+        return pd.DataFrame({"vec_a": lo[m], "vec_b": hi[m], "cosine": cv[m]})
+
+    return (bands_df.groupBy("band_id", "band_key")
+            .applyInPandas(per_bucket,
+                           "vec_a long, vec_b long, cosine double"))
+
+
+def pq_codes_udf(cents: list, m: int, block: int):
+    """pandas_udf: scaled vector sv (array<long>) -> PQ code per subspace
+    (array<int>, position s holds the chosen cid).
+
+    ``cents`` is the collected codebook [(s, cid, cvec)] — a KB-sized
+    broadcast-by-closure. Distances are exact int64 sums of squared
+    diffs; argmin ties break to the SMALLEST cid, matching the SQL twin's
+    array_min over (d, cid) structs (centroids are scanned in ascending
+    cid order, np.argmin keeps the first minimum).
+    """
+    by_s = {}
+    for s, cid, cvec in sorted((c["s"], c["cid"], c["cvec"]) for c in cents):
+        by_s.setdefault(int(s), []).append((int(cid), np.asarray(cvec, dtype=np.int64)))
+    cid_arrs = {s: np.array([cid for cid, _ in lst], dtype=np.int64)
+                for s, lst in by_s.items()}
+    cent_mats = {s: np.vstack([v for _, v in lst]) for s, lst in by_s.items()}
+
+    @F.pandas_udf("array<int>")
+    def codes(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="object")
+        SV = np.vstack(col.to_numpy()).astype(np.int64)   # (n, dim)
+        n = SV.shape[0]
+        out = np.empty((n, m), dtype=np.int32)
+        for s in range(m):
+            sub = SV[:, s * block:(s + 1) * block]        # (n, block)
+            C = cent_mats[s]                              # (ks_s, block)
+            diff = sub[:, None, :] - C[None, :, :]
+            d = np.einsum("nkb,nkb->nk", diff, diff)      # exact int64
+            out[:, s] = cid_arrs[s][np.argmin(d, axis=1)]
+        return pd.Series(list(out))
+
+    return codes
+
+
+def pq_adc_totals_udf(cents: list, qsvs: list, m: int, block: int):
+    """pandas_udf: scaled vector sv -> per-query ADC distance totals
+    (array<long>, position qi = Σ_s qtab[qi][s][code_s]).
+
+    This is the classic ADC structure fused into one map stage: the
+    kernel assigns this row's PQ codes (exact int64 argmin, ties to the
+    smallest cid — identical to the SQL twin) and immediately sums each
+    query's precomputed distance-to-centroid table at those codes. The
+    (vec, s, cid) code rows never exist as exchanged data — the only
+    shuffle left downstream is the per-query top-k.
+
+    ``qsvs`` (the n_queries scaled query vectors) and ``cents`` are
+    KB-sized driver values baked into the closure; all entries are exact
+    ints so the totals are bit-identical to the join+sum formulation.
+    """
+    by_s = {}
+    for s, cid, cvec in sorted((c["s"], c["cid"], c["cvec"]) for c in cents):
+        by_s.setdefault(int(s), []).append((int(cid), np.asarray(cvec, dtype=np.int64)))
+    cent_mats = {s: np.vstack([v for _, v in lst]) for s, lst in by_s.items()}
+    Q = np.asarray(qsvs, dtype=np.int64) if qsvs else np.zeros((0, m * block), dtype=np.int64)
+    nq = Q.shape[0]
+    # qtab[s]: (nq, ks_s) — query q's exact distance to centroid j of s
+    qtab = {}
+    for s, C in cent_mats.items():
+        qsub = Q[:, s * block:(s + 1) * block]
+        qd = qsub[:, None, :] - C[None, :, :]
+        qtab[s] = np.einsum("qkb,qkb->qk", qd, qd)
+
+    @F.pandas_udf("array<long>")
+    def totals(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="object")
+        SV = np.vstack(col.to_numpy()).astype(np.int64)
+        n = SV.shape[0]
+        out = np.zeros((n, nq), dtype=np.int64)
+        for s in range(m):
+            sub = SV[:, s * block:(s + 1) * block]
+            C = cent_mats[s]
+            diff = sub[:, None, :] - C[None, :, :]
+            d = np.einsum("nkb,nkb->nk", diff, diff)
+            pos = np.argmin(d, axis=1)        # first min = smallest cid
+            out += qtab[s][:, pos].T
+        return pd.Series(list(out))
+
+    return totals
+
+
+def ivf_assign_udf(cents: list):
+    """pandas_udf: scaled vector sv -> nearest-centroid cid (long).
+
+    ``cents`` is the collected [(cid, cv, cn2)] centroid table. Cosines
+    are the derived-float contract (exact int Gram row / product of two
+    sqrt floats — the same three IEEE roundings as the SQL expression),
+    so even near-ties resolve identically; exact ties break to the
+    LARGEST cid, matching array_max over (cos, cid) structs (centroids
+    scanned in descending cid order, np.argmax keeps the first maximum).
+    """
+    rows = sorted(((int(c["cid"]), np.asarray(c["cv"], dtype=np.int64),
+                    int(c["cn2"])) for c in cents), reverse=True)
+    cids = np.array([cid for cid, _, _ in rows], dtype=np.int64)
+    C = np.vstack([cv for _, cv, _ in rows])
+    crt = np.sqrt(np.array([cn2 for _, _, cn2 in rows], dtype=np.float64))
+
+    @F.pandas_udf("long")
+    def assign(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="int64")
+        SV = np.vstack(col.to_numpy()).astype(np.int64)
+        n2 = np.einsum("nd,nd->n", SV, SV)
+        G = (SV @ C.T).astype(np.float64)      # exact: |idot| < 2^53
+        cos = G / (np.sqrt(n2.astype(np.float64))[:, None] * crt[None, :])
+        return pd.Series(cids[np.argmax(cos, axis=1)])
+
+    return assign
+
+
+def query_topk_udf(cand_df, qvecs: dict, k: int):
+    """Per-query candidate scoring + top-k in one kernel.
+
+    ``cand_df``: (query_id, neighbor_id, sv, n2) candidate rows, grouped
+    by query_id; ``qvecs``: {query_id: (qsv list, qn2)} driver-side query
+    vectors (KBs, closure-shipped). Emits (query_id, neighbor_id, rank,
+    cosine) for the k best candidates per query — cosine is the derived-
+    float contract (exact int Gram / product of sqrts, same roundings as
+    the SQL expression), ordering cosine DESC then neighbor_id ASC, so
+    the output is bit-identical to the join + HOF-fold + window twin.
+    """
+    qnp = {int(q): (np.asarray(sv, dtype=np.int64), int(n2))
+           for q, (sv, n2) in qvecs.items()}
+
+    def per_query(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(key[0])
+        qv, qn2 = qnp[qid]
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [],
+                                 "rank": [], "cosine": []})
+        S = np.vstack(pdf["sv"].to_numpy()).astype(np.int64)
+        n2 = pdf["n2"].to_numpy().astype(np.int64)
+        G = (S @ qv).astype(np.float64)        # exact: |idot| < 2^53
+        cos = G / (np.sqrt(n2.astype(np.float64)) * np.sqrt(float(qn2)))
+        ids = pdf["neighbor_id"].to_numpy()
+        order = np.lexsort((ids, -cos))[:k]
+        return pd.DataFrame({
+            "query_id": np.full(len(order), qid, dtype=np.int64),
+            "neighbor_id": ids[order],
+            "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+            "cosine": cos[order],
+        })
+
+    return (cand_df.groupBy("query_id")
+            .applyInPandas(per_query,
+                           "query_id long, neighbor_id long, "
+                           "rank int, cosine double"))
