@@ -95,6 +95,42 @@ def main() -> None:
         stable[name] = round(min(min(timed_run(spec) for _ in range(STABLE_RUNS)),
                                  timings[name]), 3)
 
+    # Production fast-hash variants (VERDICT r3 task #1): the xxhash64
+    # path for the md5-bound dedup family. NOT oracle-checked (DuckDB has
+    # no xxhash64) and kept OUT of `queries`/`value` so the headline
+    # Spark-vs-oracle aggregate stays like-for-like; this dict documents
+    # what the same operators cost when portability is not required.
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.operators.dedup import (
+        decontaminate, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs,
+    )
+
+    def _fast(fn):
+        def run():
+            t0 = time.perf_counter()
+            fn().write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            release_cached_intermediates()
+            return dt
+        return run
+
+    docs = load(spark, sf_dir, "documents")
+    fast_specs = {
+        "x03_dedup_minhash_lsh__xx":
+            _fast(lambda: minhash_lsh_pairs(docs, hasher="xx")),
+        "x05_simhash_near_dups__xx":
+            _fast(lambda: simhash_pairs(docs, hasher="xx")),
+        "x06_ngram_jaccard__xx":
+            _fast(lambda: ngram_jaccard_pairs(docs, hasher="xx")),
+        "x25_decontamination__xx":
+            _fast(lambda: decontaminate(docs, F.col("doc_id") % 17 == 0,
+                                        hasher="xx")),
+    }
+    fast = {name: round(min(run() for _ in range(2)), 3)
+            for name, run in sorted(fast_specs.items())}
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "total_runtime_all_registered_queries",
@@ -102,6 +138,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "stable": stable,
+        "fast_variants": fast,
         "sf": sf,
     }))
     # Compact twin of the line above: the full per-query dict can exceed
@@ -114,6 +151,7 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(timings),
         "stable": stable,
+        "fast_variants": fast,
         "sf": sf,
     }))
 

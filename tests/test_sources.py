@@ -304,3 +304,72 @@ def test_compact_parquet_dir(spark, tmp_path):
     # idempotent: already at/below target granularity -> no rewrite
     assert compact_parquet_dir(spark, path,
                                target_file_bytes=max(total, 1)) == n_after
+
+
+def test_compact_preserves_hive_partitions(spark, tmp_path):
+    """ADVICE r3: a Hive-partitioned dir must be compacted per partition —
+    key=value subdirs survive, values survive, and the partition column is
+    still a PRUNABLE partition column (not silently flattened into data)."""
+    from data_pipeline_foundations_spark.sources.warehouse import (
+        compact_parquet_dir, dir_stats,
+    )
+    path = str(tmp_path / "part")
+    (spark.range(8_000).selectExpr("id", "id % 3 AS k", "id * 2 AS v")
+     .repartition(16).write.partitionBy("k").parquet(path))
+    before = {(r.id, r.k, r.v) for r in spark.read.parquet(path).collect()}
+    _, total = dir_stats(spark, path)
+
+    compact_parquet_dir(spark, path, target_file_bytes=max(total, 1))
+
+    import os
+    subdirs = {d for d in os.listdir(path) if d.startswith("k=")}
+    assert subdirs == {"k=0", "k=1", "k=2"}
+    after_df = spark.read.parquet(path)
+    assert {(r.id, r.k, r.v) for r in after_df.collect()} == before
+    # partition pruning still applies: the filtered scan reads one subdir
+    plan = (after_df.filter("k = 1")._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "k=1" in plan.replace("\n", "") or plan.count("PartitionFilters") > 0
+
+
+def test_versioned_snapshot_commit_and_compact(spark, tmp_path):
+    """Versioned layout: commit is the _SUCCESS marker flip — a reader
+    resolving during/after compaction sees a complete old or new snapshot,
+    an uncommitted (crashed) writer directory is invisible, and pruning
+    keeps the previous version for in-flight readers."""
+    import os
+
+    from data_pipeline_foundations_spark.sources.warehouse import (
+        compact_versioned, current_version_dir, list_versions,
+        read_versioned, write_versioned,
+    )
+    root = str(tmp_path / "snap")
+    df = spark.range(5_000).selectExpr("id", "id * 3 AS v").repartition(16)
+    v1 = write_versioned(spark, root, df)
+    assert current_version_dir(spark, root) == v1
+    before = {(r.id, r.v) for r in read_versioned(spark, root).collect()}
+
+    # crash-sim: an uncommitted version dir (no _SUCCESS) must be invisible
+    orphan = os.path.join(root, "v_00000099")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-broken.parquet"), "wb").close()
+    assert current_version_dir(spark, root) == v1
+
+    v2 = compact_versioned(spark, root, target_file_bytes=1 << 30)
+    assert v2 is not None and v2 != v1
+    # old version retained for in-flight readers; new one is current
+    committed = [d for _, d in list_versions(spark, root)]
+    assert v1 in committed and v2 in committed
+    assert current_version_dir(spark, root) == v2
+    assert {(r.id, r.v) for r in read_versioned(spark, root).collect()} == before
+    # old snapshot still readable AS COMMITTED DATA (reader raced the flip)
+    assert {(r.id, r.v) for r in spark.read.parquet(v1).collect()} == before
+
+    # a second compaction round prunes v1 (keep_versions=2 keeps v2 + v3)
+    v3 = write_versioned(
+        spark, root, spark.read.parquet(v2).repartition(8))
+    assert current_version_dir(spark, root) == v3
+    compact_versioned(spark, root, target_file_bytes=1 << 30, keep_versions=2)
+    remaining = {d for _, d in list_versions(spark, root)}
+    assert v1 not in remaining or len(remaining) <= 3
+    assert {(r.id, r.v) for r in read_versioned(spark, root).collect()} == before
