@@ -155,22 +155,34 @@ def connected_components(vertices: DataFrame, edges: DataFrame, *,
         else:
             unpersist_rdd_ids(sc, ids_or_paths)
 
+    def _is_star_forest(edge_df: DataFrame) -> bool:
+        # The fixed point IS "disjoint stars rooted at each local min"
+        # (edges are canonical hi > lo, so every star root is its star's
+        # minimum): equivalently, no hi has two distinct roots and no
+        # vertex appears as both hi and lo. Testing THAT directly on the
+        # current snapshot replaces the old equality-based detection,
+        # which needed one extra full contraction round + an exceptAll
+        # just to observe "nothing changed" — the check is one cheap
+        # aggregation job over the (already contracted) edge snapshot.
+        viol = (edge_df.groupBy("hi")
+                .agg(F.count_distinct("lo").alias("k"))
+                .filter(F.col("k") > 1).select("hi")
+                .unionByName(
+                    edge_df.select("hi").join(
+                        edge_df.select(F.col("lo").alias("hi")).distinct(),
+                        "hi", "leftsemi")))
+        return viol.limit(1).count() == 0
+
     e, prev_ids = snapshot(
         edges.select(F.greatest(src, dst).alias("hi"),
                      F.least(src, dst).alias("lo"))
         .filter(F.col("hi") != F.col("lo")).distinct())
-    prev_cnt = e.count()
-    for _ in range(max_rounds):
-        nxt, new_ids = snapshot(_small_star(_large_star(e)))
-        cnt = nxt.count()
-        # Fixed point iff the edge set is unchanged: both sets are
-        # distinct canonical pairs, so equal counts + empty difference
-        # is exact equality. Both checks run over snapshots (no
-        # recompute), and the except only runs when counts already match.
-        converged = (cnt == prev_cnt
-                     and nxt.exceptAll(e).limit(1).count() == 0)
-        release(prev_ids)
-        prev_ids, prev_cnt, e = new_ids, cnt, nxt
+    for _ in range(max_rounds + 1):
+        converged = _is_star_forest(e)
+        if not converged:
+            nxt, new_ids = snapshot(_small_star(_large_star(e)))
+            release(prev_ids)
+            prev_ids, e = new_ids, nxt
         if converged:
             # Star forest: every non-root appears exactly once as hi
             # with its component min as lo; roots label themselves.
