@@ -170,3 +170,65 @@ def oracle_stratum_quantile_ctes(*, strata_sql: str, value_sql: str,
                MIN(CASE WHEN cum * {hi_d} >= n * {hi_n} THEN v END) AS hi_value
         FROM cum GROUP BY strata
     )"""
+
+
+# ---------------------------------------------------------------------------
+# Temperature-flattened mixture resampling
+# ---------------------------------------------------------------------------
+def temperature_resample(df: DataFrame, *, strata_col: str, key_col: str,
+                         base_rate: float = 0.5,
+                         seed: int = 13) -> DataFrame:
+    """Rebalance a skewed mixture toward its tail: keep stratum ``s``
+    with probability ``min(1, base_rate * sqrt(c_max / c_s))`` — the
+    sqrt-temperature flattening multilingual corpus construction uses to
+    stop a head language from drowning the mixture (rates scale with
+    c_s^(-1/2) relative to the largest stratum, so the head is sampled
+    at ``base_rate`` and a 100x-smaller stratum at 10x that rate,
+    capped at 1).
+
+    sqrt is the deliberate exponent choice: it is the one fractional
+    power that is CORRECTLY ROUNDED everywhere (IEEE requires it; pow()
+    is not), and c_max/c_s is one division of exact integer counts — so
+    the per-stratum threshold, hence the kept row set, is bit-identical
+    in Spark and the DuckDB oracle with no cross-strata float summation
+    anywhere (a softmax-style normalization would need an ordered sum).
+
+    Scale: one map-side-combined count per stratum, the |strata|-row
+    threshold table broadcasts back, and membership is the deterministic
+    md5 bucket — the corpus itself never shuffles. Output adds
+    (stratum_count, keep_threshold) for auditability.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("stratum_count"))
+    cmax = counts.agg(F.max("stratum_count").alias("max_count"))
+    thresholds = (counts.crossJoin(F.broadcast(cmax))
+                  .select(strata_col, "stratum_count",
+                          F.least(
+                              F.lit(SAMPLE_RESOLUTION),
+                              F.floor(F.lit(base_rate * SAMPLE_RESOLUTION)
+                                      * F.sqrt(F.col("max_count").cast("double")
+                                               / F.col("stratum_count").cast("double")))
+                              .cast("int")).alias("keep_threshold")))
+    return (df.join(F.broadcast(thresholds), strata_col)
+            .filter(_bucket(key_col, seed) < F.col("keep_threshold")))
+
+
+def oracle_temperature_resample_ctes(*, strata_sql: str, key_sql: str,
+                                     table: str = "documents",
+                                     base_rate: float = 0.5,
+                                     seed: int = 13) -> str:
+    """CTE chain ``tcounts``→``tthr`` + WHERE fragment; the caller joins
+    ``tthr`` on the stratum and filters with ``oracle bucket < keep_threshold``."""
+    return f"""
+    tcounts AS (
+        SELECT {strata_sql} AS strata, COUNT(*) AS stratum_count
+        FROM {table} GROUP BY {strata_sql}
+    ), tthr AS (
+        SELECT strata, stratum_count,
+               CAST(LEAST({SAMPLE_RESOLUTION},
+                    FLOOR({base_rate * SAMPLE_RESOLUTION}
+                          * sqrt(CAST((SELECT MAX(stratum_count) FROM tcounts)
+                                      AS DOUBLE)
+                                 / CAST(stratum_count AS DOUBLE))))
+                    AS INTEGER) AS keep_threshold
+        FROM tcounts
+    )"""

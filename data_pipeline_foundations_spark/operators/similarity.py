@@ -265,6 +265,38 @@ def oracle_srp_neighbors_sql(*, dim: int = 64, bits: int = 16,
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # ---------------------------------------------------------------------------
+def _ivf_quantizer(emb: DataFrame, id_col: str, vec_col: str,
+                   k_clusters: int, seed: int):
+    """(base, cents): the deterministic RNG-free coarse quantizer shared
+    by ivf_topk and semantic_dedup — portable-hash initial lists,
+    integer-mean centroids on the 1e-6 grid, exact int n2 + hoisted sqrt.
+    """
+    from ..functions.hashing import md5_long
+
+    base = (
+        scale_out(emb)
+        .select(F.col(id_col), int_vec(vec_col).alias("sv"))
+        .withColumn("n2", idot("sv", "sv"))
+        # hoisted sqrt (one rounding either way — value identical to
+        # inlining qcos): evaluated once per row, not once per centroid
+        .withColumn("rt", F.sqrt(F.col("n2").cast("double")))
+        .withColumn("bucket",
+                    md5_long(F.col(id_col).cast("string"), seed=seed)
+                    % k_clusters))
+    cells = base.select("bucket", F.posexplode("sv").alias("pos", "sx"))
+    cent_cells = (cells.groupBy("bucket", "pos")
+                  .agg(F.floor(F.sum("sx").cast("double")
+                               / F.count(F.lit(1)).cast("double"))
+                       .cast("long").alias("c")))
+    cents = (cent_cells.groupBy("bucket")
+             .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+             .select(F.col("bucket").alias("cid"),
+                     F.transform("pc", lambda s: s["c"]).alias("cv"))
+             .withColumn("cn2", idot("cv", "cv"))
+             .withColumn("crt", F.sqrt(F.col("cn2").cast("double"))))
+    return base, cents
+
+
 def ivf_topk(emb: DataFrame, *, id_col: str = "vec_id",
              vec_col: str = "embedding", k_clusters: int = 16,
              nprobe: int = 6, n_queries: int = 10, k: int = 5,
@@ -303,29 +335,7 @@ def ivf_topk(emb: DataFrame, *, id_col: str = "vec_id",
     """
     from pyspark.sql import Window as W
 
-    from ..functions.hashing import md5_long
-
-    base = (
-        scale_out(emb)
-        .select(F.col(id_col), int_vec(vec_col).alias("sv"))
-        .withColumn("n2", idot("sv", "sv"))
-        # hoisted sqrt (one rounding either way — value identical to
-        # inlining qcos): evaluated once per row, not once per centroid
-        .withColumn("rt", F.sqrt(F.col("n2").cast("double")))
-        .withColumn("bucket",
-                    md5_long(F.col(id_col).cast("string"), seed=seed)
-                    % k_clusters))
-    cells = base.select("bucket", F.posexplode("sv").alias("pos", "sx"))
-    cent_cells = (cells.groupBy("bucket", "pos")
-                  .agg(F.floor(F.sum("sx").cast("double")
-                               / F.count(F.lit(1)).cast("double"))
-                       .cast("long").alias("c")))
-    cents = (cent_cells.groupBy("bucket")
-             .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-             .select(F.col("bucket").alias("cid"),
-                     F.transform("pc", lambda s: s["c"]).alias("cv"))
-             .withColumn("cn2", idot("cv", "cv"))
-             .withColumn("crt", F.sqrt(F.col("cn2").cast("double"))))
+    base, cents = _ivf_quantizer(emb, id_col, vec_col, k_clusters, seed)
     if arrow:
         import math
 
@@ -778,3 +788,101 @@ def oracle_pq_topk_sql(*, dim: int = 64, m: int = PQ_M, ks: int = PQ_KS,
     FROM scored
     QUALIFY rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication — IVF clusters → within-cluster pairs → components
+# ---------------------------------------------------------------------------
+def semantic_dedup(emb: DataFrame, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding", k_clusters: int = 16,
+                   threshold: float = 0.5, seed: int = 3) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication",
+    2023): cluster the embedding space with the deterministic IVF coarse
+    quantizer, call two documents semantic duplicates when they land in
+    the same cluster with quantized cosine >= ``threshold``, take
+    connected components of those pairs, and keep the minimum id per
+    component. Output: (vec_id, cluster_id, cluster_size, is_canonical)
+    — "DELETE WHERE is_canonical = 0" is the dedup action.
+
+    Scale shape: the pair space only ever materializes INSIDE one
+    IVF cluster (the Arrow per-bucket Gram kernel — each vector moves
+    once, candidates never cross clusters; cluster count is the knob
+    that bounds within-cluster quadratic work, exactly like LSH band
+    width — see SCALING.md), and the component step is the O(log n)
+    star contraction over surviving pairs. Deterministic end-to-end:
+    quantizer, cosines, and canonical choice are all exact-int-derived,
+    so the DuckDB oracle (recursive-CTE closure) reproduces the
+    clustering bit-for-bit.
+    """
+    from .clustering import connected_components
+    from .vectorized import bucket_pair_cosines
+
+    base, cents = _ivf_quantizer(emb, id_col, vec_col, k_clusters, seed)
+    cents_arr = tracked_persist(cents.agg(
+        F.collect_list(F.struct("cid", "cv", "crt")).alias("cents")))
+    scored_cents = F.transform(
+        "cents", lambda c: F.struct(
+            (idot(F.col("sv"), c["cv"]).cast("double")
+             / (F.col("rt") * c["crt"])).alias("cos"),
+            c["cid"].alias("cid")))
+    asg = (base.crossJoin(F.broadcast(cents_arr))
+           .select(F.col(id_col), "sv", "n2",
+                   F.array_max(scored_cents)["cid"].alias("cid")))
+    # one row per (vector, its single cluster) → the pair kernel sees
+    # each vector exactly once; no cross-band dedup is needed
+    buckets = asg.select(F.lit(0).alias("band_id"),
+                         F.col("cid").alias("band_key"),
+                         id_col, "sv", "n2")
+    pairs = bucket_pair_cosines(buckets, id_col, threshold)
+    comp = connected_components(emb.select(id_col), pairs,
+                                id_col=id_col, src="vec_a", dst="vec_b")
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (comp.join(sizes, "cluster_id")
+            .select(id_col, "cluster_id", "cluster_size",
+                    (F.col(id_col) == F.col("cluster_id"))
+                    .cast("int").alias("is_canonical")))
+
+
+def oracle_semantic_dedup_sql(*, dim: int = 64, k_clusters: int = 16,
+                              threshold: float = 0.5, seed: int = 3) -> str:
+    from ..functions.hashing import oracle_md5_long
+
+    from .clustering import oracle_dedup_clusters_sql
+    bucket = (f"({oracle_md5_long('CAST(vec_id AS VARCHAR)', seed=seed)}"
+              f" % {k_clusters})")
+    nearest = (f"row_number() OVER (PARTITION BY b.vec_id ORDER BY "
+               f"{oracle_qcos(oracle_idot('b.sv', 'c.cv'), 'b.n2', 'c.cn2')} DESC, "
+               f"c.cid DESC)")
+    cos = oracle_qcos(oracle_idot('x.sv', 'y.sv'), 'x.n2', 'y.n2')
+    pairs_sql = f"""
+    WITH b0 AS (
+        SELECT vec_id, {oracle_int_vec('embedding')} AS sv FROM embeddings
+    ), base AS (
+        SELECT vec_id, sv, {oracle_idot('sv', 'sv')} AS n2, {bucket} AS bucket
+        FROM b0
+    ), cent AS (
+        SELECT bucket, i AS pos,
+               CAST(FLOOR(CAST(SUM(sv[i]) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+        FROM base, range(1, {dim + 1}) t(i)
+        GROUP BY bucket, i
+    ), cents AS (
+        SELECT bucket AS cid, list(c ORDER BY pos) AS cv
+        FROM cent GROUP BY bucket
+    ), cents2 AS (
+        SELECT cid, cv, {oracle_idot('cv', 'cv')} AS cn2 FROM cents
+    ), asg AS (
+        SELECT vec_id, cid FROM (
+            SELECT b.vec_id, c.cid, {nearest} AS rn
+            FROM base b, cents2 c) WHERE rn = 1
+    )
+    SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+    FROM (SELECT b.*, a.cid FROM base b JOIN asg a USING (vec_id)) x
+    JOIN (SELECT b.*, a.cid FROM base b JOIN asg a USING (vec_id)) y
+      ON x.cid = y.cid AND x.vec_id < y.vec_id
+    WHERE {cos} >= {threshold}
+    """
+    return oracle_dedup_clusters_sql(pairs_sql, vertex_table="embeddings",
+                                     id_col="vec_id")

@@ -17,15 +17,18 @@ import datetime as _dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import oracle_md5_long
 from ..functions.text import (
     oracle_fingerprint, oracle_token_count, token_count,
 )
 from ..operators.sampling import (
     oracle_sequence_packing_cols, oracle_stratified_sample_where,
-    sequence_packing, stratified_sample,
+    oracle_temperature_resample_ctes, sequence_packing, stratified_sample,
+    temperature_resample,
 )
 from ..operators.similarity import (
-    ivf_topk, oracle_ivf_topk_sql, oracle_pq_topk_sql, pq_topk,
+    ivf_topk, oracle_ivf_topk_sql, oracle_pq_topk_sql,
+    oracle_semantic_dedup_sql, pq_topk, semantic_dedup,
 )
 from ..operators.temporal import asof_join, range_join
 from ..registry import query
@@ -418,3 +421,48 @@ def x36_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     rereads the raw vectors (operators/similarity.py pq_topk; completes
     the brute-force → SRP → IVF → PQ family)."""
     return pq_topk(load(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# x37 — semantic deduplication (IVF clusters → cosine pairs → components)
+# ---------------------------------------------------------------------------
+
+
+@query("x37_semantic_dedup", oracle=oracle_semantic_dedup_sql())
+def x37_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embedding corpus: the
+    deterministic IVF quantizer clusters the space, same-cluster pairs
+    with quantized cosine >= 0.5 are semantic duplicates, connected
+    components give the duplicate groups, and the minimum id is
+    canonical — (vec_id, cluster_id, cluster_size, is_canonical), the
+    embedding-space twin of x15's lexical dedup clusters
+    (operators/similarity.py semantic_dedup; Abbas et al. 2023)."""
+    return semantic_dedup(load(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# x38 — temperature-flattened mixture resampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x38_temperature_resample",
+    oracle=f"""
+    WITH {oracle_temperature_resample_ctes(strata_sql='lang',
+                                           key_sql='doc_id')}
+    SELECT d.doc_id, d.lang, t.stratum_count, t.keep_threshold
+    FROM documents d JOIN tthr t ON t.strata = d.lang
+    WHERE ({oracle_md5_long("CAST(doc_id AS VARCHAR)", seed=13)} % 10000)
+          < t.keep_threshold
+    """,
+)
+def x38_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt-temperature mixture rebalancing over the documents corpus by
+    language: the head language keeps base_rate=0.5, every smaller
+    stratum keeps min(1, 0.5*sqrt(c_max/c_s)) — deterministic md5-bucket
+    membership, thresholds from exact integer counts (sqrt is the one
+    fractional power that is correctly rounded in every engine), corpus
+    never shuffles (operators/sampling.py temperature_resample)."""
+    return (temperature_resample(load(spark, sf_dir, "documents"),
+                                 strata_col="lang", key_col="doc_id")
+            .select("doc_id", "lang", "stratum_count", "keep_threshold"))

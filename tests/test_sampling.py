@@ -126,3 +126,29 @@ def test_stratum_quantiles_match_brute_force(vals, lo, hi):
         df, strata_col="g", value_col="v", lo=lo, hi=hi).first()
     assert row.lo_value == _brute_quantile(vals, *lo)
     assert row.hi_value == _brute_quantile(vals, *hi)
+
+
+def test_temperature_resample_flattens_mixture(spark, sf_dir):
+    """Smaller strata keep a larger fraction: thresholds are monotone
+    decreasing in stratum size, the head stratum sits at base_rate, and
+    every kept row's bucket is below its stratum threshold."""
+    from data_pipeline_foundations_spark.operators.sampling import (
+        SAMPLE_RESOLUTION, temperature_resample,
+    )
+    from data_pipeline_foundations_spark.tables import load
+    docs = load(spark, sf_dir, "documents")
+    kept = temperature_resample(docs, strata_col="lang", key_col="doc_id")
+    rows = kept.select("lang", "stratum_count", "keep_threshold").distinct() \
+        .collect()
+    by_size = sorted(rows, key=lambda r: -r.stratum_count)
+    # head stratum: threshold == base_rate resolution exactly
+    assert by_size[0].keep_threshold == int(0.5 * SAMPLE_RESOLUTION)
+    # monotone: smaller stratum -> threshold >= larger stratum's
+    for big, small in zip(by_size, by_size[1:]):
+        assert small.keep_threshold >= big.keep_threshold
+    assert all(r.keep_threshold <= SAMPLE_RESOLUTION for r in rows)
+    # determinism: same call, same rows
+    a = {r.doc_id for r in kept.select("doc_id").collect()}
+    b = {r.doc_id for r in temperature_resample(
+        docs, strata_col="lang", key_col="doc_id").select("doc_id").collect()}
+    assert a == b and len(a) > 0

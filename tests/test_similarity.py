@@ -47,3 +47,27 @@ def test_ivf_cosines_are_exact(spark, sf_dir):
     assert common, "no overlap between IVF and brute force at all"
     for pair in common:
         assert ivf[pair] == exact[pair]
+
+
+def test_semantic_dedup_cluster_invariants(spark, sf_dir):
+    """Every vector gets exactly one row; the canonical member IS the
+    cluster minimum; cluster sizes add up to the corpus; duplicates only
+    pair within one IVF cell (pairs never cross clusters by design)."""
+    from data_pipeline_foundations_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from data_pipeline_foundations_spark.tables import load
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    rows = semantic_dedup(emb).collect()
+    release_cached_intermediates()
+    assert len(rows) == n
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        ids = sorted(m.vec_id for m in members)
+        assert ids[0] == cid  # cluster labeled by its minimum id
+        assert all(m.cluster_size == len(members) for m in members)
+        canon = [m for m in members if m.is_canonical == 1]
+        assert len(canon) == 1 and canon[0].vec_id == cid
