@@ -232,3 +232,53 @@ def oracle_temperature_resample_ctes(*, strata_sql: str, key_sql: str,
                     AS INTEGER) AS keep_threshold
         FROM tcounts
     )"""
+
+
+# ---------------------------------------------------------------------------
+# Exact-count stratified sampling (the shuffle-bearing twin of
+# stratified_sample — precisely k rows per stratum)
+# ---------------------------------------------------------------------------
+def exact_stratified_sample(df: DataFrame, *, strata_col: str,
+                            key_col: str, k: int,
+                            seed: int = 7) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, chosen by ranking
+    each stratum on the deterministic (md5 bucket, key) order and keeping
+    the first k — pseudo-random membership, stable across runs/engines.
+
+    Scale shape (why this is NOT one window): a window over the stratum
+    would sort EVERY row of a giant stratum in one task. Instead the
+    k smallest keys per stratum come from a two-phase selection —
+    per-input-partition top-k (bounded state: k structs per (partition,
+    stratum) group), then top-k of the |partitions|·k survivors — and
+    the selected ids broadcast back as a semi-join to fetch the full
+    rows. Every aggregate state is O(k); the corpus shuffles only its
+    (stratum, bucket, key) triples. Output adds ``sample_rank`` (1..k
+    in the deterministic order).
+    """
+    bucket = _bucket(key_col, seed)
+    tagged = df.select(F.col(strata_col),
+                       F.spark_partition_id().alias("_pid"),
+                       bucket.alias("_b"), F.col(key_col).alias("_k"))
+    topk = F.slice(F.array_sort(F.collect_list(F.struct("_b", "_k"))), 1, k)
+    phase1 = (tagged.groupBy(strata_col, "_pid")
+              .agg(topk.alias("_cand")))
+    phase2 = (phase1.select(strata_col, F.explode("_cand").alias("c"))
+              .groupBy(strata_col)
+              .agg(F.slice(F.array_sort(F.collect_list("c")), 1, k)
+                   .alias("_sel")))
+    selected = (phase2.select(strata_col,
+                              F.posexplode("_sel").alias("_pos", "c"))
+                .select(strata_col,
+                        (F.col("_pos") + 1).cast("int").alias("sample_rank"),
+                        F.col("c._k").alias(key_col)))
+    return df.join(F.broadcast(selected), [strata_col, key_col])
+
+
+def oracle_exact_stratified_qualify(*, strata_sql: str, key_sql: str,
+                                    k: int, seed: int = 7) -> tuple[str, str]:
+    """(rank_expr, qualify_where): DuckDB twin — a plain ranked window
+    (the oracle runs single-node; the two-phase shape is the Spark-side
+    scale concern, the selected SET is identical)."""
+    rank = (f"row_number() OVER (PARTITION BY {strata_sql} ORDER BY "
+            f"{oracle_bucket(key_sql, seed)}, {key_sql})")
+    return rank, f"<= {k}"

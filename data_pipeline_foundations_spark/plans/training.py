@@ -22,6 +22,7 @@ from ..functions.text import (
     oracle_fingerprint, oracle_token_count, token_count,
 )
 from ..operators.sampling import (
+    exact_stratified_sample, oracle_exact_stratified_qualify,
     oracle_sequence_packing_cols, oracle_stratified_sample_where,
     oracle_temperature_resample_ctes, sequence_packing, stratified_sample,
     temperature_resample,
@@ -466,3 +467,32 @@ def x38_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (temperature_resample(load(spark, sf_dir, "documents"),
                                  strata_col="lang", key_col="doc_id")
             .select("doc_id", "lang", "stratum_count", "keep_threshold"))
+
+
+# ---------------------------------------------------------------------------
+# x39 — exact-count stratified sample (k rows per stratum, deterministic)
+# ---------------------------------------------------------------------------
+
+_X39_RANK, _X39_QUALIFY = oracle_exact_stratified_qualify(
+    strata_sql="lang", key_sql="doc_id", k=50)
+
+
+@query(
+    "x39_exact_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, CAST({_X39_RANK} AS INTEGER) AS sample_rank
+    FROM documents
+    QUALIFY {_X39_RANK} {_X39_QUALIFY}
+    """,
+)
+def x39_exact_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 50 documents per language, deterministically chosen by the
+    md5-bucket order — the exact-count companion to x18's rate-based
+    sample. Spark side is the two-phase bounded-state top-k (per-
+    partition k, then k of the survivors, broadcast fetch-back), never a
+    full-stratum window sort (operators/sampling.py
+    exact_stratified_sample)."""
+    return (exact_stratified_sample(load(spark, sf_dir, "documents"),
+                                    strata_col="lang", key_col="doc_id",
+                                    k=50)
+            .select("doc_id", "lang", "sample_rank"))

@@ -152,3 +152,28 @@ def test_temperature_resample_flattens_mixture(spark, sf_dir):
     b = {r.doc_id for r in temperature_resample(
         docs, strata_col="lang", key_col="doc_id").select("doc_id").collect()}
     assert a == b and len(a) > 0
+
+
+def test_exact_stratified_sample_counts_and_partition_invariance(spark, sf_dir):
+    """Exactly min(k, |stratum|) per stratum, and the selected SET is
+    independent of the input partitioning (the two-phase top-k must pick
+    the global k smallest (bucket, key) no matter how rows are split)."""
+    from data_pipeline_foundations_spark.operators.sampling import (
+        exact_stratified_sample,
+    )
+    from data_pipeline_foundations_spark.tables import load
+    docs = load(spark, sf_dir, "documents")
+    sizes = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    k = 7
+    out = exact_stratified_sample(docs, strata_col="lang",
+                                  key_col="doc_id", k=k)
+    got = {r.lang: set() for r in out.select("lang").distinct().collect()}
+    for r in out.select("lang", "doc_id").collect():
+        got[r.lang].add(r.doc_id)
+    for lang, ids in got.items():
+        assert len(ids) == min(k, sizes[lang])
+    # partition invariance: 1-partition and 13-partition inputs agree
+    again = exact_stratified_sample(docs.repartition(13), strata_col="lang",
+                                    key_col="doc_id", k=k)
+    got2 = set((r.lang, r.doc_id) for r in again.select("lang", "doc_id").collect())
+    assert got2 == set((lang, d) for lang, ids in got.items() for d in ids)
