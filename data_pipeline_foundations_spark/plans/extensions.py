@@ -444,3 +444,58 @@ def x15_dedup_clusters(spark, sf_dir):
     min-label propagation; oracle is a DuckDB recursive-CTE closure."""
     docs = load(spark, sf_dir, "documents")
     return dedup_clusters(docs, minhash_lsh_pairs(docs))
+
+
+# ---------------------------------------------------------------------------
+# x40 — n-gram novelty score (corpus-diversity measurement)
+# ---------------------------------------------------------------------------
+
+
+def _oracle_novelty_sql(n: int = 3) -> str:
+    th, sh_expr = oracle_shingle_hashes("text", n)
+    return f"""
+    WITH pre AS (
+        SELECT doc_id, {th} AS th FROM documents
+    ), shc AS (
+        SELECT doc_id, {sh_expr} AS sh FROM pre
+    ), shx AS (
+        SELECT doc_id, unnest(list_distinct(sh)) AS s FROM shc
+    ), first AS (
+        SELECT s, MIN(doc_id) AS first_doc FROM shx GROUP BY s
+    )
+    SELECT shx.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = shx.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = shx.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM shx JOIN first f USING (s)
+    GROUP BY shx.doc_id
+    """
+
+
+@query("x40_ngram_novelty", oracle=_oracle_novelty_sql())
+def x40_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    3-gram shingles whose FIRST corpus occurrence (minimum doc_id, i.e.
+    earliest in ingestion order) is this document — the standard
+    diversity/redundancy curve for curriculum and dedup-threshold tuning
+    (a corpus whose tail documents contribute no novel n-grams is
+    saturated). Scale shape: the inverted index shuffles once on the
+    31-bit shingle hash; the min-aggregate and the join-back reuse that
+    exchange, and the per-doc rollup is one more long-only shuffle —
+    identical discipline to x06's index (operators/dedup.py)."""
+    docs = load(spark, sf_dir, "documents")
+    inv = (with_shingle_hashes(scale_out(docs), "text", 3, out="_sh")
+           .select("doc_id",
+                   F.explode_outer(F.array_distinct("_sh")).alias("s"))
+           .filter(F.col("s").isNotNull()))
+    first = inv.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (inv.join(first, "s")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+                 .alias("n_novel"))
+            .select("doc_id", "n_shingles", "n_novel",
+                    (F.col("n_novel").cast("double")
+                     / F.col("n_shingles").cast("double")).alias("novelty")))
