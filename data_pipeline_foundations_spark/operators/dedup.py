@@ -343,41 +343,13 @@ def oracle_simhash_pairs_sql(*, bits: int = SIMHASH_BITS, band_bits: int = 8,
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard over an inverted index
 # ---------------------------------------------------------------------------
-def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
-                        text_col: str = "text", n: int = 3,
-                        max_df: int = MAX_SHINGLE_DF,
-                        threshold: float = 0.2,
-                        hasher: str = "md5") -> DataFrame:
-    """Exact Jaccard over n-gram shingle *sets* for candidate pairs that
-    share at least one rare shingle (document frequency <= max_df).
-
-    Scale contract (the part that survives a skewed 100 TB corpus):
-
-      1. **Candidate generation touches rare shingles only.** The
-         inverted index is restricted to shingles with df <= max_df
-         BEFORE the self-join, so the join's blow-up is bounded by
-         Σ_{rare s} df(s)² <= max_df · |index| — linear in corpus size.
-         A boilerplate shingle in 10⁶ docs contributes zero join rows
-         (the previous formulation joined on ALL shingles and counted
-         on filtering afterward — O(df²) rows per ubiquitous shingle).
-      2. **Intersections are exact via array_intersect, not the index
-         join.** Each deduped candidate pair pulls the two docs'
-         distinct-shingle arrays (bounded payload: two arrays per
-         candidate) and counts ALL shared shingles — including the
-         ubiquitous ones excluded from blocking — so the result is the
-         true Jaccard, identical to an all-shingles formulation.
-
-    Shuffles move 31-bit shingle hashes and doc ids (longs), never
-    text. The persisted intermediate is the EXPLODED index — (long,
-    long) rows hit Spark's fast columnar cache path, whereas caching the
-    per-doc array column pays the slow nested-type deserialization on
-    every one of its three consumers (measured 3-16 s CPU per consumer
-    at sf0.1). The verification arrays are rebuilt from the cached index
-    with one collect_list shuffle of longs.
-    """
-    # explode_outer + null-drop instead of explode: see decontaminate() —
-    # plain explode's inferred `size(..)>0` filter re-inlines the staged
-    # shingle pipeline into the scan filter, multiplying the md5 work.
+def _rare_candidate_payload(docs: DataFrame, id_col: str, text_col: str,
+                            n: int, max_df: int, hasher: str):
+    """(cand, a, b): blocked candidate pairs annotated with their shared
+    RARE-shingle count, plus per-doc payloads (total shingle count + the
+    COMMON-stratum shingle array) for exact intersection verification —
+    the machinery shared by the Jaccard and containment operators (see
+    ngram_jaccard_pairs for the scale contract)."""
     from pyspark.sql import Window as W
 
     # Shingle document frequencies split the index into a RARE stratum
@@ -425,6 +397,36 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                     F.col("n_sh").alias("n_a"))
     b = sets.select(F.col(id_col).alias("doc_b"), F.col("common").alias("b_arr"),
                     F.col("n_sh").alias("n_b"))
+    return cand, a, b
+
+
+def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        max_df: int = MAX_SHINGLE_DF,
+                        threshold: float = 0.2,
+                        hasher: str = "md5") -> DataFrame:
+    """Exact Jaccard over n-gram shingle *sets* for candidate pairs that
+    share at least one rare shingle (document frequency <= max_df).
+
+    Scale contract (the part that survives a skewed 100 TB corpus):
+
+      1. **Candidate generation touches rare shingles only.** The
+         inverted index is restricted to shingles with df <= max_df
+         BEFORE the self-join, so the join's blow-up is bounded by
+         max_df * |index| — linear in corpus size. A boilerplate shingle
+         in 10^6 docs contributes zero join rows.
+      2. **The expensive verification work IS the candidate join.**
+         groupBy(pair).count() over the rare self-join yields
+         |rare(a) ∩ rare(b)| in the same shuffle the old distinct paid,
+         and only the BOUNDED common-stratum arrays (boilerplate
+         vocabulary, typically tens) are intersected per pair — the
+         exact all-shingles intersection at a payload that no longer
+         scales with document length.
+
+    Shuffles move 31-bit shingle hashes and doc ids (longs), never text.
+    """
+    cand, a, b = _rare_candidate_payload(docs, id_col, text_col, n,
+                                         max_df, hasher)
     # Threshold rewritten to reference `shared` ONCE — jaccard >= t is
     # equivalent to shared * (1+t) >= t * (n_a + n_b) — so when Catalyst
     # pushes the filter into the join condition, array_intersect is
@@ -648,3 +650,76 @@ def dedup_against_store(spark, batch: DataFrame, store_table: str, *,
      .bucketBy(n_buckets, fp_col).sortBy(fp_col)
      .saveAsTable(full))
     return survivors
+
+
+def ngram_containment_pairs(docs: DataFrame, *, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3,
+                            max_df: int = MAX_SHINGLE_DF,
+                            threshold: float = 0.8,
+                            hasher: str = "md5") -> DataFrame:
+    """Directed n-gram CONTAINMENT for blocked candidate pairs:
+    containment(A→B) = |A∩B| / |A| — the asymmetric twin of Jaccard that
+    catches quotes, excerpts, and supersets (a short doc fully embedded
+    in a long one scores ~1 here but can sit far below any symmetric
+    Jaccard threshold). Returns (doc_a, doc_b, shared, containment_ab,
+    containment_ba) for pairs whose LARGER containment direction reaches
+    ``threshold``. Same blocked candidate machinery and scale contract
+    as ngram_jaccard_pairs (shared helper); same exact intersection via
+    shared-rare counting + common-stratum arrays.
+    """
+    cand, a, b = _rare_candidate_payload(docs, id_col, text_col, n,
+                                         max_df, hasher)
+    # greatest(c_ab, c_ba) >= t  ==  shared >= t * least(n_a, n_b):
+    # one reference to `shared`, so the pushed-down join filter evaluates
+    # the array_intersect once per candidate (x06 discipline).
+    return (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("shared",
+                    (F.col("shared_rare")
+                     + F.size(F.array_intersect("a_arr", "b_arr"))).cast("long"))
+        .filter(F.col("shared").cast("double")
+                >= F.lit(threshold) * F.least("n_a", "n_b").cast("double"))
+        .select(
+            "doc_a", "doc_b", "shared",
+            (F.col("shared").cast("double") / F.col("n_a").cast("double"))
+            .alias("containment_ab"),
+            (F.col("shared").cast("double") / F.col("n_b").cast("double"))
+            .alias("containment_ba"),
+        )
+    )
+
+
+def oracle_ngram_containment_sql(*, n: int = 3, max_df: int = MAX_SHINGLE_DF,
+                                 threshold: float = 0.8) -> str:
+    th, sh_expr = oracle_shingle_hashes("text", n)
+    return f"""
+    WITH pre AS (
+        SELECT doc_id, {th} AS th FROM documents
+    ), shc AS (
+        SELECT doc_id, {sh_expr} AS sh FROM pre
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct(sh)) AS s FROM shc
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), rare AS (
+        SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {max_df}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b USING (s) JOIN rare USING (s)
+        WHERE a.doc_id < b.doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b USING (s)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, i.shared,
+           i.shared / CAST(na.n_sh AS DOUBLE) AS containment_ab,
+           i.shared / CAST(nb.n_sh AS DOUBLE) AS containment_ba
+    FROM cand c
+    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes na ON na.doc_id = c.doc_a
+    JOIN sizes nb ON nb.doc_id = c.doc_b
+    WHERE CAST(i.shared AS DOUBLE)
+          >= {threshold} * CAST(LEAST(na.n_sh, nb.n_sh) AS DOUBLE)
+    """

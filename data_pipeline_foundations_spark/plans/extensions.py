@@ -14,7 +14,8 @@ from ..functions.text import (
 )
 from ..operators.clustering import dedup_clusters, oracle_dedup_clusters_sql
 from ..operators.dedup import (
-    minhash_lsh_pairs, ngram_jaccard_pairs, oracle_minhash_lsh_sql,
+    minhash_lsh_pairs, ngram_containment_pairs, ngram_jaccard_pairs,
+    oracle_minhash_lsh_sql, oracle_ngram_containment_sql,
     oracle_ngram_jaccard_sql, oracle_shingle_hashes, oracle_simhash_expr,
     oracle_simhash_pairs_sql, simhash_pairs, with_shingle_hashes, with_simhash,
 )
@@ -499,3 +500,20 @@ def x40_ngram_novelty(spark, sf_dir):
             .select("doc_id", "n_shingles", "n_novel",
                     (F.col("n_novel").cast("double")
                      / F.col("n_shingles").cast("double")).alias("novelty")))
+
+
+# ---------------------------------------------------------------------------
+# x41 — directed n-gram containment (quote / excerpt / superset detection)
+# ---------------------------------------------------------------------------
+
+
+@query("x41_ngram_containment", oracle=oracle_ngram_containment_sql())
+def x41_ngram_containment(spark, sf_dir):
+    """Directed containment |A∩B|/|A| over 3-gram shingle sets for
+    rare-shingle-blocked candidates, kept when either direction reaches
+    0.8 — catches excerpts and quotes that symmetric Jaccard misses (a
+    50-token doc fully inside a 500-token doc has containment 1.0 but
+    Jaccard ~0.1). Same blocked machinery, exchanges, and exact
+    shared-count verification as x06 (operators/dedup.py
+    ngram_containment_pairs)."""
+    return ngram_containment_pairs(load(spark, sf_dir, "documents"))
