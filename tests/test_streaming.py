@@ -165,3 +165,35 @@ def test_dedup_stream_against_store(spark, sf_dir, tmp_path):
     h = {r.fp for r in history.collect()}
     want = {r.fp for r in all_fp.collect()} - h
     assert got == want and len(want) > 0
+
+
+def test_resample_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-static temperature resampling admits EXACTLY the batch
+    operator's rows: thresholds are a static profile, membership is the
+    deterministic md5 bucket, so batch≡stream with no set-level caveats."""
+    from data_pipeline_foundations_spark.operators.sampling import (
+        temperature_resample,
+    )
+    from data_pipeline_foundations_spark.streaming.resample import (
+        resample_stream,
+    )
+    from data_pipeline_foundations_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    batch = temperature_resample(docs, strata_col="lang", key_col="doc_id")
+    want = {r.doc_id for r in batch.select("doc_id").collect()}
+    thresholds = (batch.select("lang", "keep_threshold").distinct())
+
+    src = str(tmp_path / "docs_stream")
+    docs.write.parquet(src)
+    stream = (spark.readStream.schema(docs.schema)
+              .format("parquet").load(src))
+    q = (resample_stream(stream, thresholds)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("resample_out")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    got = {r.doc_id for r in
+           spark.sql("SELECT doc_id FROM resample_out").collect()}
+    assert got == want and len(got) > 0
