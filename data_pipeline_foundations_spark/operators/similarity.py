@@ -102,9 +102,13 @@ def cosine_topk(emb: DataFrame, *, id_col: str = "vec_id",
             # an exact int is one rounding wherever it is computed), but
             # evaluated once per row instead of once per pair
             .withColumn("rt", F.sqrt(F.col("n2").cast("double"))))
-    q = (base.filter(F.col(id_col) < n_queries)
-         .select(F.col(id_col).alias("query_id"), F.col("sv").alias("qv"),
-                 F.col("rt").alias("qrt")))
+    # query side from the pushed-filter scan (see srp_bucket_neighbors):
+    # deriving it from the repartitioned corpus re-executes the corpus
+    # projection stage to keep n_queries rows
+    q = (emb.select(F.col(id_col), int_vec(vec_col).alias("qv"))
+         .filter(F.col(id_col) < n_queries)
+         .withColumn("qrt", F.sqrt(idot("qv", "qv").cast("double")))
+         .select(F.col(id_col).alias("query_id"), "qv", "qrt"))
     joined = (
         base.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
         .select(
@@ -218,9 +222,18 @@ def srp_bucket_neighbors(emb: DataFrame, *, id_col: str = "vec_id",
     from pyspark.sql import Window as W
     base = (_with_sig(scale_out(emb), id_col, vec_col, dim, bits, arrow, "bucket")
             .withColumn("rt", F.sqrt(F.col("n2").cast("double"))))
-    q = (base.filter(F.col(id_col) < n_queries)
+    # Query side from the PUSHED-FILTER scan, not the repartitioned
+    # corpus: deriving q from `base` re-executed the whole corpus
+    # signature stage a second time just to keep 10 rows (the id filter
+    # does not push through the round-robin repartition), measured at
+    # ~2x the operator's total cost at sf0.1. The signature expression is
+    # identical on both sides, so results are bit-equal — pinned by the
+    # oracle and test_similarity.
+    q = (_with_sig(emb.filter(F.col(id_col) < n_queries), id_col, vec_col,
+                   dim, bits, arrow, "qb")
+         .withColumn("qrt", F.sqrt(F.col("n2").cast("double")))
          .select(F.col(id_col).alias("query_id"), F.col("sv").alias("qv"),
-                 F.col("rt").alias("qrt"), F.col("bucket").alias("qb")))
+                 "qrt", "qb"))
     joined = (
         base.join(F.broadcast(q),
                   (F.col("bucket") == F.col("qb")) & (F.col(id_col) != F.col("query_id")))
@@ -406,8 +419,14 @@ def ivf_topk(emb: DataFrame, *, id_col: str = "vec_id",
     asg = (base.crossJoin(F.broadcast(cents_arr))
            .select(F.col(id_col).alias("neighbor_id"), "sv", "rt",
                    F.array_max(scored_cents)["cid"].alias("cid")))
-    probe = (base.filter(F.col(id_col) < n_queries)
-             .crossJoin(F.broadcast(cents_arr))
+    # probe side from the PUSHED-FILTER scan (see srp_bucket_neighbors):
+    # filtering the repartitioned `base` re-executes the corpus
+    # projection stage to keep n_queries rows; the standalone projection
+    # is expression-identical, so probe selection is bit-equal.
+    qbase = (emb.filter(F.col(id_col) < n_queries)
+             .select(F.col(id_col), int_vec(vec_col).alias("sv"))
+             .withColumn("rt", F.sqrt(idot("sv", "sv").cast("double"))))
+    probe = (qbase.crossJoin(F.broadcast(cents_arr))
              .select(F.col(id_col).alias("query_id"),
                      F.col("sv").alias("qv"), F.col("rt").alias("qrt"),
                      F.explode(F.slice(F.reverse(F.array_sort(scored_cents)),
