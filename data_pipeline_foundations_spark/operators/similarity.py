@@ -608,6 +608,30 @@ PQ_KS = 16          # centroids per subspace codebook
 PQ_SCALE = EMB_SCALE
 
 
+def _pq_codebook(base: DataFrame, id_col: str, block: int, ks: int,
+                 seed: int) -> DataFrame:
+    """(s, cid, cvec): integer-mean PQ centroid per (subspace,
+    hash-bucket) over ``base``'s scaled vectors — shared by pq_topk and
+    ivfpq_rerank_topk. One partial-agg'd shuffle of (s, bucket, pos)
+    cells collapsing to m·ks·block longs ≈ KBs."""
+    from ..functions.hashing import md5_long
+
+    cells = (base.select(id_col, F.posexplode("sv").alias("pos", "sx"))
+             .withColumn("s", (F.col("pos") / block).cast("int"))
+             .withColumn("bucket", md5_long(
+                 F.concat(F.col(id_col).cast("string"), F.lit(":"),
+                          F.col("s").cast("string")), seed=seed) % ks))
+    cent = (cells.groupBy("s", "bucket", "pos")
+            .agg(F.floor(F.sum("sx").cast("double")
+                         / F.count(F.lit(1)).cast("double"))
+                 .cast("long").alias("c")))
+    return (cent.groupBy("s", "bucket")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))
+                 .alias("pc"))
+            .select("s", F.col("bucket").alias("cid"),
+                    F.transform("pc", lambda e: e["c"]).alias("cvec")))
+
+
 def pq_topk(emb: DataFrame, *, id_col: str = "vec_id",
             vec_col: str = "embedding", dim: int = 64, m: int = PQ_M,
             ks: int = PQ_KS, n_queries: int = 10, k: int = 5,
@@ -643,27 +667,10 @@ def pq_topk(emb: DataFrame, *, id_col: str = "vec_id",
     """
     from pyspark.sql import Window as W
 
-    from ..functions.hashing import md5_long
-
     block = dim // m
     base = (scale_out(emb)
             .select(F.col(id_col), int_vec(vec_col).alias("sv")))
-
-    # codebooks: integer-mean centroid per (subspace, hash-bucket, pos)
-    cells = (base.select(id_col, F.posexplode("sv").alias("pos", "sx"))
-             .withColumn("s", (F.col("pos") / block).cast("int"))
-             .withColumn("bucket", md5_long(
-                 F.concat(F.col(id_col).cast("string"), F.lit(":"),
-                          F.col("s").cast("string")), seed=seed) % ks))
-    cent = (cells.groupBy("s", "bucket", "pos")
-            .agg(F.floor(F.sum("sx").cast("double")
-                         / F.count(F.lit(1)).cast("double"))
-                 .cast("long").alias("c")))
-    cents_df = (cent.groupBy("s", "bucket")
-                .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))
-                     .alias("pc"))
-                .select("s", F.col("bucket").alias("cid"),
-                        F.transform("pc", lambda e: e["c"]).alias("cvec")))
+    cents_df = _pq_codebook(base, id_col, block, ks, seed)
 
     wk = W.partitionBy("query_id").orderBy(F.col("total").asc(),
                                            F.col("neighbor_id").asc())
@@ -805,6 +812,244 @@ def oracle_pq_topk_sql(*, dim: int = 64, m: int = PQ_M, ks: int = PQ_KS,
                 AS INTEGER) AS rank,
            CAST(total AS DOUBLE) / {PQ_SCALE * PQ_SCALE} AS approx_dist
     FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ with exact re-rank — the production composite of tiers 3 + 4 + 1
+# ---------------------------------------------------------------------------
+def ivfpq_rerank_topk(emb: DataFrame, *, id_col: str = "vec_id",
+                      vec_col: str = "embedding", dim: int = 64,
+                      k_clusters: int = 16, nprobe: int = 6, m: int = PQ_M,
+                      ks: int = PQ_KS, n_queries: int = 10,
+                      r_cand: int = 20, k: int = 5, ivf_seed: int = 3,
+                      pq_seed: int = 11) -> DataFrame:
+    """IVF-PQ search with exact re-rank — the composite every production
+    vector index runs (Jégou et al. TPAMI'11; Johnson et al., "Billion-
+    scale similarity search with GPUs", 2017 — the IVFADC + refine
+    layout): the IVF coarse quantizer prunes the corpus to ``nprobe``
+    inverted lists per query, PQ-ADC ranks the surviving candidates from
+    8-byte codes without touching raw vectors, and only the best
+    ``r_cand`` rows per query are re-ranked by the exact quantized
+    cosine. Output: (query_id, neighbor_id, rank, cosine, approx_dist)
+    — rank/cosine exact over the r_cand survivors, approx_dist the ADC
+    total that selected them.
+
+    Scale shape: the three model artifacts (IVF centroids, PQ codebooks,
+    query vectors) are KB-sized driver collects — broadcast equivalents,
+    same pattern as ivf_topk(arrow=True)/pq_topk. The whole search side
+    is ONE fused map stage over the corpus (vectorized.ivfpq_totals_udf:
+    assign list → check probe membership → PQ code → ADC total); rows
+    outside every query's probe set emit nothing, so the only
+    corpus-derived shuffle carries (query, neighbor, total) longs for
+    probed rows. Re-rank fetches raw vectors for r_cand·n_queries ids by
+    joining the tiny survivor table (broadcast) against the scan —
+    exactly the bounded "refine" read a disk-resident index performs.
+    Deterministic end-to-end: every distance is an exact int64 on the
+    1e-6 grid, assignment ties match the SQL twins (IVF: largest cid;
+    PQ: smallest cid), so the DuckDB oracle reproduces rank, cosine and
+    approx_dist bit-for-bit.
+    """
+    import math
+
+    from .vectorized import ivfpq_totals_udf, query_topk_udf
+
+    from pyspark.sql import Window as W
+
+    block = dim // m
+    base, ivf_cents = _ivf_quantizer(emb, id_col, vec_col, k_clusters,
+                                     ivf_seed)
+    # KB-sized model collect (documented driver-side broadcast
+    # equivalent): k_clusters IVF centroid rows, m·ks PQ codebook rows,
+    # and n_queries query vectors — unioned into ONE generic-schema frame
+    # so all three model artifacts materialize in a single job (three
+    # serial collects cost three scheduler roundtrips for KBs of data).
+    ivf_part = ivf_cents.select(
+        F.lit(0).alias("kind"), F.lit(-1).alias("s"),
+        F.col("cid").cast("long"), F.col("cv").alias("vec"),
+        F.col("cn2").alias("n2"))
+    pq_part = _pq_codebook(base.select(id_col, "sv"), id_col, block, ks,
+                           pq_seed).select(
+        F.lit(1).alias("kind"), F.col("s").cast("int"),
+        F.col("cid").cast("long"), F.col("cvec").alias("vec"),
+        F.lit(0).cast("long").alias("n2"))
+    q_part = (emb.filter(F.col(id_col) < n_queries)
+              .select(F.col(id_col), int_vec(vec_col).alias("sv"))
+              .select(F.lit(2).alias("kind"), F.lit(-1).alias("s"),
+                      F.col(id_col).cast("long").alias("cid"),
+                      F.col("sv").alias("vec"),
+                      idot("sv", "sv").alias("n2")))
+    # AQE is disabled just for this KB-sized collect: the model pipeline
+    # holds 4 tiny shuffles, and AQE materializes every exchange as its
+    # own scheduler roundtrip (measured: ~5 jobs for a <100 KB result).
+    # One non-adaptive job runs the whole DAG; runtime re-planning has
+    # nothing to offer a driver-side model build of this size.
+    conf = emb.sparkSession.conf
+    aqe0 = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        model = [r.asDict()
+                 for r in ivf_part.union(pq_part).union(q_part).collect()]
+    finally:
+        conf.set("spark.sql.adaptive.enabled", aqe0)
+    ivf_rows = [{"cid": r["cid"], "cv": r["vec"], "cn2": r["n2"]}
+                for r in model if r["kind"] == 0]
+    pq_rows = [{"s": r["s"], "cid": r["cid"], "cvec": r["vec"]}
+               for r in model if r["kind"] == 1]
+    qrows = sorted(({id_col: r["cid"], "sv": r["vec"], "n2": r["n2"]}
+                    for r in model if r["kind"] == 2),
+                   key=lambda r: r[id_col])
+    qids = [int(r[id_col]) for r in qrows]
+    qvecs = {int(r[id_col]): (list(r["sv"]), int(r["n2"])) for r in qrows}
+    # probe selection driver-side — same derived-float cosine and the
+    # same DESC cos / DESC cid order as the oracle's rn <= nprobe window
+    probe_sets = []
+    for r in qrows:
+        qn2 = int(r["n2"])
+        scored = sorted(
+            ((float(sum(a * b for a, b in zip(r["sv"], c["cv"])))
+              / (math.sqrt(float(qn2)) * math.sqrt(float(c["cn2"]))),
+              int(c["cid"])) for c in ivf_rows),
+            reverse=True)[:nprobe]
+        probe_sets.append([cid for _, cid in scored])
+
+    totals_udf = ivfpq_totals_udf(ivf_rows, probe_sets, pq_rows,
+                                  [list(r["sv"]) for r in qrows], m, block)
+    qid_arr = F.array(*[F.lit(q).cast("long") for q in qids])
+    # no scale_out here: the search side is one Arrow matmul per batch —
+    # cheap enough that the repartition exchange costs more than the
+    # single-split scan it parallelizes; on a real multi-split layout
+    # the scan is already parallel
+    approx = (emb
+              .select(F.col(id_col), int_vec(vec_col).alias("sv"))
+              .withColumn("_tot", totals_udf("sv"))
+              .select(F.col(id_col).alias("neighbor_id"),
+                      F.posexplode("_tot").alias("qi", "total"))
+              .filter(F.col("total") >= 0)       # -1 = not in a probed list
+              .select(qid_arr[F.col("qi")].alias("query_id"),
+                      "neighbor_id", "total")
+              .filter(F.col("neighbor_id") != F.col("query_id")))
+    wr = W.partitionBy("query_id").orderBy(F.col("total").asc(),
+                                           F.col("neighbor_id").asc())
+    # survivor table: r_cand rows per query, ADC total attached
+    topr = (approx.withColumn("_rn", F.row_number().over(wr))
+            .filter(F.col("_rn") <= r_cand)
+            .select("query_id", "neighbor_id",
+                    (F.col("total").cast("double")
+                     / F.lit(PQ_SCALE * PQ_SCALE)).alias("approx_dist")))
+    # refine: fetch raw vectors for the survivors only (broadcast the
+    # tiny survivor table against the scan); the exact-cosine top-k
+    # kernel carries approx_dist through, so the survivor table is
+    # consumed exactly once — no persist, no second join
+    fetch = (emb.select(F.col(id_col).alias("neighbor_id"),
+                        int_vec(vec_col).alias("sv"))
+             .withColumn("n2", idot("sv", "sv")))
+    cand = (fetch.join(F.broadcast(topr), "neighbor_id")
+            .select("query_id", "neighbor_id", "sv", "n2", "approx_dist"))
+    return query_topk_udf(cand, qvecs, k, extra_col="approx_dist")
+
+
+def oracle_ivfpq_rerank_sql(*, dim: int = 64, k_clusters: int = 16,
+                            nprobe: int = 6, m: int = PQ_M, ks: int = PQ_KS,
+                            n_queries: int = 10, r_cand: int = 20,
+                            k: int = 5, ivf_seed: int = 3,
+                            pq_seed: int = 11) -> str:
+    from ..functions.hashing import oracle_md5_long
+    block = dim // m
+    ivf_bucket = (f"({oracle_md5_long('CAST(vec_id AS VARCHAR)', seed=ivf_seed)}"
+                  f" % {k_clusters})")
+    pq_bucket = oracle_md5_long(
+        "CAST(vec_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)", seed=pq_seed)
+    nearest = (f"row_number() OVER (PARTITION BY b.vec_id ORDER BY "
+               f"{oracle_qcos(oracle_idot('b.sv', 'c.cv'), 'b.n2', 'c.cn2')} DESC, "
+               f"c.cid DESC)")
+    return f"""
+    WITH b0 AS (
+        SELECT vec_id, {oracle_int_vec('embedding')} AS sv FROM embeddings
+    ), base AS (
+        SELECT vec_id, sv, {oracle_idot('sv', 'sv')} AS n2,
+               {ivf_bucket} AS bucket
+        FROM b0
+    ), icent AS (
+        SELECT bucket, i AS pos,
+               CAST(FLOOR(CAST(SUM(sv[i]) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+        FROM base, range(1, {dim + 1}) t(i)
+        GROUP BY bucket, i
+    ), icents AS (
+        SELECT bucket AS cid, list(c ORDER BY pos) AS cv
+        FROM icent GROUP BY bucket
+    ), icents2 AS (
+        SELECT cid, cv, {oracle_idot('cv', 'cv')} AS cn2 FROM icents
+    ), ivf_asg AS (
+        SELECT vec_id AS neighbor_id, cid FROM (
+            SELECT b.vec_id, c.cid, {nearest} AS rn
+            FROM base b, icents2 c) WHERE rn = 1
+    ), ivf_probe AS (
+        SELECT query_id, cid FROM (
+            SELECT b.vec_id AS query_id, c.cid, {nearest} AS rn
+            FROM base b, icents2 c WHERE b.vec_id < {n_queries})
+        WHERE rn <= {nprobe}
+    ), cand AS (
+        SELECT p.query_id, a.neighbor_id
+        FROM ivf_probe p JOIN ivf_asg a USING (cid)
+        WHERE a.neighbor_id <> p.query_id
+    ), bk AS (
+        SELECT vec_id, CAST((i - 1) // {block} AS INT) AS s, i AS pos,
+               sv[i] AS sx
+        FROM base, range(1, {dim + 1}) t(i)
+    ), bk2 AS (
+        SELECT vec_id, s, pos, sx, ({pq_bucket}) % {ks} AS bucket FROM bk
+    ), pcent AS (
+        SELECT s, bucket, pos,
+               CAST(FLOOR(CAST(SUM(sx) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+        FROM bk2 GROUP BY s, bucket, pos
+    ), pdist AS (
+        SELECT v.vec_id, v.s, c.bucket AS cid,
+               SUM((v.sx - c.c) * (v.sx - c.c)) AS d
+        FROM bk2 v JOIN pcent c ON c.s = v.s AND c.pos = v.pos
+        GROUP BY v.vec_id, v.s, c.bucket
+    ), pcodes AS (
+        SELECT vec_id AS neighbor_id, s, cid FROM (
+            SELECT vec_id, s, cid,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d ASC, cid ASC) AS rn
+            FROM pdist) WHERE rn = 1
+    ), pqd AS (
+        SELECT vec_id AS query_id, s, cid, d FROM pdist
+        WHERE vec_id < {n_queries}
+    ), approx AS (
+        SELECT cd.query_id, cd.neighbor_id, SUM(q.d) AS total
+        FROM cand cd
+        JOIN pcodes c ON c.neighbor_id = cd.neighbor_id
+        JOIN pqd q ON q.query_id = cd.query_id
+                  AND q.s = c.s AND q.cid = c.cid
+        GROUP BY cd.query_id, cd.neighbor_id
+    ), topr AS (
+        SELECT query_id, neighbor_id,
+               CAST(total AS DOUBLE) / {PQ_SCALE * PQ_SCALE} AS approx_dist
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY total ASC,
+                                                    neighbor_id ASC) AS rn
+              FROM approx)
+        WHERE rn <= {r_cand}
+    ), rerank AS (
+        SELECT t.query_id, t.neighbor_id,
+               {oracle_qcos(oracle_idot('qb.sv', 'nb.sv'), 'qb.n2', 'nb.n2')}
+                   AS cosine,
+               t.approx_dist
+        FROM topr t
+        JOIN base qb ON qb.vec_id = t.query_id
+        JOIN base nb ON nb.vec_id = t.neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC)
+                AS INTEGER) AS rank,
+           cosine, approx_dist
+    FROM rerank
     QUALIFY rank <= {k}
     """
 

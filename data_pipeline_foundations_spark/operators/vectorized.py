@@ -177,6 +177,74 @@ def pq_adc_totals_udf(cents: list, qsvs: list, m: int, block: int):
     return totals
 
 
+def ivfpq_totals_udf(ivf_cents: list, probe_sets: list, pq_cents: list,
+                     qsvs: list, m: int, block: int):
+    """pandas_udf: scaled vector sv -> per-query ADC totals restricted to
+    IVF-probed lists (array<long>; position qi holds the exact int64 ADC
+    total when this row's IVF list is in query qi's probe set, else -1).
+
+    The whole IVF-PQ search side fused into ONE map stage: the kernel
+    assigns the row's IVF list (cosine argmax over ``ivf_cents`` — exact
+    ties to the LARGEST cid, matching array_max over (cos, cid)), its PQ
+    codes (int64 argmin over ``pq_cents`` — ties to the smallest cid),
+    and sums each probing query's precomputed distance table at those
+    codes. ADC totals are >= 0, so -1 is a safe "not probed" sentinel
+    for the downstream posexplode + filter. All model inputs are
+    KB-sized driver values (closure-shipped broadcast equivalents); all
+    arithmetic is exact int64 / derived-float, bit-identical to the SQL
+    joins the DuckDB oracle runs.
+    """
+    # IVF side (ivf_assign_udf's layout: descending cid, argmax keeps first)
+    rows = sorted(((int(c["cid"]), np.asarray(c["cv"], dtype=np.int64),
+                    int(c["cn2"])) for c in ivf_cents), reverse=True)
+    icids = np.array([cid for cid, _, _ in rows], dtype=np.int64)
+    IC = np.vstack([cv for _, cv, _ in rows])
+    icrt = np.sqrt(np.array([cn2 for _, _, cn2 in rows], dtype=np.float64))
+    # probe membership: (nq, max_cid+1) boolean
+    nq = len(probe_sets)
+    max_cid = int(icids.max()) if len(icids) else 0
+    probe_bool = np.zeros((nq, max_cid + 1), dtype=bool)
+    for qi, cids in enumerate(probe_sets):
+        for cid in cids:
+            probe_bool[qi, int(cid)] = True
+    # PQ side (pq_codes_udf's layout: ascending cid, argmin keeps first)
+    by_s = {}
+    for s, cid, cvec in sorted((c["s"], c["cid"], c["cvec"]) for c in pq_cents):
+        by_s.setdefault(int(s), []).append(
+            (int(cid), np.asarray(cvec, dtype=np.int64)))
+    cent_mats = {s: np.vstack([v for _, v in lst]) for s, lst in by_s.items()}
+    Q = (np.asarray(qsvs, dtype=np.int64) if qsvs
+         else np.zeros((0, m * block), dtype=np.int64))
+    qtab = {}
+    for s, C in cent_mats.items():
+        qsub = Q[:, s * block:(s + 1) * block]
+        qd = qsub[:, None, :] - C[None, :, :]
+        qtab[s] = np.einsum("qkb,qkb->qk", qd, qd)
+
+    @F.pandas_udf("array<long>")
+    def totals(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="object")
+        SV = np.vstack(col.to_numpy()).astype(np.int64)
+        n = SV.shape[0]
+        n2 = np.einsum("nd,nd->n", SV, SV)
+        G = (SV @ IC.T).astype(np.float64)     # exact: |idot| < 2^53
+        cos = G / (np.sqrt(n2.astype(np.float64))[:, None] * icrt[None, :])
+        cid = icids[np.argmax(cos, axis=1)]    # this row's IVF list
+        tot = np.zeros((n, nq), dtype=np.int64)
+        for s in range(m):
+            sub = SV[:, s * block:(s + 1) * block]
+            C = cent_mats[s]
+            diff = sub[:, None, :] - C[None, :, :]
+            d = np.einsum("nkb,nkb->nk", diff, diff)
+            pos = np.argmin(d, axis=1)         # first min = smallest cid
+            tot += qtab[s][:, pos].T
+        probed = probe_bool[:, cid].T          # (n, nq)
+        return pd.Series(list(np.where(probed, tot, np.int64(-1))))
+
+    return totals
+
+
 def ivf_assign_udf(cents: list):
     """pandas_udf: scaled vector sv -> nearest-centroid cid (long).
 
@@ -206,7 +274,7 @@ def ivf_assign_udf(cents: list):
     return assign
 
 
-def query_topk_udf(cand_df, qvecs: dict, k: int):
+def query_topk_udf(cand_df, qvecs: dict, k: int, extra_col: str = None):
     """Per-query candidate scoring + top-k in one kernel.
 
     ``cand_df``: (query_id, neighbor_id, sv, n2) candidate rows, grouped
@@ -216,31 +284,39 @@ def query_topk_udf(cand_df, qvecs: dict, k: int):
     float contract (exact int Gram / product of sqrts, same roundings as
     the SQL expression), ordering cosine DESC then neighbor_id ASC, so
     the output is bit-identical to the join + HOF-fold + window twin.
+
+    ``extra_col``: optional double column of ``cand_df`` carried through
+    to the output unchanged (ivfpq_rerank_topk passes the ADC total that
+    selected each candidate, avoiding a second read of the survivor
+    table).
     """
     qnp = {int(q): (np.asarray(sv, dtype=np.int64), int(n2))
            for q, (sv, n2) in qvecs.items()}
+    out_cols = ["query_id", "neighbor_id", "rank", "cosine"] + (
+        [extra_col] if extra_col else [])
 
     def per_query(key, pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(key[0])
         qv, qn2 = qnp[qid]
         n = len(pdf)
         if n == 0:
-            return pd.DataFrame({"query_id": [], "neighbor_id": [],
-                                 "rank": [], "cosine": []})
+            return pd.DataFrame({c: [] for c in out_cols})
         S = np.vstack(pdf["sv"].to_numpy()).astype(np.int64)
         n2 = pdf["n2"].to_numpy().astype(np.int64)
         G = (S @ qv).astype(np.float64)        # exact: |idot| < 2^53
         cos = G / (np.sqrt(n2.astype(np.float64)) * np.sqrt(float(qn2)))
         ids = pdf["neighbor_id"].to_numpy()
         order = np.lexsort((ids, -cos))[:k]
-        return pd.DataFrame({
+        out = {
             "query_id": np.full(len(order), qid, dtype=np.int64),
             "neighbor_id": ids[order],
             "rank": np.arange(1, len(order) + 1, dtype=np.int32),
             "cosine": cos[order],
-        })
+        }
+        if extra_col:
+            out[extra_col] = pdf[extra_col].to_numpy()[order]
+        return pd.DataFrame(out)
 
-    return (cand_df.groupBy("query_id")
-            .applyInPandas(per_query,
-                           "query_id long, neighbor_id long, "
-                           "rank int, cosine double"))
+    schema = ("query_id long, neighbor_id long, rank int, cosine double"
+              + (f", {extra_col} double" if extra_col else ""))
+    return cand_df.groupBy("query_id").applyInPandas(per_query, schema)

@@ -28,8 +28,9 @@ from ..operators.sampling import (
     temperature_resample,
 )
 from ..operators.similarity import (
-    ivf_topk, oracle_ivf_topk_sql, oracle_pq_topk_sql,
-    oracle_semantic_dedup_sql, pq_topk, semantic_dedup,
+    ivf_topk, ivfpq_rerank_topk, oracle_ivf_topk_sql,
+    oracle_ivfpq_rerank_sql, oracle_pq_topk_sql, oracle_semantic_dedup_sql,
+    pq_topk, semantic_dedup,
 )
 from ..operators.temporal import asof_join, range_join
 from ..registry import query
@@ -422,6 +423,24 @@ def x36_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     rereads the raw vectors (operators/similarity.py pq_topk; completes
     the brute-force → SRP → IVF → PQ family)."""
     return pq_topk(load(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# x42 — IVF-PQ search with exact re-rank (the production ANN composite)
+# ---------------------------------------------------------------------------
+
+
+@query("x42_ivfpq_rerank", oracle=oracle_ivfpq_rerank_sql())
+def x42_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN composite that completes the ladder
+    (x07 brute → x08 SRP → x20 IVF → x36 PQ): IVF probing prunes the
+    corpus to 6 of 16 inverted lists per query, PQ-ADC ranks the probed
+    candidates from 8-byte codes, the best 20 per query are re-ranked by
+    exact quantized cosine, and the top 5 ship with BOTH the exact
+    cosine and the ADC total that selected them — the refine step a
+    disk-resident index pays exactly r_cand vector reads for
+    (operators/similarity.py ivfpq_rerank_topk)."""
+    return ivfpq_rerank_topk(load(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------

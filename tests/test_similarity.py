@@ -49,6 +49,33 @@ def test_ivf_cosines_are_exact(spark, sf_dir):
         assert ivf[pair] == exact[pair]
 
 
+def test_ivfpq_rerank_contract(spark, sf_dir):
+    """The refine contract: cosines of returned rows equal the brute-force
+    cosine for that pair (re-rank is exact over survivors), ranks are
+    dense per query in cosine-descending order, at most k rows per query,
+    and every returned neighbor carries a non-negative ADC total."""
+    from data_pipeline_foundations_spark.operators.similarity import (
+        ivfpq_rerank_topk,
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    exact = {(r.query_id, r.neighbor_id): r.cosine
+             for r in cosine_topk(emb, n_queries=10, k=500).collect()}
+    rows = ivfpq_rerank_topk(emb, n_queries=10, k=5).collect()
+    release_cached_intermediates()
+    assert rows, "IVF-PQ returned nothing"
+    by_q = {}
+    for r in rows:
+        assert r.approx_dist >= 0
+        assert exact[(r.query_id, r.neighbor_id)] == r.cosine
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, qr in by_q.items():
+        assert len(qr) <= 5
+        qr.sort(key=lambda r: r.rank)
+        assert [r.rank for r in qr] == list(range(1, len(qr) + 1))
+        cosines = [r.cosine for r in qr]
+        assert cosines == sorted(cosines, reverse=True)
+
+
 def test_semantic_dedup_cluster_invariants(spark, sf_dir):
     """Every vector gets exactly one row; the canonical member IS the
     cluster minimum; cluster sizes add up to the corpus; duplicates only
