@@ -723,3 +723,97 @@ def oracle_ngram_containment_sql(*, n: int = 3, max_df: int = MAX_SHINGLE_DF,
     WHERE CAST(i.shared AS DOUBLE)
           >= {threshold} * CAST(LEAST(na.n_sh, nb.n_sh) AS DOUBLE)
     """
+
+
+def remove_boilerplate_segments(docs: DataFrame, *, id_col: str = "doc_id",
+                                group_col: str = "source",
+                                text_col: str = "text",
+                                seg_tokens: int = 8, min_df: int = 5,
+                                hasher: str = "md5") -> DataFrame:
+    """Cross-document boilerplate removal: drop repeated token segments.
+
+    The line-dedup pass of web-corpus pipelines (CCNet / RefinedWeb
+    style) re-expressed over token windows: each document splits into
+    non-overlapping ``seg_tokens``-token segments, a segment is
+    boilerplate when its fingerprint occurs in >= ``min_df`` distinct
+    documents of the SAME ``group_col`` (headers, footers, navigation
+    chrome repeat within a site; prose does not), and each document is
+    reassembled from its surviving segments in order. Returns
+    (id, group, n_segments, n_boilerplate, clean_text).
+
+    Scale shape: one shuffle of (group, fp, id) longs for the
+    document-frequency aggregate, one shuffle back on (group, fp) to
+    flag segments, one shuffle on id to reassemble — all long-keyed, no
+    text moves except each segment once. The segment explode is
+    scan-local (split once, slice per segment — x31's chunking
+    discipline). At 100 TB the df aggregate is map-side combined and
+    bounded by distinct segments, and reassembly state per document is
+    its own segments only.
+    """
+    h = HASHERS[hasher]
+    d = (scale_out(docs)
+         .withColumn("_toks", F.split(F.col(text_col), " "))
+         .withColumn("_starts", F.sequence(
+             F.lit(1), F.greatest(F.size("_toks"), F.lit(1)),
+             F.lit(seg_tokens)))
+         .withColumn("_segs", F.transform(
+             "_starts",
+             lambda s: F.array_join(F.slice(F.col("_toks"), s, seg_tokens),
+                                    " "))))
+    # LAZY persist: the segment table feeds the df aggregate AND the
+    # flag join-back; without it the split + md5-per-segment scan runs
+    # twice (both consumers live inside the caller's one job — the
+    # x12-SQL-twin persist discipline)
+    segs = tracked_persist(
+        d.select(F.col(id_col), F.col(group_col),
+                 F.posexplode("_segs").alias("seg_id", "seg_text"))
+        .withColumn("fp", h(F.col("seg_text"))),
+        eager=False)
+    seg_df = (segs.select(group_col, "fp", id_col).distinct()
+              .groupBy(group_col, "fp")
+              .agg(F.count(F.lit(1)).alias("seg_df")))
+    flagged = segs.join(seg_df, [group_col, "fp"])
+    keep = F.when(F.col("seg_df") < min_df,
+                  F.struct("seg_id", "seg_text"))
+    return (flagged.groupBy(id_col, group_col)
+            .agg(F.count(F.lit(1)).alias("n_segments"),
+                 F.sum((F.col("seg_df") >= min_df).cast("long"))
+                 .alias("n_boilerplate"),
+                 F.array_join(
+                     F.transform(F.array_sort(F.collect_list(keep)),
+                                 lambda s: s["seg_text"]), " ")
+                 .alias("clean_text")))
+
+
+def oracle_boilerplate_segments_sql(*, seg_tokens: int = 8, min_df: int = 5,
+                                    raw_sql: str = "text") -> str:
+    fp = oracle_md5_long("seg_text")
+    return f"""
+    WITH t AS (
+        SELECT doc_id, source, string_split({raw_sql}, ' ') AS toks
+        FROM documents
+    ), segs AS (
+        SELECT doc_id, source,
+               CAST((s - 1) // {seg_tokens} AS INTEGER) AS seg_id,
+               array_to_string(
+                   list_slice(toks, s, s + {seg_tokens} - 1), ' ')
+                   AS seg_text
+        FROM (SELECT doc_id, source, toks,
+                     unnest(range(1, greatest(len(toks), 1) + 1,
+                                  {seg_tokens})) AS s
+              FROM t)
+    ), fps AS (
+        SELECT doc_id, source, seg_id, seg_text, {fp} AS fp FROM segs
+    ), sdf AS (
+        SELECT source, fp, COUNT(DISTINCT doc_id) AS seg_df
+        FROM fps GROUP BY source, fp
+    )
+    SELECT doc_id, source,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN seg_df >= {min_df} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boilerplate,
+           COALESCE(string_agg(CASE WHEN seg_df < {min_df} THEN seg_text END,
+                               ' ' ORDER BY seg_id), '') AS clean_text
+    FROM fps JOIN sdf USING (source, fp)
+    GROUP BY doc_id, source
+    """

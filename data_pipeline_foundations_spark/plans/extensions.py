@@ -517,3 +517,53 @@ def x41_ngram_containment(spark, sf_dir):
     shared-count verification as x06 (operators/dedup.py
     ngram_containment_pairs)."""
     return ngram_containment_pairs(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# x45 — cross-source n-gram overlap matrix (contamination audit)
+# ---------------------------------------------------------------------------
+
+
+def _oracle_source_overlap_sql(n: int = 3) -> str:
+    th, sh_expr = oracle_shingle_hashes("text", n)
+    return f"""
+    WITH pre AS (
+        SELECT doc_id, source, {th} AS th FROM documents
+    ), shc AS (
+        SELECT doc_id, source, {sh_expr} AS sh FROM pre
+    ), shx AS (
+        SELECT DISTINCT source, s
+        FROM (SELECT source, unnest(sh) AS s FROM shc)
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM shx a JOIN shx b USING (s)
+    WHERE a.source < b.source
+    GROUP BY a.source, b.source
+    """
+
+
+@query("x45_source_overlap", oracle=_oracle_source_overlap_sql())
+def x45_source_overlap(spark, sf_dir):
+    """Pairwise cross-source contamination audit: for every source pair,
+    the number of DISTINCT 3-gram shingles both contain — the matrix a
+    curation pipeline reads before assigning mixture weights (two
+    "independent" sources sharing most of their n-grams are one source
+    counted twice) and the corpus-level twin of x25's benchmark
+    decontamination. Scale shape: the corpus collapses to distinct
+    (shingle, source) longs in one map-side-combined shuffle; the
+    self-join keys on the shingle hash, so both sides reuse ONE
+    exchange, and its fan-out is bounded by C(|sources|, 2) rows per
+    shingle — |sources| is a dimension, not a corpus-sized quantity, so
+    the output never scales with corpus²."""
+    docs = load(spark, sf_dir, "documents")
+    shx = (with_shingle_hashes(scale_out(docs), "text", 3, out="_sh")
+           .select("source", F.explode_outer("_sh").alias("s"))
+           .filter(F.col("s").isNotNull())
+           .distinct())
+    a = shx.select(F.col("source").alias("source_a"), "s")
+    b = shx.select(F.col("source").alias("source_b"), "s")
+    return (a.join(b, "s")
+            .filter(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_shared")))

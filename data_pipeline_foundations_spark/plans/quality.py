@@ -508,3 +508,106 @@ def x35_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.regexp_count("raw", F.lit(_TAG_RE)).cast("long").alias("n_tags"),
         F.trim(F.regexp_replace(decoded, r"\s+", " ")).alias("clean_text"))
+
+
+# ---------------------------------------------------------------------------
+# x43 — cross-document boilerplate segment removal (line-dedup analog)
+# ---------------------------------------------------------------------------
+# The corpus is synthetic prose with no shared chrome, so — like x23's
+# PII synth and x34/x35's URL/HTML synth — every document is prefixed
+# with its source's 8-token navigation header; the operator must strip
+# exactly that shared first segment (25+ docs per source >> min_df=5)
+# and keep the prose segments, which never repeat across documents.
+
+_BOILER_SEG = 8
+_BOILER_MIN_DF = 5
+_BOILER_HDR_SPARK = ("concat('nav menu home about contact rss login ', "
+                     "source, ' ', text)")
+_BOILER_HDR_SQL = ("'nav menu home about contact rss login ' || source"
+                   " || ' ' || text")
+
+
+@query(
+    "x43_boilerplate_segments",
+    oracle=__import__(
+        "data_pipeline_foundations_spark.operators.dedup",
+        fromlist=["oracle_boilerplate_segments_sql"],
+    ).oracle_boilerplate_segments_sql(
+        seg_tokens=_BOILER_SEG, min_df=_BOILER_MIN_DF,
+        raw_sql=_BOILER_HDR_SQL),
+)
+def x43_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal — the line-dedup pass of
+    CCNet/RefinedWeb-style web curation over 8-token segments: a segment
+    repeating in >= 5 documents of the same source is chrome
+    (header/footer/nav), and each document is reassembled from its
+    surviving segments in order. Three long-keyed shuffles total
+    (df aggregate, flag join-back, per-doc reassembly); segments
+    explode scan-locally (operators/dedup.py
+    remove_boilerplate_segments)."""
+    from ..operators.dedup import remove_boilerplate_segments
+    d = (load(spark, sf_dir, "documents")
+         .withColumn("text", F.expr(_BOILER_HDR_SPARK)))
+    return remove_boilerplate_segments(
+        d, seg_tokens=_BOILER_SEG, min_df=_BOILER_MIN_DF)
+
+
+# ---------------------------------------------------------------------------
+# x44 — bigram coherence score (sequence-aware corpus-relative quality)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x44_bigram_coherence",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), bgl AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                              i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+        FROM t
+    ), b AS (
+        SELECT doc_id, unnest(bgs) AS bg FROM bgl
+    ), cf AS (
+        SELECT bg, CAST(COUNT(*) AS BIGINT) AS bg_cf FROM b GROUP BY bg
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(bg_cf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS mean_bigram_freq,
+           CAST(SUM(CASE WHEN bg_cf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax_bigrams
+    FROM b JOIN cf USING (bg)
+    GROUP BY doc_id
+    """,
+)
+def x44_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-aware corpus-relative quality: the mean corpus frequency
+    of a document's word BIGRAMS plus its hapax-bigram count — the
+    cheap n-gram-LM proxy for fluency scoring (a shuffled-word or
+    gibberish document has near-all hapax bigrams even when its unigrams
+    are common, which x33's token rarity cannot see). Scale shape is
+    x33's: the bigram-frequency aggregate and the join-back shuffle on
+    the same key so the exchange is reused; the per-doc rollup is one
+    more map-side-combined shuffle; exact integer sums with one double
+    division at output."""
+    d = (scale_out(load(spark, sf_dir, "documents"))
+         .withColumn("_toks", F.split("text", " "))
+         .withColumn("_bgs", F.filter(
+             F.zip_with("_toks",
+                        F.slice("_toks", 2, F.size("_toks")),
+                        lambda x, y: F.concat(x, F.lit(" "), y)),
+             lambda b: b.isNotNull())))
+    b = d.select("doc_id", F.explode("_bgs").alias("bg"))
+    cf = b.groupBy("bg").agg(F.count(F.lit(1)).alias("bg_cf"))
+    return (b.join(cf, "bg")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("bg_cf").alias("_sum_cf"),
+                 F.sum((F.col("bg_cf") == 1).cast("long"))
+                 .alias("n_hapax_bigrams"))
+            .select("doc_id", "n_bigrams",
+                    (F.col("_sum_cf").cast("double")
+                     / F.col("n_bigrams").cast("double"))
+                    .alias("mean_bigram_freq"),
+                    "n_hapax_bigrams"))
