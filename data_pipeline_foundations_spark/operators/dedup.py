@@ -817,3 +817,33 @@ def oracle_boilerplate_segments_sql(*, seg_tokens: int = 8, min_df: int = 5,
     FROM fps JOIN sdf USING (source, fp)
     GROUP BY doc_id, source
     """
+
+
+def boilerplate_profile(docs: DataFrame, *, id_col: str = "doc_id",
+                        group_col: str = "source", text_col: str = "text",
+                        seg_tokens: int = 8, min_df: int = 5,
+                        hasher: str = "md5") -> DataFrame:
+    """(group, bfps): the per-group boilerplate fingerprint arrays that
+    remove_boilerplate_segments detects — the STATIC profile the
+    streaming twin (streaming/boilerplate.py) consumes. One row per
+    group; chrome segments per source are few, so the array is small and
+    the whole profile broadcasts."""
+    h = HASHERS[hasher]
+    d = (scale_out(docs)
+         .withColumn("_toks", F.split(F.col(text_col), " "))
+         .withColumn("_starts", F.sequence(
+             F.lit(1), F.greatest(F.size("_toks"), F.lit(1)),
+             F.lit(seg_tokens)))
+         .withColumn("_segs", F.transform(
+             "_starts",
+             lambda s: F.array_join(F.slice(F.col("_toks"), s, seg_tokens),
+                                    " "))))
+    segs = (d.select(F.col(id_col), F.col(group_col),
+                     F.explode("_segs").alias("seg_text"))
+            .withColumn("fp", h(F.col("seg_text"))))
+    return (segs.select(group_col, "fp", id_col).distinct()
+            .groupBy(group_col, "fp")
+            .agg(F.count(F.lit(1)).alias("seg_df"))
+            .filter(F.col("seg_df") >= min_df)
+            .groupBy(group_col)
+            .agg(F.sort_array(F.collect_set("fp")).alias("bfps")))

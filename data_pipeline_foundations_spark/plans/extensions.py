@@ -567,3 +567,58 @@ def x45_source_overlap(spark, sf_dir):
             .filter(F.col("source_a") < F.col("source_b"))
             .groupBy("source_a", "source_b")
             .agg(F.count(F.lit(1)).alias("n_shared")))
+
+
+# ---------------------------------------------------------------------------
+# x46 / x47 — multimodal frame sampling and resize (oracle-checked plumbing)
+# ---------------------------------------------------------------------------
+# Same discipline as x10: the payloads are UTF-8 text bytes standing in
+# for video/image binaries (ASCII corpus, so byte slices == character
+# substrings and the DuckDB oracle can reproduce every frame hash); a
+# real decoder replaces the slicing inside the SAME mapInPandas batch
+# plumbing — schema, row expansion, partition behavior all exercised.
+
+
+@query(
+    "x46_frame_sampling",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text,
+               CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        FROM documents
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+           md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS frame_md5
+    FROM t, unnest(range(0, least(8, greatest(1,
+             CAST(ceil(nb / 64.0) AS BIGINT))))) u(i)
+    """,
+)
+def x46_frame_sampling(spark, sf_dir):
+    """Video-payload frame sampling: one output row per byte-stride
+    "frame" (row-expanding mapInPandas — the UDTF shape a real ffmpeg
+    frame extractor plugs into), capped at 8 frames per document
+    (operators/multimodal.py sample_frames). Scan-local row expansion;
+    output cardinality is bounded per document, never corpus-coupled."""
+    from ..operators.multimodal import attach_binary, sample_frames
+    return sample_frames(attach_binary(scale_out(load(spark, sf_dir,
+                                                      "documents"))))
+
+
+@query(
+    "x47_image_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(256 AS INTEGER) AS target_w, CAST(256 AS INTEGER) AS target_h,
+           md5(text || '|256x256') AS resized_md5
+    FROM documents
+    """,
+)
+def x47_image_resize(spark, sf_dir):
+    """Image resize plumbing: Arrow-batched binary-in/binary-out
+    transform over mapInPandas with a typed output schema — the batch
+    shape PIL/libvips plugs into; the deterministic stand-in re-encode
+    keeps it oracle-checkable (operators/multimodal.py resize_images)."""
+    from ..operators.multimodal import attach_binary, resize_images
+    return resize_images(attach_binary(scale_out(load(spark, sf_dir,
+                                                      "documents"))))

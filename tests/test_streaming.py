@@ -197,3 +197,43 @@ def test_resample_stream_equals_batch(spark, sf_dir, tmp_path):
     got = {r.doc_id for r in
            spark.sql("SELECT doc_id FROM resample_out").collect()}
     assert got == want and len(got) > 0
+
+
+def test_boilerplate_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-static boilerplate cleaning reproduces the batch operator
+    bit-for-bit: the profile is a static per-source chrome-fingerprint
+    array, fingerprints are the same md5 scheme, and cleaning is fully
+    row-local — so (n_segments, n_boilerplate, clean_text) match per
+    document with no set-level caveats."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.operators.dedup import (
+        boilerplate_profile, remove_boilerplate_segments,
+    )
+    from data_pipeline_foundations_spark.streaming.boilerplate import (
+        clean_stream,
+    )
+    from data_pipeline_foundations_spark.tables import load
+
+    hdr = ("concat('nav menu home about contact rss login ', source,"
+           " ' ', text)")
+    docs = (load(spark, sf_dir, "documents")
+            .withColumn("text", F.expr(hdr)))
+    want = {r.doc_id: (r.n_segments, r.n_boilerplate, r.clean_text)
+            for r in remove_boilerplate_segments(docs).collect()}
+    profile = boilerplate_profile(docs)
+
+    src = str(tmp_path / "docs_boiler")
+    docs.write.parquet(src)
+    stream = (spark.readStream.schema(docs.schema)
+              .format("parquet").load(src))
+    q = (clean_stream(stream, profile)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("boiler_out")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    got = {r.doc_id: (r.n_segments, r.n_boilerplate, r.clean_text)
+           for r in spark.sql("SELECT * FROM boiler_out").collect()}
+    assert got == want
+    assert any(v[1] > 0 for v in got.values())  # chrome actually stripped
