@@ -155,3 +155,30 @@ def test_hll_merge_equals_whole(spark):
     est_w = {r.strata: (r.est_distinct, r.zero_registers)
              for r in hll_distinct_by(d).collect()}
     assert est_m == est_w  # bit-identical doubles, same zero counts
+
+
+def test_boilerplate_removal_is_idempotent(spark, sf_dir):
+    """Cleaning a cleaned corpus finds nothing: rebuild the profile on
+    x43's output and every document must come back chrome-free and
+    unchanged — the fixpoint property that guards against the remover
+    eating real prose."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.operators.dedup import (
+        remove_boilerplate_segments,
+    )
+    from data_pipeline_foundations_spark.tables import load
+
+    hdr = ("concat('nav menu home about contact rss login ', source,"
+           " ' ', text)")
+    docs = (load(spark, sf_dir, "documents")
+            .withColumn("text", F.expr(hdr)))
+    once = remove_boilerplate_segments(docs)
+    again = remove_boilerplate_segments(
+        once.select("doc_id", "source",
+                    F.col("clean_text").alias("text")))
+    rows = again.collect()
+    assert rows
+    assert all(r.n_boilerplate == 0 for r in rows)
+    first = {r.doc_id: r.clean_text for r in once.collect()}
+    assert all(first[r.doc_id] == r.clean_text for r in rows)
