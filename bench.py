@@ -103,7 +103,8 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from data_pipeline_foundations_spark.operators.dedup import (
-        decontaminate, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs,
+        decontaminate, minhash_lsh_pairs, ngram_containment_pairs,
+        ngram_jaccard_pairs, remove_boilerplate_segments, simhash_pairs,
     )
 
     def _fast(fn):
@@ -127,6 +128,13 @@ def main() -> None:
         "x25_decontamination__xx":
             _fast(lambda: decontaminate(docs, F.col("doc_id") % 17 == 0,
                                         hasher="xx")),
+        "x41_ngram_containment__xx":
+            _fast(lambda: ngram_containment_pairs(docs, hasher="xx")),
+        "x43_boilerplate_segments__xx":
+            _fast(lambda: remove_boilerplate_segments(
+                docs.withColumn("text", F.expr(
+                    "concat('nav menu home about contact rss login ', "
+                    "source, ' ', text)")), hasher="xx")),
     }
     fast = {name: round(min(run() for _ in range(2)), 3)
             for name, run in sorted(fast_specs.items())}

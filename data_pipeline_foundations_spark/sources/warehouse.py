@@ -3,9 +3,10 @@
 The reference rebuilds a DuckDB warehouse nightly: ``CREATE OR REPLACE
 TABLE t AS SELECT * FROM '<file>.parquet'`` over a 13-entry file→table map
 (create_duckdb.py:65-79, 96-99), then drops tables absent from the map
-(create_duckdb.py:82-88). Spark's catalog is the metadata store, so the
-backup/lock-retry machinery (S8/S9) and the Metabase schema sync (S13)
-have no equivalent here — the catalog is always self-describing.
+(create_duckdb.py:82-88). The surrounding ops machinery has Spark twins
+too: pre-rebuild backup + retention (S8, :func:`backup_before_rebuild`),
+lock-retry connects (S9, sources/resilience.py), and the Metabase schema
+sync (S13, sources/metabase.py).
 
 Scale note: ``saveAsTable`` keeps the data as parquet under the warehouse
 dir — the "load" is a distributed write, not a single-writer file like the
@@ -253,3 +254,43 @@ def compact_versioned(spark: SparkSession, root: str, *,
     for v, d in list_versions(spark, root)[:-keep_versions]:
         fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
     return new_dir
+
+
+def backup_before_rebuild(spark: SparkSession, path: str, *,
+                          keep: int = 1, now=None) -> str | None:
+    """S8 — snapshot a warehouse directory before overwriting it, then
+    prune old backups (reference create_duckdb.py:27-41: timestamped
+    ``*_backup_YYYYmmdd_HHMMSS`` copy of the .duckdb file, keep only the
+    newest ``keep`` backups). The Spark twin copies the table's parquet
+    DIRECTORY through the Hadoop FS API, so it works unchanged on
+    HDFS/S3A/local and never routes data through the driver.
+
+    Returns the backup dir (None when ``path`` does not exist yet —
+    first build has nothing to back up). ``now`` injects the timestamp
+    for tests (SURVEY.md D7 discipline).
+
+    Scale note: a backup is an FS-level copy, O(data) on local disks but
+    server-side (and often async) on object stores; the versioned-
+    snapshot API above is the zero-copy alternative when the table is
+    already written through it — this helper exists for plain
+    directory-layout tables, matching the reference's semantics exactly.
+    """
+    import datetime as _dt
+
+    fs, p, jvm = _fs(spark, path)
+    if not fs.exists(p):
+        return None
+    ts = (now or _dt.datetime.now()).strftime("%Y%m%d_%H%M%S")
+    backup = jvm.org.apache.hadoop.fs.Path(f"{path}_backup_{ts}")
+    jvm.org.apache.hadoop.fs.FileUtil.copy(
+        fs, p, fs, backup, False, spark._jsc.hadoopConfiguration())
+    # prune: newest `keep` survive (reference keeps exactly 1)
+    parent = p.getParent()
+    prefix = p.getName() + "_backup_"
+    backups = sorted(
+        (st.getPath() for st in fs.listStatus(parent)
+         if st.isDirectory() and st.getPath().getName().startswith(prefix)),
+        key=lambda bp: bp.getName(), reverse=True)
+    for old in backups[keep:]:
+        fs.delete(old, True)
+    return backup.toString()

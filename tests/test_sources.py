@@ -373,3 +373,179 @@ def test_versioned_snapshot_commit_and_compact(spark, tmp_path):
     remaining = {d for _, d in list_versions(spark, root)}
     assert v1 not in remaining or len(remaining) <= 3
     assert {(r.id, r.v) for r in read_versioned(spark, root).collect()} == before
+
+
+# ---------------------------------------------------------------------------
+# S8/S9/S12/S13 — backup+retention, lock-retry, credentials, Metabase sync
+# ---------------------------------------------------------------------------
+
+
+def test_backup_before_rebuild_and_retention(spark, tmp_path):
+    """S8: a rebuild snapshots the existing table dir with a timestamp
+    suffix and prunes to the newest `keep` backups; the backup is a
+    readable parquet copy (reference create_duckdb.py:27-41)."""
+    import datetime as dt
+
+    from data_pipeline_foundations_spark.sources.warehouse import (
+        backup_before_rebuild,
+    )
+    path = str(tmp_path / "dwh_table")
+    assert backup_before_rebuild(spark, path) is None  # first build: nothing
+    spark.range(5).write.parquet(path)
+    t1 = dt.datetime(2026, 8, 14, 1, 0, 0)
+    b1 = backup_before_rebuild(spark, path, now=t1)
+    assert b1 and b1.endswith("dwh_table_backup_20260814_010000")
+    assert spark.read.parquet(b1).count() == 5
+    spark.range(7).write.mode("overwrite").parquet(path)
+    b2 = backup_before_rebuild(spark, path,
+                               now=dt.datetime(2026, 8, 14, 2, 0, 0))
+    import os
+    backups = sorted(n for n in os.listdir(tmp_path)
+                     if n.startswith("dwh_table_backup_"))
+    assert backups == ["dwh_table_backup_20260814_020000"]  # keep=1 pruned b1
+    assert spark.read.parquet(b2).count() == 7
+
+
+def test_connect_with_retry_semantics():
+    """S9: lock errors retry with waits, non-lock errors raise
+    immediately, exhaustion raises RuntimeError chained to the last lock
+    error (reference create_duckdb.py:43-58)."""
+    import pytest
+
+    from data_pipeline_foundations_spark.sources.resilience import (
+        connect_with_retry,
+    )
+    sleeps = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise IOError("Conflicting lock is held by another process")
+        return "conn"
+
+    assert connect_with_retry(flaky, sleep=sleeps.append) == "conn"
+    assert calls["n"] == 3 and sleeps == [2.0, 2.0]
+
+    with pytest.raises(ValueError, match="schema"):  # non-lock: immediate
+        connect_with_retry(lambda: (_ for _ in ()).throw(
+            ValueError("bad schema")), sleep=sleeps.append)
+
+    def always_locked():
+        raise IOError("database is locked")
+    with pytest.raises(RuntimeError, match="persistent lock") as ei:
+        connect_with_retry(always_locked, max_retries=3, sleep=sleeps.append)
+    assert isinstance(ei.value.__cause__, IOError)
+
+
+def test_credentials_resolution_chain(tmp_path):
+    """S12: overrides > env > dotenv file; unresolved keys fail together;
+    the JDBC URL carries encrypted read-only intent with no credentials
+    embedded (reference db_connection.py:20-44)."""
+    import pytest
+
+    from data_pipeline_foundations_spark.sources.credentials import (
+        parse_dotenv, resolve_credentials, sqlserver_jdbc_url,
+    )
+    env_file = tmp_path / ".env"
+    env_file.write_text(
+        "# comment\nexport DB_SERVER='files.example.test'\n"
+        'DB_DATABASE="dwh"\nDB_UID=svc\nDB_PASSWORD=from_file\n')
+    assert parse_dotenv(str(env_file))["DB_SERVER"] == "files.example.test"
+
+    got = resolve_credentials(
+        ["DB_SERVER", "DB_DATABASE", "DB_UID", "DB_PASSWORD"],
+        overrides={"DB_PASSWORD": "from_override"},
+        env={"DB_UID": "from_env"},
+        dotenv_path=str(env_file))
+    assert got == {"DB_SERVER": "files.example.test", "DB_DATABASE": "dwh",
+                   "DB_UID": "from_env", "DB_PASSWORD": "from_override"}
+
+    with pytest.raises(KeyError, match="DB_TOKEN"):
+        resolve_credentials(["DB_TOKEN"], env={}, dotenv_path=str(env_file))
+
+    url = sqlserver_jdbc_url("files.example.test", "dwh")
+    assert url.startswith("jdbc:sqlserver://files.example.test;")
+    assert "applicationIntent=ReadOnly" in url and "encrypt=true" in url
+    assert "from_override" not in url  # secrets never in the URL
+
+
+class _FakeMetabase(http.server.BaseHTTPRequestHandler):
+    sessions = []
+    syncs = []
+    good_password = "pw1"
+
+    def log_message(self, *a):
+        pass
+
+    def do_POST(self):
+        body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        if self.path == "/api/session":
+            creds = _json.loads(body)
+            self.sessions.append(creds)
+            if creds.get("password") != self.good_password:
+                self.send_response(401)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(_json.dumps({"id": "tok-mb"}).encode())
+            return
+        assert self.path == "/api/database/7/sync_schema"
+        self.syncs.append(self.headers.get("X-Metabase-Session"))
+        self.send_response(200)
+        self.end_headers()
+
+
+@pytest.fixture()
+def fake_metabase():
+    _FakeMetabase.sessions = []
+    _FakeMetabase.syncs = []
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _FakeMetabase)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_metabase_sync_schema(fake_metabase):
+    """S13: session auth then sync_schema with the session header; auth
+    failure returns False without raising (reference
+    sync_metabase_schema.py:20-43 log-and-continue contract)."""
+    from data_pipeline_foundations_spark.sources.metabase import (
+        MetabaseClient,
+    )
+    mb = MetabaseClient(fake_metabase)
+    assert mb.sync_schema("analyst", "pw1", 7) is True
+    assert _FakeMetabase.syncs == ["tok-mb"]
+    assert mb.sync_schema("analyst", "wrong", 7) is False
+    assert _FakeMetabase.syncs == ["tok-mb"]  # no sync on failed auth
+
+
+def test_service_account_resolution(tmp_path):
+    """S12 (gsheets_utils.py:81-112): env value resolves as absolute
+    path, base_dir-relative path, or inline JSON — with the reference's
+    two failure modes."""
+    import pytest
+
+    from data_pipeline_foundations_spark.sources.credentials import (
+        resolve_service_account,
+    )
+    blob = '{"client_email": "svc@example.test", "private_key_id": "k1"}'
+    p = tmp_path / "sa.json"
+    p.write_text(blob)
+
+    got = resolve_service_account(env={"GOOGLE_SHEETS_CREDENTIALS": str(p)})
+    assert got["client_email"] == "svc@example.test"
+    got = resolve_service_account(
+        env={"GOOGLE_SHEETS_CREDENTIALS": "sa.json"}, base_dir=str(tmp_path))
+    assert got["private_key_id"] == "k1"
+    got = resolve_service_account(env={"GOOGLE_SHEETS_CREDENTIALS": blob})
+    assert got["client_email"] == "svc@example.test"
+
+    with pytest.raises(RuntimeError, match="not set or is empty"):
+        resolve_service_account(env={})
+    with pytest.raises(RuntimeError, match="neither a valid path nor JSON"):
+        resolve_service_account(
+            env={"GOOGLE_SHEETS_CREDENTIALS": "no/such/file.json"})
