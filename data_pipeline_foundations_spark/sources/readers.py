@@ -62,11 +62,18 @@ def read_jdbc(spark: SparkSession, url: str, query: str | None,
     embedded Derby (tests/test_jdbc.py) — filters and projection push
     into the JDBCRelation scan.
     """
+    retries = options.pop("retries", 0)
     reader = spark.read.format("jdbc").option("url", url)
     if query is not None:
         reader = reader.option("query", query)
     for k, v in options.items():
         reader = reader.option(k, v)
+    if retries:
+        # S9: load() resolves the remote schema eagerly, so the connect
+        # (and any single-writer lock, e.g. embedded Derby double-boot)
+        # surfaces here — wrap it in the lock-retry contract
+        from .resilience import connect_with_retry
+        return connect_with_retry(reader.load, max_retries=retries)
     return reader.load()
 
 

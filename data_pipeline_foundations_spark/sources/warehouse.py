@@ -294,3 +294,36 @@ def backup_before_rebuild(spark: SparkSession, path: str, *,
     for old in backups[keep:]:
         fs.delete(old, True)
     return backup.toString()
+
+
+def rebuild_warehouse(spark: SparkSession, table_map: dict[str, str], *,
+                      database: str = "default",
+                      backup_path: str | None = None,
+                      backup_keep: int = 1,
+                      metabase=None,
+                      metabase_auth: tuple[str, str, str | int] | None = None,
+                      now=None) -> dict:
+    """The reference's full nightly rebuild flow (create_duckdb.py end to
+    end) as one call: S8 backup + retention → S6 load the file→table map
+    → S7 drop stale tables → S13 poke Metabase. The S9 lock-retry lives
+    at the JDBC read edge (readers.read_jdbc(retries=)) — Spark's
+    metastore has no single-writer file lock to retry.
+
+    ``metabase`` is a MetabaseClient (sources/metabase.py) and
+    ``metabase_auth`` its (username, password, database_id); the sync is
+    log-and-continue by contract, so a BI failure never fails the build.
+    Returns {"backup": dir|None, "loaded": [...], "dropped": [...],
+    "metabase_synced": bool|None}.
+    """
+    backup = (backup_before_rebuild(spark, backup_path, keep=backup_keep,
+                                    now=now)
+              if backup_path else None)
+    loaded = build_warehouse(spark, table_map, database=database)
+    dropped = reconcile_catalog(spark, set(table_map.values()),
+                                database=database)
+    synced = None
+    if metabase is not None and metabase_auth is not None:
+        user, password, db_id = metabase_auth
+        synced = metabase.sync_schema(user, password, db_id)
+    return {"backup": backup, "loaded": loaded, "dropped": dropped,
+            "metabase_synced": synced}

@@ -549,3 +549,37 @@ def test_service_account_resolution(tmp_path):
     with pytest.raises(RuntimeError, match="neither a valid path nor JSON"):
         resolve_service_account(
             env={"GOOGLE_SHEETS_CREDENTIALS": "no/such/file.json"})
+
+
+def test_rebuild_warehouse_end_to_end(spark, tmp_path, fake_metabase):
+    """The reference's nightly flow composed: backup+retention, map load,
+    stale-table drop, Metabase poke — one call, every step observable."""
+    import datetime as dt
+
+    from data_pipeline_foundations_spark.sources.metabase import (
+        MetabaseClient,
+    )
+    from data_pipeline_foundations_spark.sources.warehouse import (
+        rebuild_warehouse,
+    )
+    src = str(tmp_path / "in.parquet")
+    spark.range(4).write.parquet(src)
+    stale_name = "test_rw_stale"
+    spark.range(1).write.mode("overwrite").saveAsTable(stale_name)
+    backup_root = str(tmp_path / "dwh_dir")
+    spark.range(9).write.parquet(backup_root)  # pre-existing "warehouse"
+
+    out = rebuild_warehouse(
+        spark, {src: "test_rw_fact"},
+        backup_path=backup_root,
+        metabase=MetabaseClient(fake_metabase),
+        metabase_auth=("analyst", "pw1", 7),
+        now=dt.datetime(2026, 8, 14, 3, 0, 0))
+    try:
+        assert out["loaded"] == ["test_rw_fact"]
+        assert stale_name in out["dropped"]
+        assert out["backup"].endswith("dwh_dir_backup_20260814_030000")
+        assert out["metabase_synced"] is True
+        assert spark.table("test_rw_fact").count() == 4
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_rw_fact")
