@@ -92,3 +92,32 @@ def test_shingle_pipeline_stays_in_range(spark, sf_dir):
         for row in arrs:
             for v in row.sh:
                 assert 0 <= v < HASH_P
+
+
+def test_fast_path_new_consumers(spark, sf_dir):
+    """The round-4 hasher= consumers (containment pairs, boilerplate
+    removal) run end-to-end on the xx path with their contracts intact;
+    boilerplate detection is hash-family-INVARIANT (equality of segment
+    texts is what's detected, so md5 and xx must flag the same rows)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.operators.dedup import (
+        ngram_containment_pairs, remove_boilerplate_segments,
+    )
+    docs = load(spark, sf_dir, "documents")
+    rows = ngram_containment_pairs(docs, hasher="xx").collect()
+    release_cached_intermediates()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert max(r.containment_ab, r.containment_ba) >= 0.8
+
+    hdr = ("concat('nav menu home about contact rss login ', source,"
+           " ' ', text)")
+    d = docs.withColumn("text", F.expr(hdr))
+    by_hasher = {}
+    for hasher in ("md5", "xx"):
+        by_hasher[hasher] = {
+            r.doc_id: (r.n_segments, r.n_boilerplate, r.clean_text)
+            for r in remove_boilerplate_segments(d, hasher=hasher).collect()}
+        release_cached_intermediates()
+    assert by_hasher["md5"] == by_hasher["xx"]
