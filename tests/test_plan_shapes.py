@@ -91,3 +91,51 @@ def test_embedding_quantize_is_map_only(spark, sf_dir):
     from data_pipeline_foundations_spark.registry import all_queries
     plan = _executed(all_queries()["x30_embedding_quantize"].fn(spark, sf_dir))
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_bigram_coherence_exchange_budget(spark, sf_dir):
+    """x44's contract (same family as x33): the corpus's bigram stream
+    shuffles on the bigram key at most twice (frequency aggregate +
+    join-back — which AQE may instead satisfy by broadcasting the
+    aggregate, the strictly better runtime choice at small scale), plus
+    one per-doc rollup; never an unbounded extra text shuffle and never
+    a nested-loop join."""
+    import re
+
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(all_queries()["x44_bigram_coherence"].fn(spark, sf_dir))
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash <= 3, f"expected <=3 hash exchanges, saw {n_hash}"
+    assert ("BroadcastHashJoin" in plan or "ReusedExchange" in plan
+            or "SortMergeJoin" in plan)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_source_overlap_is_shingle_bounded(spark, sf_dir):
+    """x45's contract: the self-join keys on the shingle hash over the
+    DISTINCT (shingle, source) projection — bounded exchanges of long
+    keys (AQE may broadcast one side at small scale), and never a
+    cartesian/nested-loop pair explosion."""
+    import re
+
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(all_queries()["x45_source_overlap"].fn(spark, sf_dir))
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash <= 4, f"expected <=4 hash exchanges, saw {n_hash}"
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_boilerplate_exchange_budget(spark, sf_dir):
+    """x43's contract: exactly the three long-keyed hash exchanges the
+    docstring promises (df aggregate, flag join-back, per-doc reassembly)
+    — a regression that re-explodes or re-shuffles text shows up as a
+    fourth."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.registry import all_queries
+    df = all_queries()["x43_boilerplate_segments"].fn(spark, sf_dir)
+    plan = _executed(df)
+    release_cached_intermediates()
+    import re
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash <= 3, f"expected <=3 hash exchanges, saw {n_hash}"
