@@ -1,0 +1,51 @@
+"""Whole-registry physical-plan sweep.
+
+VERDICT r3 verified by hand that no registered plan contains a cartesian
+product, an unbounded nested-loop join, or a row-at-a-time Python UDF.
+This test makes that invariant permanent: every registered query is
+PLANNED (not executed — initial physical plan, cheap) and screened.
+
+BroadcastNestedLoopJoin is allowed only for the documented scalar
+attaches — a broadcast side of one row (corpus stats, centroid array,
+HLL register row, stratum-max row) or of n_queries≈10 rows under a
+non-equi self-exclusion predicate (x07). Anything new that plans a BNLJ
+or CartesianProduct must either justify itself onto this whitelist or
+restructure into an equi-join.
+"""
+
+from __future__ import annotations
+
+from data_pipeline_foundations_spark.registry import all_queries
+
+# query -> why a BroadcastNestedLoopJoin is legitimate here
+BNLJ_WHITELIST = {
+    "x07_cosine_topk": "broadcast of n_queries rows, non-equi self-exclusion",
+    "x20_ivf_ann": "single broadcast centroid-array row (crossJoin attach)",
+    "x24_bm25_topk": "single broadcast corpus-stats row",
+    "x27_hll_distinct": "single broadcast register row",
+    "x38_temperature_resample": "single broadcast stratum-max row",
+}
+
+
+def test_no_cartesian_no_row_python_udf_anywhere(spark, sf_dir):
+    failures = []
+    for name, spec in sorted(all_queries().items()):
+        plan = (spec.fn(spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString())
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-at-a-time Python UDF")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_WHITELIST:
+            failures.append(f"{name}: unlisted BroadcastNestedLoopJoin")
+    assert not failures, failures
+
+
+def test_bnlj_whitelist_is_tight(spark, sf_dir):
+    """The whitelist must not rot: every entry still plans a BNLJ (an
+    entry that stopped needing one should be removed so the screen
+    stays strict)."""
+    for name in BNLJ_WHITELIST:
+        plan = (all_queries()[name].fn(spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastNestedLoopJoin" in plan, name
