@@ -279,10 +279,17 @@ def oracle_srp_neighbors_sql(*, dim: int = 64, bits: int = 16,
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # ---------------------------------------------------------------------------
 def _ivf_quantizer(emb: DataFrame, id_col: str, vec_col: str,
-                   k_clusters: int, seed: int):
+                   k_clusters: int, seed: int, dim: int = 64):
     """(base, cents): the deterministic RNG-free coarse quantizer shared
     by ivf_topk and semantic_dedup — portable-hash initial lists,
     integer-mean centroids on the 1e-6 grid, exact int n2 + hoisted sqrt.
+
+    ``dim`` is accepted for signature symmetry with the columnar PQ
+    codebook; the centroid build here stays posexplode-based — the
+    columnar 64-SUM formulation was MEASURED SLOWER for the IVF shape
+    (x20 1.62 s -> 2.54 s at sf0.1: 64 wide aggregate buffers beat the
+    codegen'd skinny-row explode only when the explode factor is small,
+    which holds for PQ's m=8 but not for dim=64).
     """
     from ..functions.hashing import md5_long
 
@@ -313,7 +320,8 @@ def _ivf_quantizer(emb: DataFrame, id_col: str, vec_col: str,
 def ivf_topk(emb: DataFrame, *, id_col: str = "vec_id",
              vec_col: str = "embedding", k_clusters: int = 16,
              nprobe: int = 6, n_queries: int = 10, k: int = 5,
-             seed: int = 3, arrow: bool = False) -> DataFrame:
+             seed: int = 3, arrow: bool = False,
+             dim: int = 64) -> DataFrame:
     """IVF-flat ANN: partition the corpus into ``k_clusters`` inverted
     lists under a coarse quantizer, search only the ``nprobe`` lists
     nearest each query, rank candidates by exact quantized cosine.
@@ -348,7 +356,8 @@ def ivf_topk(emb: DataFrame, *, id_col: str = "vec_id",
     """
     from pyspark.sql import Window as W
 
-    base, cents = _ivf_quantizer(emb, id_col, vec_col, k_clusters, seed)
+    base, cents = _ivf_quantizer(emb, id_col, vec_col, k_clusters, seed,
+                                 dim=dim)
     if arrow:
         import math
 
@@ -609,27 +618,36 @@ PQ_SCALE = EMB_SCALE
 
 
 def _pq_codebook(base: DataFrame, id_col: str, block: int, ks: int,
-                 seed: int) -> DataFrame:
+                 seed: int, m: int = PQ_M) -> DataFrame:
     """(s, cid, cvec): integer-mean PQ centroid per (subspace,
     hash-bucket) over ``base``'s scaled vectors — shared by pq_topk and
-    ivfpq_rerank_topk. One partial-agg'd shuffle of (s, bucket, pos)
-    cells collapsing to m·ks·block longs ≈ KBs."""
+    ivfpq_rerank_topk.
+
+    Columnar like _ivf_quantizer: rows explode only m-fold into
+    (id, subspace, block-slice) cells, and ``block`` per-index SUMs +
+    one COUNT collapse them in a single map-side-combined shuffle of
+    m·ks groups — the old (s, bucket, pos) cell formulation inflated
+    dim-fold and paid two aggregate stages for identical arithmetic."""
     from ..functions.hashing import md5_long
 
-    cells = (base.select(id_col, F.posexplode("sv").alias("pos", "sx"))
-             .withColumn("s", (F.col("pos") / block).cast("int"))
+    subs = F.array(*[
+        F.struct(F.lit(s).cast("int").alias("s"),
+                 F.slice("sv", s * block + 1, block).alias("sub"))
+        for s in range(m)])
+    cells = (base.select(id_col, F.explode(subs).alias("e"))
+             .select(F.col(id_col), F.col("e.s").alias("s"),
+                     F.col("e.sub").alias("sub"))
              .withColumn("bucket", md5_long(
                  F.concat(F.col(id_col).cast("string"), F.lit(":"),
                           F.col("s").cast("string")), seed=seed) % ks))
-    cent = (cells.groupBy("s", "bucket", "pos")
-            .agg(F.floor(F.sum("sx").cast("double")
-                         / F.count(F.lit(1)).cast("double"))
-                 .cast("long").alias("c")))
-    return (cent.groupBy("s", "bucket")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))
-                 .alias("pc"))
-            .select("s", F.col("bucket").alias("cid"),
-                    F.transform("pc", lambda e: e["c"]).alias("cvec")))
+    sums = cells.groupBy("s", "bucket").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        *[F.sum(F.col("sub")[j]).alias(f"_s{j}") for j in range(block)])
+    return sums.select(
+        "s", F.col("bucket").alias("cid"),
+        F.array(*[F.floor(F.col(f"_s{j}").cast("double")
+                          / F.col("_cnt").cast("double")).cast("long")
+                  for j in range(block)]).alias("cvec"))
 
 
 def pq_topk(emb: DataFrame, *, id_col: str = "vec_id",
@@ -670,7 +688,7 @@ def pq_topk(emb: DataFrame, *, id_col: str = "vec_id",
     block = dim // m
     base = (scale_out(emb)
             .select(F.col(id_col), int_vec(vec_col).alias("sv")))
-    cents_df = _pq_codebook(base, id_col, block, ks, seed)
+    cents_df = _pq_codebook(base, id_col, block, ks, seed, m=m)
 
     wk = W.partitionBy("query_id").orderBy(F.col("total").asc(),
                                            F.col("neighbor_id").asc())
@@ -859,7 +877,7 @@ def ivfpq_rerank_topk(emb: DataFrame, *, id_col: str = "vec_id",
 
     block = dim // m
     base, ivf_cents = _ivf_quantizer(emb, id_col, vec_col, k_clusters,
-                                     ivf_seed)
+                                     ivf_seed, dim=dim)
     # KB-sized model collect (documented driver-side broadcast
     # equivalent): k_clusters IVF centroid rows, m·ks PQ codebook rows,
     # and n_queries query vectors — unioned into ONE generic-schema frame
@@ -870,7 +888,7 @@ def ivfpq_rerank_topk(emb: DataFrame, *, id_col: str = "vec_id",
         F.col("cid").cast("long"), F.col("cv").alias("vec"),
         F.col("cn2").alias("n2"))
     pq_part = _pq_codebook(base.select(id_col, "sv"), id_col, block, ks,
-                           pq_seed).select(
+                           pq_seed, m=m).select(
         F.lit(1).alias("kind"), F.col("s").cast("int"),
         F.col("cid").cast("long"), F.col("cvec").alias("vec"),
         F.lit(0).cast("long").alias("n2"))
@@ -1059,7 +1077,8 @@ def oracle_ivfpq_rerank_sql(*, dim: int = 64, k_clusters: int = 16,
 # ---------------------------------------------------------------------------
 def semantic_dedup(emb: DataFrame, *, id_col: str = "vec_id",
                    vec_col: str = "embedding", k_clusters: int = 16,
-                   threshold: float = 0.5, seed: int = 3) -> DataFrame:
+                   threshold: float = 0.5, seed: int = 3,
+                   dim: int = 64) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
     Data-efficient learning at web-scale through semantic deduplication",
     2023): cluster the embedding space with the deterministic IVF coarse
@@ -1082,7 +1101,8 @@ def semantic_dedup(emb: DataFrame, *, id_col: str = "vec_id",
     from .clustering import connected_components
     from .vectorized import bucket_pair_cosines
 
-    base, cents = _ivf_quantizer(emb, id_col, vec_col, k_clusters, seed)
+    base, cents = _ivf_quantizer(emb, id_col, vec_col, k_clusters, seed,
+                                 dim=dim)
     cents_arr = tracked_persist(cents.agg(
         F.collect_list(F.struct("cid", "cv", "crt")).alias("cents")))
     scored_cents = F.transform(
