@@ -847,3 +847,119 @@ def boilerplate_profile(docs: DataFrame, *, id_col: str = "doc_id",
             .filter(F.col("seg_df") >= min_df)
             .groupBy(group_col)
             .agg(F.sort_array(F.collect_set("fp")).alias("bfps")))
+
+
+def dedup_repeated_windows(docs: DataFrame, *, id_col: str = "doc_id",
+                           text_col: str = "text", win_tokens: int = 4,
+                           hasher: str = "md5") -> DataFrame:
+    """Exact repeated-substring dedup: remove every duplicated
+    ``win_tokens``-token window except its globally-first occurrence.
+
+    The ExactSubstr pass of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better" (ACL'22), re-expressed over OVERLAPPING
+    stride-1 token windows instead of a suffix array: a window whose
+    fingerprint occurs more than once in the corpus (any source, any
+    position — unlike remove_boilerplate_segments' per-source,
+    non-overlapping, min_df-thresholded segments) is a duplicated span;
+    the single occurrence with the smallest combined key
+    ``doc_id * 2^20 + start`` survives, every other occurrence marks its
+    ``[start, start+win_tokens)`` token span for removal, and each
+    document is reassembled from its unmasked tokens in order. Returns
+    (id, n_tokens, n_dup_windows, n_removed_tokens, clean_text), where
+    n_dup_windows counts this document's REMOVED window occurrences and
+    n_removed_tokens the distinct masked positions (overlapping removed
+    windows share tokens).
+
+    The combined key is portable exact-int arithmetic (the DuckDB twin
+    reproduces the argmin bit-for-bit) and requires start < 2^20 —
+    a ~1M-token document bound, documented rather than checked per row.
+
+    Scale shape: the window explode is scan-local (split once, slice per
+    start — n-k+1 windows per n-token doc, same inflation an n-gram
+    shingle pass pays); ONE long-keyed shuffle aggregates (count, argmin)
+    per fingerprint; the flag join-back reuses the fingerprint key; the
+    reassembly groupBy ships only (doc, start) longs for removed windows,
+    never text; and the final mask is a per-row HOF over the original
+    token array. No all-pairs stage exists, so corpus² never appears.
+    """
+    h = HASHERS[hasher]
+    k = win_tokens
+    d = (scale_out(docs)
+         .withColumn("_toks", F.split(F.col(text_col), " "))
+         .withColumn("_n", F.size("_toks")))
+    # Scan-local fingerprinting: slice+hash runs inside a transform over
+    # the starts BEFORE the explode, so the persisted window table is
+    # three longs per window and the token arrays never leave the scan.
+    wins = tracked_persist(
+        d.select(F.col(id_col), F.posexplode(
+            F.when(F.col("_n") >= k, F.transform(
+                F.sequence(F.lit(1), F.col("_n") - k + 1),
+                lambda s: h(F.array_join(F.slice("_toks", s, k), " "))))
+            .otherwise(F.array().cast("array<long>"))).alias("_i", "fp"))
+        .withColumn("start", F.col("_i").cast("long") + 1)
+        .select(F.col(id_col), "start", "fp",
+                (F.col(id_col).cast("long") * F.lit(2 ** 20)
+                 + F.col("start")).alias("mk")),
+        eager=False)
+    agg = (wins.groupBy("fp")
+           .agg(F.count(F.lit(1)).alias("cnt"), F.min("mk").alias("mn")))
+    rem = (wins.join(agg, "fp")
+           .filter((F.col("cnt") >= 2) & (F.col("mk") != F.col("mn")))
+           .groupBy(id_col)
+           .agg(F.collect_list("start").alias("_rs")))
+    out = (d.join(rem, id_col, "left")
+           .withColumn("_rs", F.coalesce(
+               F.col("_rs"), F.array().cast("array<long>")))
+           .withColumn("_rp", F.array_distinct(F.flatten(F.transform(
+               "_rs", lambda s: F.sequence(s, s + k - 1))))))
+    clean = F.array_join(
+        F.filter("_toks",
+                 lambda x, i: ~F.array_contains("_rp", i.cast("long") + 1)),
+        " ")
+    return out.select(
+        F.col(id_col), F.col("_n").cast("long").alias("n_tokens"),
+        F.size("_rs").cast("long").alias("n_dup_windows"),
+        F.size("_rp").cast("long").alias("n_removed_tokens"),
+        clean.alias("clean_text"))
+
+
+def oracle_repeated_windows_sql(*, win_tokens: int = 4,
+                                raw_sql: str = "text") -> str:
+    k = win_tokens
+    fp = oracle_md5_long("wtext")
+    return f"""
+    WITH t AS (
+        SELECT doc_id, string_split({raw_sql}, ' ') AS toks FROM documents
+    ), w AS (
+        SELECT doc_id, CAST(s AS BIGINT) AS start,
+               array_to_string(list_slice(toks, s, s + {k} - 1), ' ')
+                   AS wtext
+        FROM (SELECT doc_id, toks,
+                     unnest(range(1, greatest(len(toks) - {k} + 1, 0) + 1))
+                         AS s
+              FROM t)
+    ), f AS (
+        SELECT doc_id, start, {fp} AS fp,
+               doc_id * 1048576 + start AS mk
+        FROM w
+    ), g AS (
+        SELECT fp, COUNT(*) AS cnt, MIN(mk) AS mn FROM f GROUP BY fp
+    ), rem AS (
+        SELECT doc_id, start FROM f JOIN g USING (fp)
+        WHERE cnt >= 2 AND mk <> mn
+    ), remlist AS (
+        SELECT doc_id, list(start) AS rs,
+               list_distinct(flatten(list_transform(
+                   list(start), s -> range(s, s + {k})))) AS rp
+        FROM rem GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(r.rs), 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(len(r.rp), 0) AS BIGINT) AS n_removed_tokens,
+           COALESCE(array_to_string(
+               list_filter(t.toks,
+                           (x, i) -> NOT list_contains(
+                               COALESCE(r.rp, []), CAST(i AS BIGINT))),
+               ' '), '') AS clean_text
+    FROM t LEFT JOIN remlist r USING (doc_id)
+    """

