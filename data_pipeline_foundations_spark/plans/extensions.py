@@ -622,3 +622,38 @@ def x47_image_resize(spark, sf_dir):
     from ..operators.multimodal import attach_binary, resize_images
     return resize_images(attach_binary(scale_out(load(spark, sf_dir,
                                                       "documents"))))
+
+
+# ---------------------------------------------------------------------------
+# x49 — leakage-safe train/holdout split (cluster-granular assignment)
+# ---------------------------------------------------------------------------
+
+
+@query("x49_leakage_safe_split",
+       oracle=f"""
+    SELECT c.doc_id, c.cluster_id, c.cluster_size,
+           CASE WHEN ({{bucket}}) < 90 THEN 'train' ELSE 'holdout' END
+               AS split
+    FROM ({oracle_dedup_clusters_sql(oracle_minhash_lsh_sql())}) c
+    """.format(bucket=__import__(
+           "data_pipeline_foundations_spark.functions.hashing",
+           fromlist=["oracle_md5_long"],
+       ).oracle_md5_long("CAST(c.cluster_id AS VARCHAR)", seed=7) + " % 100"))
+def x49_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/holdout split: assign ENTIRE near-dup clusters
+    (x15's MinHash-LSH -> connected-components machinery) to a split by
+    a deterministic hash of the cluster id, so no document ever lands in
+    train while a near-duplicate of it sits in holdout — the eval-
+    contamination guard a per-document random split cannot give (the
+    standard pitfall Lee et al. ACL'22 §6 measure as benchmark overlap).
+    Singleton docs are their own cluster, so the expected split ratio
+    still tracks the 90/100 hash threshold. Adds ZERO shuffles on top of
+    x15 — the split column is a map-side hash of the cluster label."""
+    from ..functions.hashing import md5_long
+    docs = load(spark, sf_dir, "documents")
+    clusters = dedup_clusters(docs, minhash_lsh_pairs(docs))
+    return clusters.select(
+        "doc_id", "cluster_id", "cluster_size",
+        F.when(md5_long(F.col("cluster_id").cast("string"), seed=7)
+               % 100 < 90, F.lit("train"))
+        .otherwise(F.lit("holdout")).alias("split"))

@@ -648,3 +648,52 @@ def x48_repeated_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (load(spark, sf_dir, "documents")
          .withColumn("text", F.expr(_XW_SPARK)))
     return dedup_repeated_windows(d, win_tokens=_XW_K)
+
+
+# ---------------------------------------------------------------------------
+# x50 — per-source contribution cap (anti-spam domain throttling)
+# ---------------------------------------------------------------------------
+
+_CAP_PER_SOURCE = 20
+
+
+@query(
+    "x50_source_cap",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(rnk AS BIGINT) AS rnk,
+           unique_ratio
+    FROM (
+        SELECT doc_id, source,
+               {oracle_unique_token_ratio('text')} AS unique_ratio,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {oracle_unique_token_ratio('text')} DESC,
+                            doc_id ASC) AS rnk
+        FROM documents
+    )
+    WHERE rnk <= {_CAP_PER_SOURCE}
+    """,
+)
+def x50_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contribution cap: keep at most N documents per source,
+    ranked by lexical diversity — the anti-spam domain throttle every
+    web-scale corpus applies so one prolific domain cannot dominate the
+    mixture (C4 keeps three sentences per page hash; RefinedWeb and
+    Dolma cap URL/domain contributions the same way). One shuffle on
+    source; ranking is a window row_number with the deterministic
+    (ratio DESC, doc_id ASC) tiebreak; the diversity score is a
+    scan-local HOF. At 100 TB a hot domain is a skewed key — the cap
+    itself bounds the retained rows, and the window's sort per source
+    spills safely; a two-phase pre-rank (per-partition top-N before the
+    shuffle) is the upgrade if a single domain exceeds executor memory."""
+    from pyspark.sql import Window as W
+
+    from ..functions.text import unique_token_ratio
+    d = (scale_out(load(spark, sf_dir, "documents"))
+         .withColumn("unique_ratio", unique_token_ratio("text")))
+    w = W.partitionBy("source").orderBy(F.col("unique_ratio").desc(),
+                                        F.col("doc_id").asc())
+    return (d.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= _CAP_PER_SOURCE)
+            .select("doc_id", "source", "rnk", "unique_ratio"))
