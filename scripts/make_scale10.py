@@ -1,0 +1,77 @@
+"""Build the 10x scaling corpus from SCALING.md's recipe (documents +
+embeddings), so scaling rows are reproducible instead of ad-hoc.
+
+- documents x10: replicas k=1..9 prefix EVERY token with ``r{k}_`` so
+  replica shingle sets are disjoint — pair structure scales linearly
+  instead of piling up artificial near-duplicates.
+- embeddings x10: replicas add per-element hash-random noise
+  ``0.6 * ((hash(vec_id:k:i) % 1000001) / 1e6 - 0.5)`` — fixed-frequency
+  sinusoid offsets are pairwise-correlated and silently densify the
+  near-dup graph (see SCALING.md for the rejected constructions).
+
+Usage: python scripts/make_scale10.py [--src /root/testdata/sf0.1]
+       [--out /tmp/scale10]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import duckdb
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/scale10")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    con = duckdb.connect()
+
+    docs = f"{args.src}/documents.parquet"
+    n_docs = con.execute(
+        f"SELECT MAX(doc_id) + 1 FROM '{docs}'").fetchone()[0]
+    con.execute(f"""
+    COPY (
+        SELECT doc_id, text, lang, source, n_chars FROM '{docs}'
+        UNION ALL
+        SELECT d.doc_id + k.k * {n_docs},
+               array_to_string(list_transform(
+                   string_split(d.text, ' '),
+                   t -> 'r' || k.k || '_' || t), ' ') AS text,
+               d.lang, d.source, d.n_chars
+        FROM '{docs}' d, (SELECT unnest(range(1, 10)) AS k) k
+    ) TO '{args.out}/documents.parquet' (FORMAT PARQUET)
+    """)
+
+    emb = f"{args.src}/embeddings.parquet"
+    n_vecs = con.execute(
+        f"SELECT MAX(vec_id) + 1 FROM '{emb}'").fetchone()[0]
+    con.execute(f"""
+    COPY (
+        SELECT vec_id, embedding FROM '{emb}'
+        UNION ALL
+        SELECT e.vec_id + k.k * {n_vecs},
+               list_transform(
+                   list_zip(e.embedding,
+                            range(1, len(e.embedding) + 1)),
+                   p -> CAST(p[1] + 0.6 * (
+                       (hash(e.vec_id || ':' || k.k || ':' || p[2])
+                        % 1000001) / 1e6 - 0.5) AS FLOAT)) AS embedding
+        FROM '{emb}' e, (SELECT unnest(range(1, 10)) AS k) k
+    ) TO '{args.out}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+
+    # the remaining tables are consumed by relational queries that the
+    # scaling study doesn't re-time — symlink them so tables.load works
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"):
+        dst = f"{args.out}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{args.src}/{t}.parquet", dst)
+    print("wrote", args.out, "docs x10 =", n_docs * 10,
+          "vecs x10 =", n_vecs * 10)
+
+
+if __name__ == "__main__":
+    main()
