@@ -483,14 +483,19 @@ def x40_ngram_novelty(spark, sf_dir):
     diversity/redundancy curve for curriculum and dedup-threshold tuning
     (a corpus whose tail documents contribute no novel n-grams is
     saturated). Scale shape: the inverted index shuffles once on the
-    31-bit shingle hash; the min-aggregate and the join-back reuse that
-    exchange, and the per-doc rollup is one more long-only shuffle —
-    identical discipline to x06's index (operators/dedup.py)."""
+    31-bit shingle hash and is LAZILY PERSISTED — AQE compiles the
+    min-aggregate and the join-back as independent subtrees (no
+    ReusedExchange), so without the persist the scan + shingle-hash
+    pipeline executed twice; the per-doc rollup is one more long-only
+    shuffle — identical discipline to x06's index (operators/dedup.py)."""
+    from ..operators.caching import tracked_persist
     docs = load(spark, sf_dir, "documents")
-    inv = (with_shingle_hashes(scale_out(docs), "text", 3, out="_sh")
-           .select("doc_id",
-                   F.explode_outer(F.array_distinct("_sh")).alias("s"))
-           .filter(F.col("s").isNotNull()))
+    inv = tracked_persist(
+        with_shingle_hashes(scale_out(docs), "text", 3, out="_sh")
+        .select("doc_id",
+                F.explode_outer(F.array_distinct("_sh")).alias("s"))
+        .filter(F.col("s").isNotNull()),
+        eager=False)
     first = inv.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     return (inv.join(first, "s")
             .groupBy("doc_id")

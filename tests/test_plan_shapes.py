@@ -115,13 +115,18 @@ def test_source_overlap_is_shingle_bounded(spark, sf_dir):
     """x45's contract: the self-join keys on the shingle hash over the
     DISTINCT (shingle, source) projection — bounded exchanges of long
     keys (AQE may broadcast one side at small scale), and never a
-    cartesian/nested-loop pair explosion."""
+    cartesian/nested-loop pair explosion. Budget is 5: the distinct
+    shuffle building the persisted (source, shingle) table, one
+    re-exchange on the shingle per join side (both now read the CACHE,
+    not the corpus — the persist traded one extra long-key exchange for
+    halving the scan+md5 work), and the final pair aggregate."""
     import re
 
     from data_pipeline_foundations_spark.registry import all_queries
     plan = _executed(all_queries()["x45_source_overlap"].fn(spark, sf_dir))
+    release_cached_intermediates()
     n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
-    assert n_hash <= 4, f"expected <=4 hash exchanges, saw {n_hash}"
+    assert n_hash <= 5, f"expected <=5 hash exchanges, saw {n_hash}"
     assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 

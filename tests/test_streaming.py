@@ -237,3 +237,56 @@ def test_boilerplate_stream_equals_batch(spark, sf_dir, tmp_path):
            for r in spark.sql("SELECT * FROM boiler_out").collect()}
     assert got == want
     assert any(v[1] > 0 for v in got.values())  # chrome actually stripped
+
+
+def test_span_mask_stream_contains_batch(spark, sf_dir, tmp_path):
+    """x48's streaming twin: (1) exact masking on a hand-built corpus —
+    the stream masks EVERY occurrence of a profiled span, including the
+    first one the batch pass keeps; (2) containment on the real corpus —
+    per document the stream removes at least what batch x48 removes,
+    because the profile covers exactly the duplicated fingerprints."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.operators.dedup import (
+        dedup_repeated_windows,
+    )
+    from data_pipeline_foundations_spark.streaming.span_mask import (
+        dup_window_profile, mask_stream,
+    )
+    from data_pipeline_foundations_spark.tables import load
+
+    def run(docs_df, name):
+        profile = dup_window_profile(docs_df, win_tokens=4)
+        src = str(tmp_path / name)
+        with_ts = docs_df.withColumn(
+            "event_ts", F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id").cast("double")))
+        with_ts.write.parquet(src)
+        stream = (spark.readStream.schema(with_ts.schema)
+                  .format("parquet").load(src))
+        q = (mask_stream(stream, profile, win_tokens=4)
+             .writeStream.outputMode("complete")
+             .format("memory").queryName(name)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        return {r.doc_id: r for r in
+                spark.sql(f"SELECT * FROM {name}").collect()}
+
+    tiny = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y a b c d w"),
+         (3, "p q r s t"), (4, "u v")],
+        "doc_id long, text string")
+    got = run(tiny, "span_tiny")
+    assert got[1].clean_text == "e"            # first occurrence masked too
+    assert got[2].clean_text == "x y w"
+    assert got[3].clean_text == "p q r s t"
+    assert got[4].clean_text == "u v" and got[4].n_tokens == 2
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = {r.doc_id: r.n_removed_tokens
+             for r in dedup_repeated_windows(docs, win_tokens=4).collect()}
+    got = run(docs, "span_corpus")
+    assert set(got) == set(batch)
+    assert all(got[d].n_removed_tokens >= batch[d] for d in batch)
+    assert any(v > 0 for v in batch.values())
