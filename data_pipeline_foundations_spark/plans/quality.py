@@ -711,3 +711,112 @@ def x50_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.withColumn("rnk", F.row_number().over(w).cast("long"))
             .filter(F.col("rnk") <= _CAP_PER_SOURCE)
             .select("doc_id", "source", "rnk", "unique_ratio"))
+
+
+# ---------------------------------------------------------------------------
+# x51 — bigram LM negative log-likelihood (CCNet-style perplexity filter)
+# ---------------------------------------------------------------------------
+# The language-model quality filter of CCNet (Wenzek et al., "CCNet:
+# Extracting high quality monolingual datasets from web crawl data",
+# LREC 2020): score each document by the mean negative log-likelihood of
+# its bigrams under a corpus-trained add-one-smoothed bigram model —
+# high-NLL docs are gibberish/boilerplate, very-low-NLL docs are
+# degenerate repetition; the mixture keeps the middle. KenLM's 5-gram
+# Kneser-Ney becomes add-one bigram here so the model itself is two
+# exact-count aggregates any engine reproduces.
+#
+# Determinism: -ln p = ln(c1 + V) - ln(c2 + 1) has INTEGER arguments,
+# and each bigram's value is quantized to the 1e-6 grid as int64 BEFORE
+# the per-doc sum (the similarity family's quantized-contract trick) —
+# integer sums are order-independent, so shuffle order can never flip a
+# float bit; the only cross-engine assumption is ln(integer) equality,
+# the same one x24's BM25 idf already pins.
+
+_NLL_SCALE = 1_000_000.0
+
+
+@query(
+    "x51_bigram_nll",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), tok AS (
+        SELECT doc_id, unnest(toks) AS w FROM t
+    ), uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok GROUP BY w
+    ), v AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS vsize FROM uni
+    ), bgl AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                              i -> struct_pack(w1 := toks[i],
+                                               w2 := toks[i + 1])) AS bgs
+        FROM t
+    ), b AS (
+        SELECT doc_id, unnest(bgs, recursive := false) AS bg FROM bgl
+    ), bx AS (
+        SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b
+    ), c2 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bx GROUP BY w1, w2
+    ), scored AS (
+        SELECT bx.doc_id,
+               CAST(FLOOR((ln(CAST(u.c1 + v.vsize AS DOUBLE))
+                           - ln(CAST(c2.c2 + 1 AS DOUBLE)))
+                          * {_NLL_SCALE} + 0.5) AS BIGINT) AS qnll
+        FROM bx
+        JOIN c2 USING (w1, w2)
+        JOIN uni u ON u.w = bx.w1
+        CROSS JOIN v
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(qnll) AS BIGINT) AS sum_qnll,
+           CAST(SUM(qnll) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * {_NLL_SCALE}) AS mean_nll
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def x51_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean add-one-smoothed bigram negative log-likelihood per document
+    (the CCNet perplexity-filter analog; see module comment). Scale
+    shape: the token and bigram tables are lazily persisted (each feeds
+    a count aggregate AND a join-back); counts shuffle on their own keys
+    with map-side combine; the vocabulary size is ONE broadcast row; the
+    per-doc rollup sums exact int64 grid values, so no double ever
+    crosses a shuffle."""
+    from ..operators.caching import tracked_persist
+    d = (scale_out(load(spark, sf_dir, "documents"))
+         .withColumn("_toks", F.split("text", " ")))
+    tok = tracked_persist(
+        d.select("doc_id", F.explode_outer("_toks").alias("w"))
+        .filter(F.col("w").isNotNull()),
+        eager=False)
+    uni = tracked_persist(
+        tok.groupBy("w").agg(F.count(F.lit(1)).alias("c1")),
+        eager=False)
+    vrow = uni.agg(F.count(F.lit(1)).alias("vsize"))
+    bx = tracked_persist(
+        d.select("doc_id", F.explode_outer(F.filter(
+            F.zip_with("_toks", F.slice("_toks", 2, F.size("_toks")),
+                       lambda x, y: F.struct(x.alias("w1"), y.alias("w2"))),
+            lambda s: s["w2"].isNotNull())).alias("bg"))
+        .filter(F.col("bg").isNotNull())
+        .select("doc_id", F.col("bg.w1").alias("w1"),
+                F.col("bg.w2").alias("w2")),
+        eager=False)
+    c2 = bx.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    qnll = F.floor(
+        (F.log((F.col("c1") + F.col("vsize")).cast("double"))
+         - F.log((F.col("c2") + 1).cast("double")))
+        * F.lit(_NLL_SCALE) + F.lit(0.5)).cast("long")
+    return (bx.join(c2, ["w1", "w2"])
+            .join(uni.withColumnRenamed("w", "w1"), "w1")
+            .crossJoin(F.broadcast(vrow))
+            .select("doc_id", qnll.alias("qnll"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("qnll").alias("sum_qnll"))
+            .select("doc_id", "n_bigrams", "sum_qnll",
+                    (F.col("sum_qnll").cast("double")
+                     / (F.col("n_bigrams").cast("double")
+                        * F.lit(_NLL_SCALE))).alias("mean_nll")))

@@ -24,6 +24,7 @@ BNLJ_WHITELIST = {
     "x24_bm25_topk": "single broadcast corpus-stats row",
     "x27_hll_distinct": "single broadcast register row",
     "x38_temperature_resample": "single broadcast stratum-max row",
+    "x51_bigram_nll": "single broadcast vocabulary-size row",
 }
 
 
