@@ -361,15 +361,19 @@ def x33_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean corpus-frequency of each document's tokens — the
     corpus-RELATIVE quality signal (gibberish and boilerplate sit at
     the two extremes) that x22's doc-local stats cannot express.
-    Scale shape: the token-frequency aggregate and the join back to the
-    token stream shuffle on the SAME key, so the exchange is reused
-    (x06's inverted-index discipline); the per-doc rollup is one more
-    map-side-combined shuffle. Exact integer sum, one final double
-    division — cross-engine bit-stable."""
+    Scale shape: the exploded token table is LAZILY PERSISTED — it
+    feeds the frequency aggregate AND the join-back, and AQE compiles
+    those as independent subtrees (no ReusedExchange), so without the
+    persist the scan + split pipeline executed twice; the per-doc
+    rollup is one more map-side-combined shuffle. Exact integer sum,
+    one final double division — cross-engine bit-stable."""
+    from ..operators.caching import tracked_persist
     d = scale_out(load(spark, sf_dir, "documents"))
-    toks = (d.select("doc_id",
-                     F.explode_outer(F.split("text", " ")).alias("token"))
-            .filter(F.col("token").isNotNull() & (F.col("token") != "")))
+    toks = tracked_persist(
+        d.select("doc_id",
+                 F.explode_outer(F.split("text", " ")).alias("token"))
+        .filter(F.col("token").isNotNull() & (F.col("token") != "")),
+        eager=False)
     cf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tok_cf"))
     return (toks.join(cf, "token")
             .groupBy("doc_id")
