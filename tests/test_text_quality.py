@@ -242,3 +242,22 @@ def test_repeated_window_dedup_is_idempotent(spark, sf_dir):
     r2 = again.agg(F.sum("n_removed_tokens")).collect()[0][0]
     assert r1 > 0          # the corpus genuinely contains repeated spans
     assert r2 < r1         # masking converges, it does not oscillate
+
+
+def test_leakage_safe_split_never_straddles_pairs(spark, sf_dir):
+    """x49's whole point, pinned directly: for EVERY near-dup candidate
+    pair the two documents land in the same split — a per-document
+    random split violates this for any pair that hashes differently."""
+    from data_pipeline_foundations_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from data_pipeline_foundations_spark.registry import all_queries
+    from data_pipeline_foundations_spark.tables import load
+
+    split = {r.doc_id: r.split for r in all_queries()
+             ["x49_leakage_safe_split"].fn(spark, sf_dir).collect()}
+    pairs = minhash_lsh_pairs(load(spark, sf_dir, "documents")).collect()
+    assert pairs  # the corpus genuinely contains near-dups
+    assert all(split[p.doc_a] == split[p.doc_b] for p in pairs)
+    # and the split is genuinely two-sided at this scale
+    assert {"train", "holdout"} == set(split.values())
