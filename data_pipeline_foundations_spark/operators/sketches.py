@@ -179,3 +179,81 @@ def oracle_hll_distinct_sql(*, strata_sql: str = "lang",
            zero_registers, n_exact
     FROM agg JOIN ex USING (strata)
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch — the mergeable COUNTING twin of the HLL above
+# ---------------------------------------------------------------------------
+# Cormode & Muthukrishnan, "An improved data stream summary: the
+# count-min sketch and its applications", J. Algorithms 2005. Same
+# portability discipline as HLL: every hash row is the md5 portable hash
+# under a distinct seed, every cell an exact int64 sum — so the same
+# sketch, bit for bit, comes out of Spark and DuckDB, and sketches built
+# on different shards/days/engines merge by cell-wise addition. Estimates
+# are upper bounds (est >= true always; error <= 2e/W · N with
+# probability 1 - (1/2)^D), pinned by tests.
+
+CMS_D = 4                    # hash rows
+CMS_W = 256                  # buckets per row
+CMS_SEED0 = 101              # row r hashes with seed CMS_SEED0 + r
+
+
+def _cms_bucket(col, r: int):
+    from ..functions.hashing import md5_long
+    return md5_long(col, seed=CMS_SEED0 + r) % CMS_W
+
+
+def cms_sketch(items: DataFrame, key_col: str) -> DataFrame:
+    """(row, bucket, cnt): the D×W sketch of the key stream. One
+    map-side-combined shuffle of at most D·W tiny rows regardless of
+    stream size — the explode is D rows per item, scan-local."""
+    rows = F.array(*[
+        F.struct(F.lit(r).cast("int").alias("row"),
+                 _cms_bucket(F.col(key_col), r).alias("bucket"))
+        for r in range(CMS_D)])
+    return (items.select(F.explode(rows).alias("rb"))
+            .select("rb.row", "rb.bucket")
+            .groupBy("row", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum — the mergeable-summary contract (associative,
+    commutative; exact int64 sums)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame,
+                 key_col: str) -> DataFrame:
+    """(key, est_count): min over the key's D cells. The sketch is D·W
+    rows — broadcast; a key whose cell was never touched reads 0."""
+    rows = F.array(*[
+        F.struct(F.lit(r).cast("int").alias("row"),
+                 _cms_bucket(F.col(key_col), r).alias("bucket"))
+        for r in range(CMS_D)])
+    cells = (keys.select(F.col(key_col), F.explode(rows).alias("rb"))
+             .select(key_col, "rb.row", "rb.bucket"))
+    return (cells.join(F.broadcast(sketch), ["row", "bucket"], "left")
+            .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+            .groupBy(key_col)
+            .agg(F.min("cnt").alias("est_count")))
+
+
+def oracle_cms_ctes(key_sql: str, src_sql: str) -> str:
+    """CTEs ``cms_sketch`` (row, bucket, cnt) over ``src_sql``'s
+    ``key_sql`` stream — the DuckDB twin of cms_sketch."""
+    from ..functions.hashing import oracle_md5_long
+    row_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT {r} AS row, "
+        f"({oracle_md5_long(key_sql, seed=CMS_SEED0 + r)}) % {CMS_W} "
+        f"AS bucket FROM {src_sql}"
+        for r in range(CMS_D))
+    return f"""cms_cells AS (
+        {row_selects}
+    ), cms_sketch AS (
+        SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cms_cells GROUP BY row, bucket
+    )"""

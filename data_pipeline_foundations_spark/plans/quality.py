@@ -824,3 +824,69 @@ def x51_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("sum_qnll").cast("double")
                      / (F.col("n_bigrams").cast("double")
                         * F.lit(_NLL_SCALE))).alias("mean_nll")))
+
+
+# ---------------------------------------------------------------------------
+# x52 — count-min heavy hitters (the mergeable counting sketch)
+# ---------------------------------------------------------------------------
+
+_CMS_TOPN = 20
+
+
+def _oracle_cms_topk_sql() -> str:
+    from ..operators.sketches import (
+        CMS_D, CMS_SEED0, CMS_W, oracle_cms_ctes,
+    )
+    from ..functions.hashing import oracle_md5_long
+    key_cells = "\n        UNION ALL\n        ".join(
+        f"SELECT token, true_count, {r} AS row, "
+        f"({oracle_md5_long('token', seed=CMS_SEED0 + r)}) % {CMS_W} "
+        f"AS bucket FROM top"
+        for r in range(CMS_D))
+    return f"""
+    WITH t AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), tok AS (
+        SELECT w FROM t WHERE w IS NOT NULL
+    ), {oracle_cms_ctes('w', 'tok')}, true_c AS (
+        SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS true_count
+        FROM tok GROUP BY w
+    ), top AS (
+        SELECT token, true_count FROM true_c
+        ORDER BY true_count DESC, token ASC LIMIT {_CMS_TOPN}
+    ), cells AS (
+        {key_cells}
+    )
+    SELECT token, true_count,
+           CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est_count
+    FROM cells LEFT JOIN cms_sketch s USING (row, bucket)
+    GROUP BY token, true_count
+    """
+
+
+@query("x52_cms_heavy_hitters", oracle=_oracle_cms_topk_sql())
+def x52_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection via a Count-Min sketch (Cormode &
+    Muthukrishnan 2005): the corpus token stream collapses to a D×W
+    integer sketch in one map-side-combined shuffle, the exact top-N
+    (the oracle-coverage twin, a TakeOrderedAndProject) rides the SAME
+    persisted token table, and each candidate's estimate is the min of
+    its D broadcast-joined cells — est_count >= true_count always, the
+    one-sided CMS error bound pinned by tests. The sketch is the
+    production path at 100 TB: per-shard sketches merge cell-wise
+    (operators/sketches.cms_merge) without ever re-shuffling tokens."""
+    from ..operators.caching import tracked_persist
+    from ..operators.sketches import cms_estimate, cms_sketch
+    d = scale_out(load(spark, sf_dir, "documents"))
+    toks = tracked_persist(
+        d.select(F.explode_outer(F.split("text", " ")).alias("token"))
+        .filter(F.col("token").isNotNull()),
+        eager=False)
+    true_top = (toks.groupBy("token")
+                .agg(F.count(F.lit(1)).alias("true_count"))
+                .orderBy(F.col("true_count").desc(), F.col("token").asc())
+                .limit(_CMS_TOPN))
+    sketch = cms_sketch(toks, "token")
+    est = cms_estimate(sketch, true_top.select("token"), "token")
+    return true_top.join(est, "token").select(
+        "token", "true_count", F.col("est_count"))

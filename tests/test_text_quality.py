@@ -261,3 +261,38 @@ def test_leakage_safe_split_never_straddles_pairs(spark, sf_dir):
     assert all(split[p.doc_a] == split[p.doc_b] for p in pairs)
     # and the split is genuinely two-sided at this scale
     assert {"train", "holdout"} == set(split.values())
+
+
+def test_cms_upper_bound_and_merge(spark, sf_dir):
+    """CMS contracts: (1) est >= true for EVERY token, not just heavy
+    hitters — the one-sided error guarantee; (2) cell-wise merge of
+    per-source shard sketches equals the whole-corpus sketch exactly
+    (int64 sums are associative), the same mergeable-summary pin the
+    HLL family carries."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.operators.sketches import (
+        cms_estimate, cms_merge, cms_sketch,
+    )
+    from data_pipeline_foundations_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    toks = (docs.select("source",
+                        F.explode(F.split("text", " ")).alias("token")))
+    whole = cms_sketch(toks, "token")
+    truth = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tc"))
+    est = cms_estimate(whole, truth.select("token"), "token")
+    joined = truth.join(est, "token").collect()
+    assert joined
+    assert all(r.est_count >= r.tc for r in joined)
+    assert any(r.est_count == r.tc for r in joined)  # min-row often exact
+
+    sources = [r.source for r in toks.select("source").distinct().collect()]
+    shards = [cms_sketch(toks.filter(F.col("source") == s), "token")
+              for s in sources[:3]]
+    rest = cms_sketch(toks.filter(~F.col("source").isin(sources[:3])),
+                      "token")
+    merged = cms_merge(*shards, rest)
+    key = lambda r: (r.row, r.bucket)
+    assert sorted(merged.collect(), key=key) == \
+        sorted(whole.collect(), key=key)
