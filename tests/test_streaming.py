@@ -290,3 +290,38 @@ def test_span_mask_stream_contains_batch(spark, sf_dir, tmp_path):
     assert set(got) == set(batch)
     assert all(got[d].n_removed_tokens >= batch[d] for d in batch)
     assert any(v > 0 for v in batch.values())
+
+
+def test_cms_sketch_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The CMS builder is one explode + groupBy-count, so the SAME
+    function runs unchanged as a Structured Streaming stateful
+    aggregation — on a closed input the streamed sketch equals the batch
+    sketch cell-for-cell (int64 sums, arrival-order-free). This is the
+    operational point of a mergeable sketch: the ingest can maintain it
+    incrementally and hand analysts the same bits batch would."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.operators.sketches import (
+        cms_sketch,
+    )
+    from data_pipeline_foundations_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    want = sorted(cms_sketch(toks, "token").collect(),
+                  key=lambda r: (r.row, r.bucket))
+
+    src = str(tmp_path / "docs_cms")
+    docs.write.parquet(src)
+    stream = (spark.readStream.schema(docs.schema)
+              .format("parquet").load(src)
+              .select(F.explode(F.split("text", " ")).alias("token")))
+    q = (cms_sketch(stream, "token")
+         .writeStream.outputMode("complete")
+         .format("memory").queryName("cms_out")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    got = sorted(spark.sql("SELECT * FROM cms_out").collect(),
+                 key=lambda r: (r.row, r.bucket))
+    assert got == want
