@@ -257,3 +257,68 @@ def oracle_cms_ctes(key_sql: str, src_sql: str) -> str:
         SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM cms_cells GROUP BY row, bucket
     )"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the mergeable MEMBERSHIP sketch completing the trio
+# ---------------------------------------------------------------------------
+# Bloom, "Space/time trade-offs in hash coding with allowable errors",
+# CACM 1970. Same portability discipline: bit positions are md5 portable
+# hashes under K distinct seeds, the filter is the DISTINCT set of set
+# positions (union-mergeable), membership is "all K positions set" —
+# one-sided like CMS (no false negatives), pinned by tests. The
+# oracle-checkable form materializes the filter as a position TABLE and
+# tests membership with a broadcast equi-join (positions die map-side);
+# a production kernel would pack the same positions into a real bitset
+# inside an Arrow batch — bit-identical decisions either way.
+
+BLOOM_B = 1 << 14            # bits
+# K=2, not the textbook 4+: at the demo load factor (|bench shingles| ~
+# 0.9/bit) extra hash rows cannot buy accuracy (optimal K = B/n·ln2 < 1)
+# and each row costs one md5 per PROBED shingle — the probe side is the
+# corpus, so K is the multiplier on the expensive side.
+BLOOM_K = 2                  # positions per key
+BLOOM_SEED0 = 201
+
+
+def bloom_positions(col, k: int):
+    from ..functions.hashing import md5_long
+    return md5_long(col.cast("string"), seed=BLOOM_SEED0 + k) % BLOOM_B
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """(pos): the distinct set-bit table of the key set. Union-mergeable
+    across shards by construction (distinct of a union)."""
+    pos = F.array(*[bloom_positions(F.col(key_col), k)
+                    for k in range(BLOOM_K)])
+    return (keys.select(F.explode(pos).alias("pos")).distinct())
+
+
+def bloom_hits(items: DataFrame, item_key: str,
+               bloom: DataFrame) -> DataFrame:
+    """Rows of ``items`` whose key tests POSITIVE (all K positions set):
+    K successive broadcast LEFT SEMI joins, one per hash row — misses
+    die map-side at the first unset position and NOTHING shuffles (the
+    original explode + groupBy-count formulation paid a corpus-sized
+    shuffle to reassemble the K probes). The production pre-filter shape
+    for decontamination at 100 TB: the benchmark bitset is KBs against
+    terabytes of candidates."""
+    out = items
+    for k in range(BLOOM_K):
+        out = (out.withColumn("_pos", bloom_positions(F.col(item_key), k))
+               .join(F.broadcast(bloom.withColumnRenamed("pos", "_pos")),
+                     "_pos", "leftsemi")
+               .drop("_pos"))
+    return out
+
+
+def oracle_bloom_ctes(key_sql: str, src_sql: str) -> str:
+    """CTE ``bloom_bits`` (pos) over ``src_sql``'s ``key_sql`` keys."""
+    from ..functions.hashing import oracle_md5_long
+    selects = "\n        UNION\n        ".join(
+        f"SELECT ({oracle_md5_long(f'CAST({key_sql} AS VARCHAR)', seed=BLOOM_SEED0 + k)})"
+        f" % {BLOOM_B} AS pos FROM {src_sql}"
+        for k in range(BLOOM_K))
+    return f"""bloom_bits AS (
+        {selects}
+    )"""

@@ -890,3 +890,102 @@ def x52_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = cms_estimate(sketch, true_top.select("token"), "token")
     return true_top.join(est, "token").select(
         "token", "true_count", F.col("est_count"))
+
+
+# ---------------------------------------------------------------------------
+# x53 — bloom-prefiltered decontamination (membership sketch in action)
+# ---------------------------------------------------------------------------
+
+_BLOOM_BENCH_MOD = 17  # x25's pseudo-benchmark: every 17th doc
+
+
+def _oracle_bloom_decon_sql() -> str:
+    from ..operators.dedup import DECON_N
+    from ..operators.sketches import BLOOM_K, oracle_bloom_ctes
+    from ..operators.sketches import BLOOM_B, BLOOM_SEED0
+    from ..functions.hashing import oracle_md5_long
+    from ..operators.dedup import oracle_shingle_hashes
+    th, sh_expr = oracle_shingle_hashes("text", DECON_N)
+    probe_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, n_shingles, s, "
+        f"({oracle_md5_long('CAST(s AS VARCHAR)', seed=BLOOM_SEED0 + k)})"
+        f" % {BLOOM_B} AS pos FROM corpus"
+        for k in range(BLOOM_K))
+    return f"""
+    WITH pre AS (
+        SELECT doc_id, {th} AS th FROM documents
+    ), base AS (
+        SELECT doc_id, list_distinct({sh_expr}) AS sh FROM pre
+    ), bench AS (
+        SELECT DISTINCT unnest(sh) AS s FROM base
+        WHERE doc_id % {_BLOOM_BENCH_MOD} = 0
+    ), corpus AS (
+        SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+               unnest(sh) AS s
+        FROM base WHERE doc_id % {_BLOOM_BENCH_MOD} <> 0
+    ), {oracle_bloom_ctes('s', 'bench')}, probes AS (
+        {probe_selects}
+    ), bloomed AS (
+        SELECT doc_id, n_shingles, s
+        FROM probes JOIN bloom_bits USING (pos)
+        GROUP BY doc_id, n_shingles, s
+        HAVING COUNT(*) = {BLOOM_K}
+    ), exact AS (
+        SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_exact_hits
+        FROM corpus c JOIN bench USING (s) GROUP BY c.doc_id
+    )
+    SELECT b.doc_id, b.n_shingles,
+           CAST(COUNT(*) AS BIGINT) AS n_bloom_hits,
+           CAST(COALESCE(ANY_VALUE(e.n_exact_hits), 0) AS BIGINT)
+               AS n_exact_hits
+    FROM bloomed b LEFT JOIN exact e ON e.doc_id = b.doc_id
+    GROUP BY b.doc_id, b.n_shingles
+    """
+
+
+@query("x53_bloom_decontamination", oracle=_oracle_bloom_decon_sql())
+def x53_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination behind a Bloom pre-filter: the benchmark's
+    distinct 5-gram hashes build a 2^14-bit / 4-hash membership sketch
+    (operators/sketches.bloom_build — KBs, broadcast), every corpus
+    shingle tests against it map-side, and only bloom-POSITIVE shingles
+    reach the exact benchmark join. Output per flagged doc:
+    (n_shingles, n_bloom_hits, n_exact_hits) — bloom hits >= exact hits
+    ALWAYS (no false negatives; the gap is the measured false-positive
+    cost), pinned by tests. At 100 TB this is the standard two-tier
+    shape: the bitset costs KBs where x25's exact broadcast set costs
+    the benchmark's full distinct-shingle table, and the exact join's
+    input shrinks to the bloom survivors."""
+    from ..operators.caching import tracked_persist
+    from ..operators.dedup import DECON_N
+    from ..operators.sketches import bloom_build, bloom_hits
+    from ..operators.dedup import with_shingle_hashes
+    # not persisted (x25's discipline): the bench slice re-scans 1/17th
+    # of the corpus under a pushed row filter, cheaper than caching the
+    # full shingle-array table just to read it 1.06 times
+    marked = (
+        with_shingle_hashes(scale_out(load(spark, sf_dir, "documents")),
+                            "text", DECON_N, out="_sh")
+        .select("doc_id",
+                (F.col("doc_id") % _BLOOM_BENCH_MOD == 0).alias("_is_bench"),
+                F.array_distinct("_sh").alias("sh")))
+    bench = (marked.filter(F.col("_is_bench"))
+             .select(F.explode_outer("sh").alias("s"))
+             .filter(F.col("s").isNotNull()).distinct())
+    corpus = (marked.filter(~F.col("_is_bench"))
+              .select("doc_id",
+                      F.size("sh").cast("long").alias("n_shingles"),
+                      F.explode_outer("sh").alias("s"))
+              .filter(F.col("s").isNotNull()))
+    bloom = bloom_build(bench, "s")
+    survivors = tracked_persist(
+        bloom_hits(corpus, "s", bloom), eager=False)
+    exact = (survivors.join(F.broadcast(bench), "s")
+             .groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("n_exact_hits")))
+    return (survivors.groupBy("doc_id", "n_shingles")
+            .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+            .join(exact, "doc_id", "left")
+            .select("doc_id", "n_shingles", "n_bloom_hits",
+                    F.coalesce("n_exact_hits", F.lit(0)).cast("long")
+                    .alias("n_exact_hits")))

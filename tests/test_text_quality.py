@@ -296,3 +296,20 @@ def test_cms_upper_bound_and_merge(spark, sf_dir):
     key = lambda r: (r.row, r.bucket)
     assert sorted(merged.collect(), key=key) == \
         sorted(whole.collect(), key=key)
+
+
+def test_bloom_prefilter_is_one_sided(spark, sf_dir):
+    """x53's contract: the bloom survivors CONTAIN every exact
+    contamination hit (no false negatives — each x25 exact hit appears
+    among bloom positives with n_bloom_hits >= n_exact_hits), and the
+    filter genuinely fires (some positives exist)."""
+    from data_pipeline_foundations_spark.registry import all_queries
+
+    bloom = {r.doc_id: r for r in all_queries()
+             ["x53_bloom_decontamination"].fn(spark, sf_dir).collect()}
+    exact = {r.doc_id: r.n_shared for r in all_queries()
+             ["x25_decontamination"].fn(spark, sf_dir).collect()}
+    assert bloom
+    assert set(exact) <= set(bloom)          # no false negatives, doc level
+    assert all(bloom[d].n_exact_hits == n for d, n in exact.items())
+    assert all(r.n_bloom_hits >= r.n_exact_hits for r in bloom.values())
