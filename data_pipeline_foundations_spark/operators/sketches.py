@@ -303,6 +303,8 @@ def bloom_hits(items: DataFrame, item_key: str,
     shuffle to reassemble the K probes). The production pre-filter shape
     for decontamination at 100 TB: the benchmark bitset is KBs against
     terabytes of candidates."""
+    if "_pos" in items.columns:
+        raise ValueError("bloom_hits: items must not carry a _pos column")
     out = items
     for k in range(BLOOM_K):
         out = (out.withColumn("_pos", bloom_positions(F.col(item_key), k))
