@@ -669,3 +669,112 @@ def x49_leakage_safe_split(spark, sf_dir):
         F.when(md5_long(F.col("cluster_id").cast("string"), seed=7)
                % 100 < 90, F.lit("train"))
         .otherwise(F.lit("holdout")).alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# x54 — ordered conversion funnel (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WIN = "INTERVAL 7 DAY"  # each step within 7 days of the previous
+
+
+@query(
+    "x54_conversion_funnel",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+          AND e.ts <= v.t_view + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          AND e.ts <= c.t_click + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     ELSE 1 END AS INTEGER) AS depth
+    FROM v
+    LEFT JOIN c USING (user_id)
+    LEFT JOIN p USING (user_id)
+    """,
+)
+def x54_conversion_funnel(spark, sf_dir):
+    """Ordered conversion funnel with a 7-day per-step window: first
+    view, then the first qualifying click strictly after it, then the
+    first qualifying purchase — the greedy-first semantics every
+    product-analytics funnel uses (identical to a per-user
+    sorted-event fold, because "first qualifying event after step k"
+    IS the min over qualifying events). Scale shape: three conditional
+    min-aggregates and two joins, ALL keyed on user_id, so one hash
+    partitioning serves every exchange; no per-user event list is ever
+    materialized, which is what keeps a power-user key from blowing
+    memory (the fold formulation would collect it)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (ev.filter(F.col("event_type") == "click").join(v, "user_id")
+         .filter((F.col("ts") > F.col("t_view"))
+                 & (F.col("ts")
+                    <= F.col("t_view") + F.expr("INTERVAL 7 DAYS")))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (ev.filter(F.col("event_type") == "purchase").join(c, "user_id")
+         .filter((F.col("ts") > F.col("t_click"))
+                 & (F.col("ts")
+                    <= F.col("t_click") + F.expr("INTERVAL 7 DAYS")))
+         .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    return (v.join(c, "user_id", "left").join(p, "user_id", "left")
+            .select("user_id", "t_view", "t_click", "t_purchase",
+                    F.when(F.col("t_purchase").isNotNull(), 3)
+                    .when(F.col("t_click").isNotNull(), 2)
+                    .otherwise(1).cast("int").alias("depth")))
+
+
+# ---------------------------------------------------------------------------
+# x55 — weekly retention matrix (cohort week × weeks since first activity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x55_retention_matrix",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ), first AS (
+        SELECT user_id, MIN(wk) AS cohort_wk FROM act GROUP BY user_id
+    )
+    SELECT f.cohort_wk AS cohort_week,
+           CAST(FLOOR(CAST(date_diff('day', f.cohort_wk, a.wk) AS DOUBLE)
+                      / 7) AS BIGINT) AS weeks_since,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM act a JOIN first f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def x55_retention_matrix(spark, sf_dir):
+    """Weekly retention matrix — the cohort analysis every growth team
+    runs: users bucketed by first-activity ISO week, counted in every
+    subsequent week they reappear. Scale shape: activity collapses to
+    DISTINCT (user, week) in one map-side-combined shuffle; the
+    first-week aggregate and the join-back reuse the user key; the final
+    matrix rollup is dimension-sized. COUNT(*) is exact because the
+    activity table is already distinct per (user, week) — no
+    count-distinct shuffle."""
+    ev = load(spark, sf_dir, "events")
+    act = (ev.select("user_id", F.date_trunc("week", "ts").alias("wk"))
+           .distinct())
+    first = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (act.join(first, "user_id")
+            .select(F.col("cohort_wk").alias("cohort_week"),
+                    F.floor(F.datediff(F.to_date("wk"),
+                                       F.to_date("cohort_wk"))
+                            / F.lit(7.0)).cast("long").alias("weeks_since"))
+            .groupBy("cohort_week", "weeks_since")
+            .agg(F.count(F.lit(1)).alias("n_users")))
