@@ -12,6 +12,7 @@ exploration.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -102,3 +103,33 @@ def read_excel_bridge(spark: SparkSession, path: str) -> DataFrame:
             "or convert the file to CSV and use read_csv"
         )
     return spark.createDataFrame(pd.read_excel(path))
+
+
+def read_json_quarantine(spark: SparkSession, path: str,
+                         schema: T.StructType):
+    """(good, bad): schema-conforming rows vs quarantined raw lines.
+
+    The ingest-robustness shape for 100 TB batch loads: PERMISSIVE mode
+    parses what it can and routes every malformed line's raw text into a
+    corrupt-record column instead of failing the job (FAILFAST) or
+    silently dropping data (DROPMALFORMED). Callers write ``bad`` to a
+    quarantine path for replay after the producer is fixed — the
+    badRecordsPath pattern expressed as two DataFrames, which also works
+    on a vanilla OSS session.
+
+    Spark caveat (documented upstream): a corrupt-record column cannot
+    be queried ALONE — the parser only populates it when at least one
+    data column is also referenced. Filtering on the corrupt column
+    after a full-width select is the supported form used here.
+    """
+    cr = "_corrupt_record"
+    full = schema.add(cr, T.StringType()) if cr not in schema.names else schema
+    df = (spark.read.schema(full)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", cr)
+          .json(path)
+          .cache())  # required: re-reading would re-parse; and the
+    # good/bad split must come from ONE parse pass for consistency
+    good = df.filter(F.col(cr).isNull()).drop(cr)
+    bad = df.filter(F.col(cr).isNotNull()).select(F.col(cr).alias("raw"))
+    return good, bad

@@ -583,3 +583,32 @@ def test_rebuild_warehouse_end_to_end(spark, tmp_path, fake_metabase):
         assert spark.table("test_rw_fact").count() == 4
     finally:
         spark.sql("DROP TABLE IF EXISTS test_rw_fact")
+
+
+def test_json_quarantine_splits_good_and_bad(spark, tmp_path):
+    """Malformed JSON lines land in the quarantine frame with their raw
+    text; conforming rows parse; the job never fails. One parse pass
+    feeds both outputs (cached), so good+bad == input lines exactly."""
+    from pyspark.sql import types as T
+
+    from data_pipeline_foundations_spark.sources.readers import (
+        read_json_quarantine,
+    )
+
+    p = tmp_path / "in.jsonl"
+    p.write_text('\n'.join([
+        '{"id": 1, "name": "ok"}',
+        '{"id": 2, "name": "also ok"}',
+        '{broken json!!',
+        '{"id": "not-an-int", "name": 3}',  # type mismatch -> corrupt
+        '{"id": 5, "name": "fine"}',
+    ]))
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("name", T.StringType())])
+    good, bad = read_json_quarantine(spark, str(p), schema)
+    g = sorted((r.id, r.name) for r in good.collect())
+    b = sorted(r.raw for r in bad.collect())
+    assert g == [(1, "ok"), (2, "also ok"), (5, "fine")]
+    assert len(b) == 2
+    assert any(r.startswith("{broken") for r in b)
+    assert any("not-an-int" in r for r in b)
