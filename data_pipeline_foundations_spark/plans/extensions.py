@@ -778,3 +778,65 @@ def x55_retention_matrix(spark, sf_dir):
                             / F.lit(7.0)).cast("long").alias("weeks_since"))
             .groupBy("cohort_week", "weeks_since")
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+# ---------------------------------------------------------------------------
+# x56 — data-quality constraint report (Deequ-style, one scan)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x56_data_quality_report",
+    oracle="""
+    WITH agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v0,
+               CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+               CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+               CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+               CAST(SUM(CASE WHEN l_quantity > l_extendedprice
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+               CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+                   AS u0
+        FROM lineitem
+    )
+    SELECT c."constraint", a.n_rows, c.n_violations,
+           c.n_violations = 0 AS passed
+    FROM agg a, LATERAL (VALUES
+        ('not_null:l_orderkey', a.v0),
+        ('range:l_quantity:[1,50]', a.v1),
+        ('range:l_discount:[0,0.1]', a.v2),
+        ('accepted:l_returnflag:{A,N,R}', a.v3),
+        ('cross:l_quantity<=l_extendedprice', a.v4),
+        ('unique:(l_orderkey,l_linenumber)', a.n_rows - a.u0)
+    ) AS c("constraint", n_violations)
+    """,
+)
+def x56_data_quality_report(spark, sf_dir):
+    """Deequ-style constraint report over lineitem in ONE scan: every
+    rule is a conditional sum in a single aggregate (plus one
+    count-distinct for the key-uniqueness rule), exploded into the
+    (constraint, n_rows, n_violations, passed) report — the publish
+    gate a 100 TB warehouse runs without paying per-rule jobs
+    (operators/validation.py)."""
+    from ..operators.validation import constraint_report
+    li = load(spark, sf_dir, "lineitem")
+    return constraint_report(
+        li,
+        rules=[
+            ("not_null:l_orderkey", F.col("l_orderkey").isNull()),
+            ("range:l_quantity:[1,50]",
+             (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+            ("range:l_discount:[0,0.1]",
+             (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)),
+            ("accepted:l_returnflag:{A,N,R}",
+             ~F.col("l_returnflag").isin("A", "N", "R")),
+            ("cross:l_quantity<=l_extendedprice",
+             F.col("l_quantity") > F.col("l_extendedprice")),
+        ],
+        unique=[("unique:(l_orderkey,l_linenumber)",
+                 ["l_orderkey", "l_linenumber"])])

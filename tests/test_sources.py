@@ -612,3 +612,32 @@ def test_json_quarantine_splits_good_and_bad(spark, tmp_path):
     assert len(b) == 2
     assert any(r.startswith("{broken") for r in b)
     assert any("not-an-int" in r for r in b)
+
+
+def test_constraint_report_counts_violations(spark):
+    """The report counts violations per rule in one pass, including the
+    uniqueness rule (n_rows - n_distinct) and zero-violation rules."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.operators.validation import (
+        constraint_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "A"), (2, 3.0, "B"),
+         (None, 7.0, "C"), (4, 200.0, "A")],
+        "id long, amount double, grade string")
+    rep = {r.constraint: r for r in constraint_report(
+        df,
+        rules=[("not_null:id", F.col("id").isNull()),
+               ("range:amount:[0,100]",
+                (F.col("amount") < 0) | (F.col("amount") > 100)),
+               ("accepted:grade:{A,B}", ~F.col("grade").isin("A", "B"))],
+        unique=[("unique:id", ["id"])]).collect()}
+    assert rep["not_null:id"].n_violations == 1
+    assert rep["range:amount:[0,100]"].n_violations == 2
+    assert rep["accepted:grade:{A,B}"].n_violations == 1
+    # count_distinct skips the null id -> 3 distinct of 5 rows
+    assert rep["unique:id"].n_violations == 2
+    assert all(r.n_rows == 5 for r in rep.values())
+    assert not rep["not_null:id"].passed
