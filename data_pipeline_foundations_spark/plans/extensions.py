@@ -840,3 +840,83 @@ def x56_data_quality_report(spark, sf_dir):
         ],
         unique=[("unique:(l_orderkey,l_linenumber)",
                  ["l_orderkey", "l_linenumber"])])
+
+
+# ---------------------------------------------------------------------------
+# x57 — corpus datasheet (single-row dataset card)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x57_corpus_datasheet",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ), base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS mean_tokens
+        FROM d
+    ), vocab AS (
+        SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab_size
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    ), hist AS (
+        SELECT n_tok, COUNT(*) AS c FROM d GROUP BY n_tok
+    ), cum AS (
+        SELECT n_tok, SUM(c) OVER (ORDER BY n_tok) AS cum FROM hist
+    ), q AS (
+        SELECT
+            MIN(CASE WHEN cum >= CEIL(0.5 * (SELECT n_docs FROM base))
+                     THEN n_tok END) AS p50_tokens,
+            MIN(CASE WHEN cum >= CEIL(0.9 * (SELECT n_docs FROM base))
+                     THEN n_tok END) AS p90_tokens
+        FROM cum
+    )
+    SELECT b.n_docs, b.n_tokens, v.vocab_size, b.n_sources, b.n_langs,
+           b.mean_tokens, q.p50_tokens, q.p90_tokens
+    FROM base b, vocab v, q
+    """,
+)
+def x57_corpus_datasheet(spark, sf_dir):
+    """Single-row dataset card — the "describe this corpus" query every
+    dataset datasheet starts from (Gebru et al., "Datasheets for
+    Datasets", CACM 2021 motivates the artifact; the stats here are its
+    quantitative core). Exact PORTABLE quantiles: a token-length
+    histogram plus a cumulative window over its few-hundred distinct
+    lengths picks the smallest length whose cumulative count reaches
+    ceil(q·n) — no percentile_approx (whose sketch is
+    engine-specific). Scale shape: one scan-local token count, one
+    map-side-combined histogram, one vocab count-distinct, all reduced
+    to single broadcast rows joined at the end."""
+    d = (scale_out(load(spark, sf_dir, "documents"))
+         .select("doc_id", "source", "lang",
+                 F.size(F.split("text", " ")).cast("long").alias("n_tok")))
+    base = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+        (F.sum("n_tok").cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("mean_tokens"))
+    vocab = (load(spark, sf_dir, "documents")
+             .select(F.explode_outer(F.split("text", " ")).alias("w"))
+             .filter(F.col("w").isNotNull())
+             .agg(F.count_distinct("w").alias("vocab_size")))
+    from pyspark.sql import Window as W
+    hist = d.groupBy("n_tok").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn(
+        "cum", F.sum("c").over(W.orderBy("n_tok")
+                               .rowsBetween(W.unboundedPreceding, 0)))
+    q = (cum.crossJoin(F.broadcast(base.select("n_docs")))
+         .agg(F.min(F.when(F.col("cum") >= F.ceil(0.5 * F.col("n_docs")),
+                           F.col("n_tok"))).alias("p50_tokens"),
+              F.min(F.when(F.col("cum") >= F.ceil(0.9 * F.col("n_docs")),
+                           F.col("n_tok"))).alias("p90_tokens")))
+    return (base.crossJoin(F.broadcast(vocab)).crossJoin(F.broadcast(q))
+            .select("n_docs", "n_tokens", "vocab_size", "n_sources",
+                    "n_langs", "mean_tokens", "p50_tokens", "p90_tokens"))

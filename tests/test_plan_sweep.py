@@ -25,6 +25,7 @@ BNLJ_WHITELIST = {
     "x27_hll_distinct": "single broadcast register row",
     "x38_temperature_resample": "single broadcast stratum-max row",
     "x51_bigram_nll": "single broadcast vocabulary-size row",
+    "x57_corpus_datasheet": "single-row stats/vocab/quantile attaches",
 }
 
 
