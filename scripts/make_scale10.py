@@ -62,10 +62,29 @@ def main() -> None:
     ) TO '{args.out}/embeddings.parquet' (FORMAT PARQUET)
     """)
 
+    ev = f"{args.src}/events.parquet"
+    n_users = con.execute(
+        f"SELECT MAX(user_id) + 1 FROM '{ev}'").fetchone()[0]
+    n_events = con.execute(
+        f"SELECT MAX(event_id) + 1 FROM '{ev}'").fetchone()[0]
+    # events x10: replicas shift users into disjoint id ranges and slide
+    # time by k hours so funnel/retention structure scales linearly
+    # (disjoint users -> no artificial cross-replica funnels)
+    con.execute(f"""
+    COPY (
+        SELECT event_id, ts, user_id, event_type, value, props FROM '{ev}'
+        UNION ALL
+        SELECT e.event_id + k.k * {n_events},
+               e.ts + to_hours(k.k), e.user_id + k.k * {n_users},
+               e.event_type, e.value, e.props
+        FROM '{ev}' e, (SELECT unnest(range(1, 10)) AS k) k
+    ) TO '{args.out}/events.parquet' (FORMAT PARQUET)
+    """)
+
     # the remaining tables are consumed by relational queries that the
     # scaling study doesn't re-time — symlink them so tables.load works
     for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events"):
+              "orders", "lineitem"):
         dst = f"{args.out}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{args.src}/{t}.parquet", dst)
