@@ -515,3 +515,90 @@ def x39_exact_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     strata_col="lang", key_col="doc_id",
                                     k=50)
             .select("doc_id", "lang", "sample_rank"))
+
+
+# ---------------------------------------------------------------------------
+# x58 — deterministic negative-pair sampling (contrastive negatives)
+# ---------------------------------------------------------------------------
+
+_NEG_K = 3
+_NEG_SEED = 31
+
+
+def _oracle_negative_pairs_sql() -> str:
+    from ..functions.hashing import oracle_md5_long
+    from ..operators.similarity import (
+        oracle_idot, oracle_int_vec, oracle_qcos,
+    )
+    h = oracle_md5_long("CAST(a.vec_id AS VARCHAR) || ':' || CAST(k.k AS VARCHAR)",
+                        seed=_NEG_SEED)
+    return f"""
+    WITH n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vec FROM embeddings
+    ), base AS (
+        SELECT vec_id, {oracle_int_vec('embedding')} AS sv FROM embeddings
+    ), sv2 AS (
+        SELECT vec_id, sv, {oracle_idot('sv', 'sv')} AS n2 FROM base
+    ), pairs AS (
+        SELECT a.vec_id AS anchor_id, CAST(k.k AS INTEGER) AS k,
+               (({h}) % n.n_vec + CASE WHEN ({h}) % n.n_vec = a.vec_id
+                                       THEN 1 ELSE 0 END) % n.n_vec
+                   AS negative_id
+        FROM (SELECT vec_id FROM embeddings) a
+        CROSS JOIN (SELECT unnest(range({_NEG_K})) AS k) k
+        CROSS JOIN n
+    )
+    SELECT p.anchor_id, p.k, p.negative_id,
+           {oracle_qcos(oracle_idot('x.sv', 'y.sv'), 'x.n2', 'y.n2')}
+               AS cosine
+    FROM pairs p
+    JOIN sv2 x ON x.vec_id = p.anchor_id
+    JOIN sv2 y ON y.vec_id = p.negative_id
+    """
+
+
+@query("x58_negative_pairs", oracle=_oracle_negative_pairs_sql())
+def x58_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor draws K pseudo-random partners via the portable hash
+    (hash(anchor:k) mod N, bumped off the anchor itself), and each
+    pair's quantized cosine rides along so a curriculum can split easy
+    from hard negatives. The standard in-batch-negative alternative is
+    nondeterministic by construction; this form is reproducible across
+    engines and runs (the property a training-data LINEAGE needs).
+    Scale shape: the corpus-size scalar is ONE broadcast row, partner
+    ids are map-side arithmetic, and the only shuffles are the two
+    id-keyed joins that fetch anchor/negative vectors — no sampling
+    state, no RNG, no skew (hash-uniform partners)."""
+    from ..functions.hashing import md5_long
+    from ..operators.similarity import idot, int_vec
+
+    emb = load(spark, sf_dir, "embeddings")
+    n_row = emb.agg(F.count(F.lit(1)).alias("n_vec"))
+    sv2 = (scale_out(emb)
+           .select("vec_id", int_vec("embedding").alias("sv"))
+           .withColumn("n2", idot("sv", "sv")))
+    h = md5_long(
+        F.concat(F.col("vec_id").cast("string"), F.lit(":"),
+                 F.col("k").cast("string")), seed=_NEG_SEED)
+    raw = h % F.col("n_vec")
+    pairs = (emb.select("vec_id")
+             .crossJoin(F.broadcast(n_row))
+             .select("vec_id", "n_vec",
+                     F.explode(F.array(*[F.lit(k).cast("int")
+                                         for k in range(_NEG_K)])).alias("k"))
+             .select(F.col("vec_id").alias("anchor_id"), "k",
+                     (raw + F.when(raw == F.col("vec_id"), 1).otherwise(0))
+                     .alias("_shift"), "n_vec")
+             .select("anchor_id", "k",
+                     (F.col("_shift") % F.col("n_vec")).alias("negative_id")))
+    x = sv2.select(F.col("vec_id").alias("anchor_id"),
+                   F.col("sv").alias("xa"), F.col("n2").alias("na"))
+    y = sv2.select(F.col("vec_id").alias("negative_id"),
+                   F.col("sv").alias("yb"), F.col("n2").alias("nb"))
+    return (pairs.join(x, "anchor_id").join(y, "negative_id")
+            .select("anchor_id", "k", "negative_id",
+                    (idot("xa", "yb").cast("double")
+                     / (F.sqrt(F.col("na").cast("double"))
+                        * F.sqrt(F.col("nb").cast("double"))))
+                    .alias("cosine")))

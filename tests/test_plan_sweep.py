@@ -26,6 +26,7 @@ BNLJ_WHITELIST = {
     "x38_temperature_resample": "single broadcast stratum-max row",
     "x51_bigram_nll": "single broadcast vocabulary-size row",
     "x57_corpus_datasheet": "single-row stats/vocab/quantile attaches",
+    "x58_negative_pairs": "single broadcast corpus-size row",
 }
 
 
