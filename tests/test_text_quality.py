@@ -313,3 +313,56 @@ def test_bloom_prefilter_is_one_sided(spark, sf_dir):
     assert set(exact) <= set(bloom)          # no false negatives, doc level
     assert all(bloom[d].n_exact_hits == n for d, n in exact.items())
     assert all(r.n_bloom_hits >= r.n_exact_hits for r in bloom.values())
+
+
+def test_repeated_window_dedup_differential(spark):
+    """Differential pin for x48's operator: a pure-Python replica of the
+    contract (fingerprint every k-window, keep the global (doc, start)
+    argmin per duplicated fingerprint, mask every other occurrence's
+    span, reassemble) must agree with the Spark plan on randomized
+    corpora drawn from a tiny alphabet (which forces heavy window
+    collisions, including whole-doc duplicates and self-repeats)."""
+    import random
+
+    from data_pipeline_foundations_spark.operators.dedup import (
+        dedup_repeated_windows,
+    )
+
+    rng = random.Random(7)
+    k = 3
+    for trial in range(3):
+        docs = [(i, " ".join(rng.choice("abcd")
+                             for _ in range(rng.randint(1, 12))))
+                for i in range(12)]
+
+        # pure-Python replica of the contract
+        wins = {}
+        for d, text in docs:
+            toks = text.split(" ")
+            for s in range(1, len(toks) - k + 2):
+                fp = " ".join(toks[s - 1:s - 1 + k])
+                wins.setdefault(fp, []).append((d, s))
+        removed = {}
+        for occs in wins.values():
+            if len(occs) >= 2:
+                keep = min(occs)
+                for d, s in occs:
+                    if (d, s) != keep:
+                        removed.setdefault(d, set()).update(
+                            range(s, s + k))
+        expect = {}
+        for d, text in docs:
+            toks = text.split(" ")
+            rp = {p for p in removed.get(d, set()) if p <= len(toks)}
+            clean = " ".join(t for i, t in enumerate(toks, 1)
+                             if i not in rp)
+            n_dup = sum(1 for occs in wins.values() if len(occs) >= 2
+                        for (dd, ss) in occs
+                        if dd == d and (dd, ss) != min(occs))
+            expect[d] = (len(toks), n_dup, len(rp), clean)
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: (r.n_tokens, r.n_dup_windows,
+                          r.n_removed_tokens, r.clean_text)
+               for r in dedup_repeated_windows(df, win_tokens=k).collect()}
+        assert got == expect, f"trial {trial}"
