@@ -96,7 +96,8 @@ def connected_components(vertices: DataFrame, edges: DataFrame, *,
                          id_col: str = "doc_id", src: str = "doc_a",
                          dst: str = "doc_b",
                          max_rounds: int = MAX_CC_ROUNDS,
-                         checkpoint_dir: str | None = None) -> DataFrame:
+                         checkpoint_dir: str | None = None,
+                         small_graph_edges: int = 100_000) -> DataFrame:
     """(id_col, cluster_id) for every vertex; cluster_id = min id reachable.
 
     Vertices with no incident edge form singleton clusters. Raises
@@ -177,6 +178,53 @@ def connected_components(vertices: DataFrame, edges: DataFrame, *,
         edges.select(F.greatest(src, dst).alias("hi"),
                      F.least(src, dst).alias("lo"))
         .filter(F.col("hi") != F.col("lo")).distinct())
+
+    # Scale-adaptive fast path: near-dup graphs are usually SPARSE
+    # relative to the corpus (the pair generators block aggressively),
+    # and the star contraction pays 2+ fixed-latency jobs per round no
+    # matter how tiny the edge set is. Below the threshold (default
+    # 100k edges ≈ a few driver MBs) collect the canonical edge
+    # snapshot and run exact union-find driver-side — IDENTICAL
+    # min-label semantics (pinned by the union-find differential test),
+    # ~zero marginal jobs. Above it, the O(log n) distributed
+    # contraction proceeds unchanged — at 100 TB the threshold check
+    # costs one count over the already-materialized snapshot.
+    n_edges = e.count()
+    if n_edges <= small_graph_edges:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in e.collect():
+            a, b = find(row["hi"]), find(row["lo"])
+            if a != b:
+                # union by min keeps every root its component's minimum
+                if a < b:
+                    parent[b] = a
+                else:
+                    parent[a] = b
+        members = sorted({v for row_ in parent.items() for v in row_}
+                         | set(parent))
+        label_rows = [(int(v), int(find(v))) for v in members]
+        release(prev_ids)
+        spark = vertices.sparkSession
+        labels = (spark.createDataFrame(label_rows, "v long, label long")
+                  .join(vertices.select(F.col(id_col).alias("v")),
+                        "v", "leftsemi"))
+        participants = labels.select("v")
+        singletons = (vertices.select(F.col(id_col).alias("v"))
+                      .join(participants, "v", "leftanti")
+                      .select("v", F.col("v").alias("label")))
+        return (labels.unionByName(singletons)
+                .select(F.col("v").alias(id_col),
+                        F.col("label").alias("cluster_id")))
+
     for _ in range(max_rounds + 1):
         converged = _is_star_forest(e)
         if not converged:

@@ -41,7 +41,8 @@ def test_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError, match="fixed point not reached"):
         connected_components(_docs(spark, 4),
                              _pairs(spark, [(0, 1), (1, 2), (2, 3)]),
-                             max_rounds=1)
+                             max_rounds=1,
+                             small_graph_edges=0)  # force the iterative path
 
 
 def test_path_graph_converges_in_log_rounds(spark):
@@ -55,7 +56,8 @@ def test_path_graph_converges_in_log_rounds(spark):
     edges = spark.range(n - 1).select(
         F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
     cap = math.ceil(math.log2(n)) + 4     # 13 + slack
-    comp = connected_components(docs, edges, max_rounds=cap)
+    comp = connected_components(docs, edges, max_rounds=cap,
+                                small_graph_edges=0)  # exercise contraction
     assert comp.filter(F.col("cluster_id") != 0).count() == 0
     assert comp.count() == n
     release_cached_intermediates()
@@ -107,7 +109,7 @@ def test_checkpoints_are_reclaimed(spark):
     with pytest.raises(RuntimeError):
         connected_components(_docs(spark, 4),
                              _pairs(spark, [(0, 1), (1, 2), (2, 3)]),
-                             max_rounds=1)
+                             max_rounds=1, small_graph_edges=0)
     assert persistent_rdd_ids(sc) <= before
 
 
@@ -141,7 +143,10 @@ def test_random_graphs_match_union_find(spark):
         # second pass so every member sees the final min
         want = {v: want[find(v)] for v in range(n)}
 
-        comp = connected_components(_docs(spark, n), _pairs(spark, edges))
-        got = {r.doc_id: r.cluster_id for r in comp.collect()}
-        release_cached_intermediates()
-        assert got == want
+        for sge in (0, 100_000):   # distributed contraction AND fast path
+            comp = connected_components(_docs(spark, n),
+                                        _pairs(spark, edges),
+                                        small_graph_edges=sge)
+            got = {r.doc_id: r.cluster_id for r in comp.collect()}
+            release_cached_intermediates()
+            assert got == want, sge
