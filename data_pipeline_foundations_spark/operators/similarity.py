@@ -835,12 +835,54 @@ def oracle_pq_topk_sql(*, dim: int = 64, m: int = PQ_M, ks: int = PQ_KS,
 # ---------------------------------------------------------------------------
 # IVF-PQ with exact re-rank — the production composite of tiers 3 + 4 + 1
 # ---------------------------------------------------------------------------
+def build_ivfpq_model(emb: DataFrame, *, id_col: str = "vec_id",
+                      vec_col: str = "embedding", dim: int = 64,
+                      k_clusters: int = 16, m: int = PQ_M, ks: int = PQ_KS,
+                      ivf_seed: int = 3, pq_seed: int = 11) -> dict:
+    """Train the IVF-PQ model artifacts once and return them as a plain
+    dict (KBs: k_clusters centroid rows + m*ks codebook rows, plus the
+    params that shaped them) — the build-once / search-many split every
+    production vector index exposes (FAISS's train() vs search()).
+    Pass the dict to ivfpq_rerank_topk(model=...) to skip the corpus
+    codebook passes on every query batch; results are bit-identical to
+    the build-inline path (same collected rows), pinned by
+    tests/test_similarity.py."""
+    block = dim // m
+    base, ivf_cents = _ivf_quantizer(emb, id_col, vec_col, k_clusters,
+                                     ivf_seed, dim=dim)
+    ivf_part = ivf_cents.select(
+        F.lit(0).alias("kind"), F.lit(-1).alias("s"),
+        F.col("cid").cast("long"), F.col("cv").alias("vec"),
+        F.col("cn2").alias("n2"))
+    pq_part = _pq_codebook(base.select(id_col, "sv"), id_col, block, ks,
+                           pq_seed, m=m).select(
+        F.lit(1).alias("kind"), F.col("s").cast("int"),
+        F.col("cid").cast("long"), F.col("cvec").alias("vec"),
+        F.lit(0).cast("long").alias("n2"))
+    conf = emb.sparkSession.conf
+    aqe0 = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        rows = [r.asDict() for r in ivf_part.union(pq_part).collect()]
+    finally:
+        conf.set("spark.sql.adaptive.enabled", aqe0)
+    return {
+        "ivf_rows": [{"cid": r["cid"], "cv": r["vec"], "cn2": r["n2"]}
+                     for r in rows if r["kind"] == 0],
+        "pq_rows": [{"s": r["s"], "cid": r["cid"], "cvec": r["vec"]}
+                    for r in rows if r["kind"] == 1],
+        "params": {"dim": dim, "k_clusters": k_clusters, "m": m, "ks": ks,
+                   "ivf_seed": ivf_seed, "pq_seed": pq_seed},
+    }
+
+
 def ivfpq_rerank_topk(emb: DataFrame, *, id_col: str = "vec_id",
                       vec_col: str = "embedding", dim: int = 64,
                       k_clusters: int = 16, nprobe: int = 6, m: int = PQ_M,
                       ks: int = PQ_KS, n_queries: int = 10,
                       r_cand: int = 20, k: int = 5, ivf_seed: int = 3,
-                      pq_seed: int = 11) -> DataFrame:
+                      pq_seed: int = 11,
+                      model: dict | None = None) -> DataFrame:
     """IVF-PQ search with exact re-rank — the composite every production
     vector index runs (Jégou et al. TPAMI'11; Johnson et al., "Billion-
     scale similarity search with GPUs", 2017 — the IVFADC + refine
@@ -874,48 +916,67 @@ def ivfpq_rerank_topk(emb: DataFrame, *, id_col: str = "vec_id",
     from pyspark.sql import Window as W
 
     block = dim // m
-    base, ivf_cents = _ivf_quantizer(emb, id_col, vec_col, k_clusters,
-                                     ivf_seed, dim=dim)
-    # KB-sized model collect (documented driver-side broadcast
-    # equivalent): k_clusters IVF centroid rows, m·ks PQ codebook rows,
-    # and n_queries query vectors — unioned into ONE generic-schema frame
-    # so all three model artifacts materialize in a single job (three
-    # serial collects cost three scheduler roundtrips for KBs of data).
-    ivf_part = ivf_cents.select(
-        F.lit(0).alias("kind"), F.lit(-1).alias("s"),
-        F.col("cid").cast("long"), F.col("cv").alias("vec"),
-        F.col("cn2").alias("n2"))
-    pq_part = _pq_codebook(base.select(id_col, "sv"), id_col, block, ks,
-                           pq_seed, m=m).select(
-        F.lit(1).alias("kind"), F.col("s").cast("int"),
-        F.col("cid").cast("long"), F.col("cvec").alias("vec"),
-        F.lit(0).cast("long").alias("n2"))
-    q_part = (emb.filter(F.col(id_col) < n_queries)
-              .select(F.col(id_col), int_vec(vec_col).alias("sv"))
-              .select(F.lit(2).alias("kind"), F.lit(-1).alias("s"),
-                      F.col(id_col).cast("long").alias("cid"),
-                      F.col("sv").alias("vec"),
-                      idot("sv", "sv").alias("n2")))
-    # AQE is disabled just for this KB-sized collect: the model pipeline
-    # holds 4 tiny shuffles, and AQE materializes every exchange as its
-    # own scheduler roundtrip (measured: ~5 jobs for a <100 KB result).
-    # One non-adaptive job runs the whole DAG; runtime re-planning has
-    # nothing to offer a driver-side model build of this size.
-    conf = emb.sparkSession.conf
-    aqe0 = conf.get("spark.sql.adaptive.enabled", "true")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        model = [r.asDict()
-                 for r in ivf_part.union(pq_part).union(q_part).collect()]
-    finally:
-        conf.set("spark.sql.adaptive.enabled", aqe0)
-    ivf_rows = [{"cid": r["cid"], "cv": r["vec"], "cn2": r["n2"]}
-                for r in model if r["kind"] == 0]
-    pq_rows = [{"s": r["s"], "cid": r["cid"], "cvec": r["vec"]}
-               for r in model if r["kind"] == 1]
-    qrows = sorted(({id_col: r["cid"], "sv": r["vec"], "n2": r["n2"]}
-                    for r in model if r["kind"] == 2),
-                   key=lambda r: r[id_col])
+    if model is not None:
+        want = {"dim": dim, "k_clusters": k_clusters, "m": m, "ks": ks,
+                "ivf_seed": ivf_seed, "pq_seed": pq_seed}
+        if model["params"] != want:
+            raise ValueError(
+                f"ivfpq_rerank_topk: prebuilt model params {model['params']}"
+                f" do not match the requested {want}")
+        ivf_rows, pq_rows = model["ivf_rows"], model["pq_rows"]
+        # query vectors still collect per search call — a pushed-filter
+        # point scan; the corpus codebook passes are skipped entirely
+        qrows = sorted(({id_col: int(r[id_col]), "sv": list(r["sv"]),
+                         "n2": int(r["n2"])}
+                        for r in (emb.filter(F.col(id_col) < n_queries)
+                                  .select(F.col(id_col),
+                                          int_vec(vec_col).alias("sv"))
+                                  .withColumn("n2", idot("sv", "sv"))
+                                  .collect())),
+                       key=lambda r: r[id_col])
+    else:
+        # Build-inline: KB-sized model collect (documented driver-side
+        # broadcast equivalent) — k_clusters IVF centroid rows, m·ks PQ
+        # codebook rows, and n_queries query vectors, unioned into ONE
+        # generic-schema frame so all three artifacts materialize in a
+        # single job (three serial collects cost three scheduler
+        # roundtrips for KBs of data).
+        base, ivf_cents = _ivf_quantizer(emb, id_col, vec_col, k_clusters,
+                                         ivf_seed, dim=dim)
+        ivf_part = ivf_cents.select(
+            F.lit(0).alias("kind"), F.lit(-1).alias("s"),
+            F.col("cid").cast("long"), F.col("cv").alias("vec"),
+            F.col("cn2").alias("n2"))
+        pq_part = _pq_codebook(base.select(id_col, "sv"), id_col, block, ks,
+                               pq_seed, m=m).select(
+            F.lit(1).alias("kind"), F.col("s").cast("int"),
+            F.col("cid").cast("long"), F.col("cvec").alias("vec"),
+            F.lit(0).cast("long").alias("n2"))
+        q_part = (emb.filter(F.col(id_col) < n_queries)
+                  .select(F.col(id_col), int_vec(vec_col).alias("sv"))
+                  .select(F.lit(2).alias("kind"), F.lit(-1).alias("s"),
+                          F.col(id_col).cast("long").alias("cid"),
+                          F.col("sv").alias("vec"),
+                          idot("sv", "sv").alias("n2")))
+        # AQE is disabled just for this KB-sized collect: the model
+        # pipeline holds 4 tiny shuffles, and AQE materializes every
+        # exchange as its own scheduler roundtrip (measured: ~5 jobs for
+        # a <100 KB result). One non-adaptive job runs the whole DAG.
+        conf = emb.sparkSession.conf
+        aqe0 = conf.get("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            rows = [r.asDict()
+                    for r in ivf_part.union(pq_part).union(q_part).collect()]
+        finally:
+            conf.set("spark.sql.adaptive.enabled", aqe0)
+        ivf_rows = [{"cid": r["cid"], "cv": r["vec"], "cn2": r["n2"]}
+                    for r in rows if r["kind"] == 0]
+        pq_rows = [{"s": r["s"], "cid": r["cid"], "cvec": r["vec"]}
+                   for r in rows if r["kind"] == 1]
+        qrows = sorted(({id_col: r["cid"], "sv": r["vec"], "n2": r["n2"]}
+                        for r in rows if r["kind"] == 2),
+                       key=lambda r: r[id_col])
     qids = [int(r[id_col]) for r in qrows]
     qvecs = {int(r[id_col]): (list(r["sv"]), int(r["n2"])) for r in qrows}
     # probe selection driver-side — same derived-float cosine and the

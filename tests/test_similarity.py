@@ -98,3 +98,25 @@ def test_semantic_dedup_cluster_invariants(spark, sf_dir):
         assert all(m.cluster_size == len(members) for m in members)
         canon = [m for m in members if m.is_canonical == 1]
         assert len(canon) == 1 and canon[0].vec_id == cid
+
+
+def test_ivfpq_prebuilt_model_matches_inline(spark, sf_dir):
+    """build_ivfpq_model + ivfpq_rerank_topk(model=...) returns exactly
+    the build-inline result (same collected artifacts feed the same
+    kernels), and a mismatched-parameter model is refused before any
+    work runs — the FAISS train()/search() split."""
+    import pytest
+
+    from data_pipeline_foundations_spark.operators.similarity import (
+        build_ivfpq_model, ivfpq_rerank_topk,
+    )
+    from data_pipeline_foundations_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    inline = sorted(map(tuple, ivfpq_rerank_topk(emb).collect()))
+    model = build_ivfpq_model(emb)
+    reused = sorted(map(tuple, ivfpq_rerank_topk(emb, model=model).collect()))
+    again = sorted(map(tuple, ivfpq_rerank_topk(emb, model=model).collect()))
+    assert inline == reused == again
+    with pytest.raises(ValueError, match="do not match"):
+        ivfpq_rerank_topk(emb, model=model, k_clusters=8)
