@@ -1229,3 +1229,42 @@ def oracle_semantic_dedup_sql(*, dim: int = 64, k_clusters: int = 16,
     """
     return oracle_dedup_clusters_sql(pairs_sql, vertex_table="embeddings",
                                      id_col="vec_id")
+
+
+def save_ivfpq_model(spark, model: dict, path: str) -> None:
+    """Persist a build_ivfpq_model dict as a parquet table (generic rows:
+    kind 0 = IVF centroid, 1 = PQ codebook entry, 2 = params as a JSON
+    string) — the index artifact a nightly build writes so every search
+    job loads KBs instead of re-training against the corpus."""
+    import json as _json
+
+    rows = ([(0, -1, int(r["cid"]), list(r["cv"]), int(r["cn2"]), None)
+             for r in model["ivf_rows"]]
+            + [(1, int(r["s"]), int(r["cid"]), list(r["cvec"]), 0, None)
+               for r in model["pq_rows"]]
+            + [(2, -1, -1, [], 0, _json.dumps(model["params"]))])
+    (spark.createDataFrame(
+        rows, "kind int, s int, cid long, vec array<long>, n2 long, "
+              "params string")
+     .coalesce(1).write.mode("overwrite").parquet(path))
+
+
+def load_ivfpq_model(spark, path: str) -> dict:
+    """Inverse of save_ivfpq_model; the loaded dict feeds
+    ivfpq_rerank_topk(model=...) unchanged (round-trip pinned by
+    tests/test_similarity.py)."""
+    import json as _json
+
+    rows = spark.read.parquet(path).collect()
+    return {
+        "ivf_rows": sorted(({"cid": int(r["cid"]), "cv": list(r["vec"]),
+                             "cn2": int(r["n2"])}
+                            for r in rows if r["kind"] == 0),
+                           key=lambda d: d["cid"]),
+        "pq_rows": sorted(({"s": int(r["s"]), "cid": int(r["cid"]),
+                            "cvec": list(r["vec"])}
+                           for r in rows if r["kind"] == 1),
+                          key=lambda d: (d["s"], d["cid"])),
+        "params": _json.loads(next(r["params"] for r in rows
+                                   if r["kind"] == 2)),
+    }

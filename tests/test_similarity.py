@@ -120,3 +120,23 @@ def test_ivfpq_prebuilt_model_matches_inline(spark, sf_dir):
     assert inline == reused == again
     with pytest.raises(ValueError, match="do not match"):
         ivfpq_rerank_topk(emb, model=model, k_clusters=8)
+
+
+def test_ivfpq_model_round_trips_through_parquet(spark, sf_dir, tmp_path):
+    """save_ivfpq_model → load_ivfpq_model → search returns exactly the
+    in-memory model's results — the nightly-build artifact contract."""
+    from data_pipeline_foundations_spark.operators.similarity import (
+        build_ivfpq_model, ivfpq_rerank_topk, load_ivfpq_model,
+        save_ivfpq_model,
+    )
+    from data_pipeline_foundations_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    model = build_ivfpq_model(emb)
+    p = str(tmp_path / "ivfpq_model")
+    save_ivfpq_model(spark, model, p)
+    loaded = load_ivfpq_model(spark, p)
+    assert loaded["params"] == model["params"]
+    a = sorted(map(tuple, ivfpq_rerank_topk(emb, model=model).collect()))
+    b = sorted(map(tuple, ivfpq_rerank_topk(emb, model=loaded).collect()))
+    assert a == b
