@@ -1268,3 +1268,61 @@ def load_ivfpq_model(spark, path: str) -> dict:
         "params": _json.loads(next(r["params"] for r in rows
                                    if r["kind"] == 2)),
     }
+
+
+def encode_corpus(emb: DataFrame, model: dict, *, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """(id, cid, codes): the PERSISTED form of the IVF-PQ index — the
+    coarse list id plus m PQ codes per vector (8 ints here vs dim floats:
+    the byte bound that makes a 100 TB corpus searchable from a table a
+    fraction of its size). One map-only pass over the corpus with both
+    assignment kernels; write the result bucketed by ``cid`` and every
+    later search scans codes, never embeddings."""
+    p = model["params"]
+    block = p["dim"] // p["m"]
+    from .vectorized import ivf_assign_udf, pq_codes_udf
+    return (scale_out(emb, 8)
+            .select(F.col(id_col), int_vec(vec_col).alias("sv"))
+            .withColumn("cid", ivf_assign_udf(model["ivf_rows"])(F.col("sv")))
+            .withColumn("codes",
+                        pq_codes_udf(model["pq_rows"], p["m"], block)
+                        (F.col("sv")))
+            .select(id_col, "cid", "codes"))
+
+
+def pq_search_from_codes(codes: DataFrame, queries: DataFrame, model: dict,
+                         *, id_col: str = "vec_id",
+                         vec_col: str = "embedding", k: int = 5) -> DataFrame:
+    """ADC top-k over the STORED code table (encode_corpus output):
+    per-query distance tables are computed driver-side from the model's
+    codebooks and the collected query vectors, and the scan sums table
+    entries at each row's codes — raw corpus vectors are never read.
+    Returns pq_topk's schema (query_id, neighbor_id, rank, approx_dist);
+    equality with the fused raw-vector kernel is pinned by
+    tests/test_similarity.py."""
+    from pyspark.sql import Window as W
+
+    from .vectorized import pq_totals_from_codes_udf
+    p = model["params"]
+    block = p["dim"] // p["m"]
+    qrows = sorted(queries.select(F.col(id_col),
+                                  int_vec(vec_col).alias("sv")).collect(),
+                   key=lambda r: r[id_col])
+    qids = [int(r[id_col]) for r in qrows]
+    totals_udf = pq_totals_from_codes_udf(
+        model["pq_rows"], [list(r["sv"]) for r in qrows], p["m"], block)
+    qid_arr = F.array(*[F.lit(q).cast("long") for q in qids])
+    scored = (codes.withColumn("_tot", totals_udf("codes"))
+              .select(F.col(id_col).alias("neighbor_id"),
+                      F.posexplode("_tot").alias("qi", "total"))
+              .select(qid_arr[F.col("qi")].alias("query_id"),
+                      "neighbor_id", "total")
+              .filter(F.col("neighbor_id") != F.col("query_id")))
+    wk = W.partitionBy("query_id").orderBy(F.col("total").asc(),
+                                           F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("int").alias("rank"),
+                    (F.col("total").cast("double")
+                     / F.lit(PQ_SCALE * PQ_SCALE)).alias("approx_dist")))

@@ -320,3 +320,42 @@ def query_topk_udf(cand_df, qvecs: dict, k: int, extra_col: str = None):
     schema = ("query_id long, neighbor_id long, rank int, cosine double"
               + (f", {extra_col} double" if extra_col else ""))
     return cand_df.groupBy("query_id").applyInPandas(per_query, schema)
+
+
+def pq_totals_from_codes_udf(cents: list, qsvs: list, m: int, block: int):
+    """pandas_udf: STORED PQ code array (array<int>, position s = cid) ->
+    per-query ADC distance totals (array<long>) — the search half of the
+    persisted-codes index. Identical tables and arithmetic to
+    pq_adc_totals_udf, but the argmin already happened at encode time,
+    so the scan reads m ints per vector and never touches raw
+    embeddings; cid -> table position resolves via searchsorted on the
+    ascending cid arrays (codebook buckets can be sparse)."""
+    by_s = {}
+    for s, cid, cvec in sorted((c["s"], c["cid"], c["cvec"]) for c in cents):
+        by_s.setdefault(int(s), []).append(
+            (int(cid), np.asarray(cvec, dtype=np.int64)))
+    cid_arrs = {s: np.array([cid for cid, _ in lst], dtype=np.int64)
+                for s, lst in by_s.items()}
+    cent_mats = {s: np.vstack([v for _, v in lst]) for s, lst in by_s.items()}
+    Q = (np.asarray(qsvs, dtype=np.int64) if qsvs
+         else np.zeros((0, m * block), dtype=np.int64))
+    nq = Q.shape[0]
+    qtab = {}
+    for s, C in cent_mats.items():
+        qsub = Q[:, s * block:(s + 1) * block]
+        qd = qsub[:, None, :] - C[None, :, :]
+        qtab[s] = np.einsum("qkb,qkb->qk", qd, qd)
+
+    @F.pandas_udf("array<long>")
+    def totals(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="object")
+        CO = np.vstack(col.to_numpy()).astype(np.int64)   # (n, m) codes
+        n = CO.shape[0]
+        out = np.zeros((n, nq), dtype=np.int64)
+        for s in range(m):
+            pos = np.searchsorted(cid_arrs[s], CO[:, s])
+            out += qtab[s][:, pos].T
+        return pd.Series(list(out))
+
+    return totals

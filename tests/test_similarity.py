@@ -140,3 +140,25 @@ def test_ivfpq_model_round_trips_through_parquet(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, ivfpq_rerank_topk(emb, model=model).collect()))
     b = sorted(map(tuple, ivfpq_rerank_topk(emb, model=loaded).collect()))
     assert a == b
+
+
+def test_stored_codes_search_matches_fused_kernel(spark, sf_dir):
+    """encode_corpus + pq_search_from_codes equals pq_topk's fused
+    raw-vector kernel exactly — the persisted-codes index (8 ints per
+    vector) loses nothing: the argmin happened at encode time with the
+    same exact-int arithmetic the fused path runs at query time."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.operators.similarity import (
+        build_ivfpq_model, encode_corpus, pq_search_from_codes, pq_topk,
+    )
+    from data_pipeline_foundations_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    fused = sorted(map(tuple, pq_topk(emb, arrow=True).collect()))
+    model = build_ivfpq_model(emb)
+    codes = encode_corpus(emb, model)
+    assert codes.columns == ["vec_id", "cid", "codes"]
+    stored = sorted(map(tuple, pq_search_from_codes(
+        codes, emb.filter(F.col("vec_id") < 10), model).collect()))
+    assert fused == stored
