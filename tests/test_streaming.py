@@ -325,3 +325,38 @@ def test_cms_sketch_stream_equals_batch(spark, sf_dir, tmp_path):
     got = sorted(spark.sql("SELECT * FROM cms_out").collect(),
                  key=lambda r: (r.row, r.bucket))
     assert got == want
+
+
+def test_ann_serving_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Online ANN serving: a closed query stream answered per
+    micro-batch against the static stored-codes index produces exactly
+    the batch search's rows — same kernels, same exact-int ADC tables,
+    only the arrival framing differs."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.operators.similarity import (
+        build_ivfpq_model, encode_corpus, pq_search_from_codes,
+    )
+    from data_pipeline_foundations_spark.streaming.ann_serving import (
+        serve_pq_queries,
+    )
+    from data_pipeline_foundations_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    model = build_ivfpq_model(emb)
+    codes = encode_corpus(emb, model).cache()
+    queries = emb.filter(F.col("vec_id") < 10)
+    want = sorted(map(tuple,
+                      pq_search_from_codes(codes, queries, model).collect()))
+
+    src = str(tmp_path / "queries")
+    queries.write.parquet(src)
+    stream = (spark.readStream.schema(queries.schema)
+              .format("parquet").load(src))
+    got = []
+    q = serve_pq_queries(stream, codes, model,
+                         on_result=lambda df, bid: got.extend(
+                             map(tuple, df.collect())))
+    q.awaitTermination()
+    codes.unpersist()
+    assert sorted(got) == want and len(want) > 0
