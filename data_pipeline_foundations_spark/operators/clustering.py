@@ -189,8 +189,16 @@ def connected_components(vertices: DataFrame, edges: DataFrame, *,
     # ~zero marginal jobs. Above it, the O(log n) distributed
     # contraction proceeds unchanged — at 100 TB the threshold check
     # costs one count over the already-materialized snapshot.
+    # The label frame's schema is derived from the VERTEX id type
+    # (ADVICE r4: a hard-coded `long` schema broke string/decimal-keyed
+    # graphs that the distributed path handles fine); Python's min/< on
+    # the collected values matches Spark's ordering for integral and
+    # string types — anything else falls through to the distributed path.
+    id_type = vertices.schema[id_col].dataType
+    fastpath_ok = id_type.typeName() in {
+        "long", "integer", "short", "byte", "string"}
     n_edges = e.count()
-    if n_edges <= small_graph_edges:
+    if n_edges <= small_graph_edges and fastpath_ok:
         parent: dict = {}
 
         def find(x):
@@ -211,10 +219,13 @@ def connected_components(vertices: DataFrame, edges: DataFrame, *,
                     parent[a] = b
         members = sorted({v for row_ in parent.items() for v in row_}
                          | set(parent))
-        label_rows = [(int(v), int(find(v))) for v in members]
+        label_rows = [(v, find(v)) for v in members]
         release(prev_ids)
         spark = vertices.sparkSession
-        labels = (spark.createDataFrame(label_rows, "v long, label long")
+        from pyspark.sql import types as T
+        label_schema = T.StructType([T.StructField("v", id_type),
+                                     T.StructField("label", id_type)])
+        labels = (spark.createDataFrame(label_rows, label_schema)
                   .join(vertices.select(F.col(id_col).alias("v")),
                         "v", "leftsemi"))
         participants = labels.select("v")

@@ -871,8 +871,13 @@ def dedup_repeated_windows(docs: DataFrame, *, id_col: str = "doc_id",
     windows share tokens).
 
     The combined key is portable exact-int arithmetic (the DuckDB twin
-    reproduces the argmin bit-for-bit) and requires start < 2^20 —
-    a ~1M-token document bound, documented rather than checked per row.
+    reproduces the argmin bit-for-bit) and requires ``1 <= start < 2^20``
+    (a ~1M-token document bound) AND ``0 <= doc_id < 2^43`` (else
+    ``doc_id * 2^20`` overflows int64 and the argmin silently keeps the
+    wrong occurrence). Both bounds are ENFORCED: the key expression
+    raises (fails the job) on the first out-of-range row instead of
+    corrupting the first-occurrence choice — a long-compare per window
+    row, free next to the md5 fingerprint beside it.
 
     Scale shape: the window explode is scan-local (split once, slice per
     start — n-k+1 windows per n-token doc, same inflation an n-gram
@@ -898,8 +903,16 @@ def dedup_repeated_windows(docs: DataFrame, *, id_col: str = "doc_id",
             .otherwise(F.array().cast("array<long>"))).alias("_i", "fp"))
         .withColumn("start", F.col("_i").cast("long") + 1)
         .select(F.col(id_col), "start", "fp",
-                (F.col(id_col).cast("long") * F.lit(2 ** 20)
-                 + F.col("start")).alias("mk")),
+                F.when((F.col(id_col).cast("long") >= 0)
+                       & (F.col(id_col).cast("long") < F.lit(2 ** 43))
+                       & (F.col("start") < F.lit(2 ** 20)),
+                       F.col(id_col).cast("long") * F.lit(2 ** 20)
+                       + F.col("start"))
+                .otherwise(F.raise_error(F.concat(
+                    F.lit("dedup_repeated_windows: combined argmin key "
+                          "needs 0 <= id < 2^43 and start < 2^20; got id="),
+                    F.col(id_col).cast("string"), F.lit(" start="),
+                    F.col("start").cast("string")))).alias("mk")),
         eager=False)
     agg = (wins.groupBy("fp")
            .agg(F.count(F.lit(1)).alias("cnt"), F.min("mk").alias("mn")))

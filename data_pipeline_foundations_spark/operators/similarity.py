@@ -1281,13 +1281,20 @@ def encode_corpus(emb: DataFrame, model: dict, *, id_col: str = "vec_id",
     p = model["params"]
     block = p["dim"] // p["m"]
     from .vectorized import ivf_assign_udf, pq_codes_udf
+    # Stamp the code column with the params of the model that produced
+    # it (ADVICE r4): column metadata survives the parquet round trip,
+    # so pq_search_from_codes can refuse a codes table encoded under a
+    # DIFFERENT model instead of silently scoring against the wrong
+    # codebook rows.
     return (scale_out(emb, 8)
             .select(F.col(id_col), int_vec(vec_col).alias("sv"))
             .withColumn("cid", ivf_assign_udf(model["ivf_rows"])(F.col("sv")))
             .withColumn("codes",
                         pq_codes_udf(model["pq_rows"], p["m"], block)
                         (F.col("sv")))
-            .select(id_col, "cid", "codes"))
+            .select(id_col, "cid",
+                    F.col("codes").alias("codes",
+                                         metadata={"ivfpq_params": dict(p)})))
 
 
 def pq_search_from_codes(codes: DataFrame, queries: DataFrame, model: dict,
@@ -1299,11 +1306,24 @@ def pq_search_from_codes(codes: DataFrame, queries: DataFrame, model: dict,
     entries at each row's codes — raw corpus vectors are never read.
     Returns pq_topk's schema (query_id, neighbor_id, rank, approx_dist);
     equality with the fused raw-vector kernel is pinned by
-    tests/test_similarity.py."""
+    tests/test_similarity.py.
+
+    Model/codes compatibility is VERIFIED, not assumed (ADVICE r4):
+    encode_corpus stamps the code column's metadata with its model
+    params — a mismatch raises here before any job runs; a codes table
+    without the stamp (hand-built, or run through a metadata-stripping
+    transform) is accepted, and the scoring kernel's membership check
+    still raises on any code that is not a codebook cid (stale-model
+    detection at the value level)."""
     from pyspark.sql import Window as W
 
     from .vectorized import pq_totals_from_codes_udf
     p = model["params"]
+    stamped = codes.schema["codes"].metadata.get("ivfpq_params")
+    if stamped is not None and dict(stamped) != dict(p):
+        raise ValueError(
+            f"pq_search_from_codes: codes table was encoded under model "
+            f"params {dict(stamped)}, but the passed model has {dict(p)}")
     block = p["dim"] // p["m"]
     qrows = sorted(queries.select(F.col(id_col),
                                   int_vec(vec_col).alias("sv")).collect(),

@@ -36,12 +36,20 @@ def constraint_report(df: DataFrame,
     condition is TRUE for a violating row (e.g. ``F.col("x").isNull()``).
     ``unique``: (constraint_name, [cols]) — violations counted as
     n_rows − n_distinct(cols) (0 when the key is unique).
+
+    Uniqueness is NULL-SAFE (ADVICE r4): the distinct count runs over a
+    struct of the key columns, so rows with null key fields participate
+    with GROUP-BY equality ((null, 1) == (null, 1)) — identical to the
+    DuckDB oracle's ``COUNT(DISTINCT (a, b))`` row-value semantics. A
+    bare ``count_distinct(a, b)`` would skip any row with a null field,
+    silently under-counting violations on nullable keys.
     """
     unique = unique or []
     aggs = [F.count(F.lit(1)).alias("_n")]
     aggs += [F.sum(cond.cast("long")).alias(f"_v{i}")
              for i, (_, cond) in enumerate(rules)]
-    aggs += [F.count_distinct(*[F.col(c) for c in cols]).alias(f"_u{j}")
+    aggs += [F.count_distinct(F.struct(*[F.col(c) for c in cols]))
+             .alias(f"_u{j}")
              for j, (_, cols) in enumerate(unique)]
     row = df.agg(*aggs)
     entries = [

@@ -354,7 +354,20 @@ def pq_totals_from_codes_udf(cents: list, qsvs: list, m: int, block: int):
         n = CO.shape[0]
         out = np.zeros((n, nq), dtype=np.int64)
         for s in range(m):
+            # membership check (ADVICE r4): a stored code that is not a
+            # codebook cid means the codes table and the model disagree
+            # (stale index / wrong model) — raise instead of silently
+            # scoring against whatever row searchsorted lands on (or an
+            # IndexError when the code exceeds the last cid).
             pos = np.searchsorted(cid_arrs[s], CO[:, s])
+            bad = (pos >= len(cid_arrs[s])) | (
+                cid_arrs[s][np.minimum(pos, len(cid_arrs[s]) - 1)]
+                != CO[:, s])
+            if bad.any():
+                raise ValueError(
+                    f"pq_totals_from_codes: code {int(CO[bad, s][0])} in "
+                    f"subspace {s} is not a codebook cid — codes table "
+                    f"was not produced by this model")
             out += qtab[s][:, pos].T
         return pd.Series(list(out))
 

@@ -121,15 +121,26 @@ def read_json_quarantine(spark: SparkSession, path: str,
     be queried ALONE — the parser only populates it when at least one
     data column is also referenced. Filtering on the corrupt column
     after a full-width select is the supported form used here.
+
+    The caller's ``schema`` object is never mutated (StructType.add
+    appends in place and returns self — building the widened schema from
+    ``schema.fields`` keeps the corrupt-record column out of the user's
+    object). The one-pass parse is held via ``tracked_persist`` so
+    ``release_tracked()`` (the session-level cache discipline every other
+    operator uses) frees it.
     """
+    from ..operators.caching import tracked_persist
     cr = "_corrupt_record"
-    full = schema.add(cr, T.StringType()) if cr not in schema.names else schema
-    df = (spark.read.schema(full)
-          .option("mode", "PERMISSIVE")
-          .option("columnNameOfCorruptRecord", cr)
-          .json(path)
-          .cache())  # required: re-reading would re-parse; and the
-    # good/bad split must come from ONE parse pass for consistency
+    full = (schema if cr in schema.names
+            else T.StructType(list(schema.fields)
+                              + [T.StructField(cr, T.StringType())]))
+    df = tracked_persist(
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", cr)
+        .json(path),
+        eager=False)  # one parse pass feeds both splits; re-reading
+    # would re-parse and could split inconsistently
     good = df.filter(F.col(cr).isNull()).drop(cr)
     bad = df.filter(F.col(cr).isNotNull()).select(F.col(cr).alias("raw"))
     return good, bad

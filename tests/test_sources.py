@@ -637,7 +637,10 @@ def test_constraint_report_counts_violations(spark):
     assert rep["not_null:id"].n_violations == 1
     assert rep["range:amount:[0,100]"].n_violations == 2
     assert rep["accepted:grade:{A,B}"].n_violations == 1
-    # count_distinct skips the null id -> 3 distinct of 5 rows
-    assert rep["unique:id"].n_violations == 2
+    # null-safe uniqueness (ADVICE r4): the struct-based distinct counts
+    # the null id as its own key value (GROUP-BY equality, matching the
+    # DuckDB oracle's COUNT(DISTINCT (a,b))) -> 4 distinct of 5 rows;
+    # the only duplicated key is id=2
+    assert rep["unique:id"].n_violations == 1
     assert all(r.n_rows == 5 for r in rep.values())
     assert not rep["not_null:id"].passed
