@@ -245,6 +245,56 @@ def ivfpq_totals_udf(ivf_cents: list, probe_sets: list, pq_cents: list,
     return totals
 
 
+def ivf_cos_udf(cents: list, probe_sets: list, qsvs: list):
+    """pandas_udf: scaled vector sv -> per-query exact cosines restricted
+    to IVF-probed lists (array<double>; position qi holds the derived-
+    float cosine when this row's IVF list is in query qi's probe set,
+    else -9.0 — cosines live in [-1, 1], so the sentinel is filter-safe).
+
+    The whole IVF-flat search side fused into ONE map stage (the
+    ivfpq_totals_udf shape with exact cosines instead of ADC totals):
+    assign the row's list (argmax over the same derived-float centroid
+    cosines as the SQL twin, exact ties to the LARGEST cid), check probe
+    membership, and score against every probing query's vector — one
+    int64 matmul per batch, each corpus vector moves once, and the only
+    shuffle left downstream is the per-query top-k window. Cosine is the
+    derived-float contract (exact int Gram / product of two sqrts — the
+    same three IEEE roundings as the HOF fold), so the output is
+    bit-identical to the assign→probe-join→score formulation.
+    """
+    rows = sorted(((int(c["cid"]), np.asarray(c["cv"], dtype=np.int64),
+                    int(c["cn2"])) for c in cents), reverse=True)
+    icids = np.array([cid for cid, _, _ in rows], dtype=np.int64)
+    IC = np.vstack([cv for _, cv, _ in rows])
+    icrt = np.sqrt(np.array([cn2 for _, _, cn2 in rows], dtype=np.float64))
+    nq = len(probe_sets)
+    max_cid = int(icids.max()) if len(icids) else 0
+    probe_bool = np.zeros((nq, max_cid + 1), dtype=bool)
+    for qi, cids in enumerate(probe_sets):
+        for cid in cids:
+            probe_bool[qi, int(cid)] = True
+    Q = (np.asarray(qsvs, dtype=np.int64) if qsvs
+         else np.zeros((0, IC.shape[1]), dtype=np.int64))
+    qrt = np.sqrt(np.einsum("qd,qd->q", Q, Q).astype(np.float64))
+
+    @F.pandas_udf("array<double>")
+    def cosines(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="object")
+        SV = np.vstack(col.to_numpy()).astype(np.int64)
+        n2 = np.einsum("nd,nd->n", SV, SV)
+        rt = np.sqrt(n2.astype(np.float64))
+        Gc = (SV @ IC.T).astype(np.float64)    # exact: |idot| < 2^53
+        ccos = Gc / (rt[:, None] * icrt[None, :])
+        cid = icids[np.argmax(ccos, axis=1)]   # this row's IVF list
+        Gq = (SV @ Q.T).astype(np.float64)     # (n, nq) exact int Gram
+        qcos = Gq / (rt[:, None] * qrt[None, :])
+        probed = probe_bool[:, cid].T          # (n, nq)
+        return pd.Series(list(np.where(probed, qcos, -9.0)))
+
+    return cosines
+
+
 def ivf_assign_udf(cents: list):
     """pandas_udf: scaled vector sv -> nearest-centroid cid (long).
 

@@ -231,7 +231,10 @@ def x20_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest-centroid refinement), nprobe=6 of 16 inverted lists searched
     per query, exact cosine rank inside the probed lists
     (operators/similarity.py — third tier after x07 brute-force and
-    x08 SRP-LSH)."""
+    x08 SRP-LSH). Runs the fused Arrow path (r5): the model is ONE
+    map-side-combined aggregate collected in one non-AQE job, the search
+    ONE kernel stage (assign → probe check → cosine) + the top-k window
+    — bit-equal to the SQL twin (pinned in tests/test_vectorized.py)."""
     return ivf_topk(load(spark, sf_dir, "embeddings"))
 
 

@@ -20,7 +20,6 @@ from data_pipeline_foundations_spark.registry import all_queries
 # query -> why a BroadcastNestedLoopJoin is legitimate here
 BNLJ_WHITELIST = {
     "x07_cosine_topk": "broadcast of n_queries rows, non-equi self-exclusion",
-    "x20_ivf_ann": "single broadcast centroid-array row (crossJoin attach)",
     "x24_bm25_topk": "single broadcast corpus-stats row",
     "x27_hll_distinct": "single broadcast register row",
     "x38_temperature_resample": "single broadcast stratum-max row",
