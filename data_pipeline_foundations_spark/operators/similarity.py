@@ -380,15 +380,20 @@ def ivf_topk(emb: DataFrame, *, id_col: str = "vec_id",
         # the SAME two IEEE casts as the SQL twin (exact bigint sum →
         # double ÷ double → floor), so the model is bit-identical.
         from ..functions.hashing import md5_long as _md5
-        base0 = (emb.select(F.col(id_col), int_vec(vec_col).alias("sv"))
-                 .withColumn("bucket",
-                             _md5(F.col(id_col).cast("string"), seed=seed)
-                             % k_clusters))
+        base0 = emb.withColumn(
+            "bucket",
+            _md5(F.col(id_col).cast("string"), seed=seed) % k_clusters)
         # one F.expr string, not dim separate Column objects — building
-        # 64 sum(sv[i]) Columns through Py4J costs ~1 s of driver time
-        # per call; one parsed SQL string costs one roundtrip.
+        # 64 sum Columns through Py4J costs ~1 s of driver time per
+        # call; one parsed SQL string costs one roundtrip. The 1e-6-grid
+        # quantization is inlined per element (codegen'd arithmetic, the
+        # exact int_vec expression) instead of a transform HOF, which
+        # would evaluate interpreted.
         sum_arr = F.expr(
-            "array(" + ", ".join(f"sum(sv[{i}])" for i in range(dim)) + ")"
+            "array(" + ", ".join(
+                f"sum(cast(floor(cast({vec_col}[{i}] as double) * "
+                f"{EMB_SCALE} + 0.5) as bigint))"
+                for i in range(dim)) + ")"
         ).alias("vec")
         cent_part = (base0.groupBy("bucket")
                      .agg(F.count(F.lit(1)).alias("cnt"), sum_arr)
@@ -442,12 +447,12 @@ def ivf_topk(emb: DataFrame, *, id_col: str = "vec_id",
         # candidates only.
         from .vectorized import ivf_cos_udf
         cos_udf = ivf_cos_udf(cents_rows, probe_sets,
-                              [list(r["sv"]) for r in qrows])
+                              [list(r["sv"]) for r in qrows], EMB_SCALE)
         qids = [int(r[id_col]) for r in qrows]
         qid_arr = F.array(*[F.lit(q).cast("long") for q in qids])
         scored = (emb
-                  .select(F.col(id_col), int_vec(vec_col).alias("sv"))
-                  .withColumn("_cos", cos_udf("sv"))
+                  .select(F.col(id_col), F.col(vec_col).alias("_v"))
+                  .withColumn("_cos", cos_udf("_v"))
                   .select(F.col(id_col).alias("neighbor_id"),
                           F.posexplode("_cos").alias("qi", "cosine"))
                   .filter(F.col("cosine") > -2.0)  # -9 = not probed

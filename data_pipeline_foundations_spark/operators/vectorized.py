@@ -245,11 +245,14 @@ def ivfpq_totals_udf(ivf_cents: list, probe_sets: list, pq_cents: list,
     return totals
 
 
-def ivf_cos_udf(cents: list, probe_sets: list, qsvs: list):
-    """pandas_udf: scaled vector sv -> per-query exact cosines restricted
-    to IVF-probed lists (array<double>; position qi holds the derived-
-    float cosine when this row's IVF list is in query qi's probe set,
-    else -9.0 — cosines live in [-1, 1], so the sentinel is filter-safe).
+def ivf_cos_udf(cents: list, probe_sets: list, qsvs: list, scale: float):
+    """pandas_udf: RAW embedding (array<float>) -> per-query exact
+    cosines restricted to IVF-probed lists (array<double>; position qi
+    holds the derived-float cosine when this row's IVF list is in query
+    qi's probe set, else -9.0 — cosines live in [-1, 1], so the sentinel
+    is filter-safe). Quantization (floor(x·scale + 0.5) → int64) happens
+    INSIDE the kernel, exactly as srp_sig_udf does — the scan ships raw
+    floats and pays no interpreted int_vec HOF.
 
     The whole IVF-flat search side fused into ONE map stage (the
     ivfpq_totals_udf shape with exact cosines instead of ADC totals):
@@ -281,7 +284,8 @@ def ivf_cos_udf(cents: list, probe_sets: list, qsvs: list):
     def cosines(col: pd.Series) -> pd.Series:
         if len(col) == 0:
             return pd.Series([], dtype="object")
-        SV = np.vstack(col.to_numpy()).astype(np.int64)
+        M = np.vstack(col.to_numpy()).astype(np.float64)
+        SV = np.floor(M * scale + 0.5).astype(np.int64)
         n2 = np.einsum("nd,nd->n", SV, SV)
         rt = np.sqrt(n2.astype(np.float64))
         Gc = (SV @ IC.T).astype(np.float64)    # exact: |idot| < 2^53
