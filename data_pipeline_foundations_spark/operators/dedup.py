@@ -158,26 +158,68 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       k: int = MINHASH_K, bands: int = LSH_BANDS,
                       threshold: float = 0.5,
-                      hasher: str = "md5") -> DataFrame:
+                      hasher: str = "md5",
+                      arrow: bool = True) -> DataFrame:
     """Near-dup candidate pairs via LSH banding + MinHash similarity estimate.
 
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b and
     est_jaccard = (#equal minhashes)/k >= threshold. Docs with fewer than
     n tokens have no shingles and are excluded (their signature is null).
 
-    The band self-join's two sides share one canonicalized plan, so Spark
-    reuses the exchange (the signature scan runs once for banding); the
-    verification join re-derives signatures from the same staged scan.
+    ``arrow=True`` (default, md5 hasher only): signatures come from one
+    kernel call per document (vectorized.minhash_sig_udf, per-batch
+    token-hash memoization — bit-identical to the HOF pipeline, pinned
+    by tests/test_vectorized), ride the banding self-join as a single
+    array column, and the similarity estimate is computed INLINE on the
+    candidate pairs (a zip_with equality fold over two 8-long arrays —
+    interpreted, but candidates are the post-banding survivors, orders
+    of magnitude fewer than documents). The two signature verification
+    joins of the SQL formulation disappear, the self-join's two sides
+    still share one canonicalized plan (the kernel runs once, its
+    exchange is reused), and the whole operator is ONE lazy plan — no
+    eager persist job. The ``hasher="xx"`` production family keeps the
+    JVM path (xxhash64 is JVM-native and already cheap).
+
+    SQL path: the band self-join's two sides share one canonicalized
+    plan, so Spark reuses the exchange (the signature scan runs once for
+    banding); the verification join re-derives signatures from the same
+    staged scan.
     """
     r = k // bands
+    filtered = scale_out(docs).filter(F.size(tokens(text_col)) >= n)
+    if arrow and hasher == "md5":
+        from .vectorized import minhash_sig_udf
+        sig_udf = minhash_sig_udf(_hash_family(k), n, HASH_P, SHINGLE_C)
+        d = filtered.withColumn("_mh", sig_udf(F.col(text_col)))
+        band_structs = [
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.concat_ws("|", *[F.col("_mh")[j * r + i].cast("string")
+                                   for i in range(r)]).alias("band_key"))
+            for j in range(bands)
+        ]
+        bands_df = (d.select(F.col(id_col), "_mh",
+                             F.explode(F.array(*band_structs)).alias("b"))
+                    .select(id_col, "_mh", "b.band_id", "b.band_key"))
+        x, y = bands_df.alias("x"), bands_df.alias("y")
+        matches = F.aggregate(
+            F.zip_with(F.col("x._mh"), F.col("y._mh"),
+                       lambda a, b: (a == b).cast("long")),
+            F.lit(0).cast("long"), lambda acc, v: acc + v)
+        return (x.join(y, ["band_id", "band_key"])
+                .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+                .select(F.col(f"x.{id_col}").alias("doc_a"),
+                        F.col(f"y.{id_col}").alias("doc_b"),
+                        (matches / F.lit(float(k))).alias("est_jaccard"))
+                .filter(F.col("est_jaccard") >= threshold)
+                .distinct())
     # Persist the signature table: (id, k longs) per doc, consumed by the
     # banding self-join AND both verification sides. (Persisting is safe
     # and cheap now that the signature expression is staged — caching a
     # plan with duplicated HOFs would evaluate them per duplicate in the
     # interpreted cache-build path.)
     sig = tracked_persist(
-        with_minhash(scale_out(docs).filter(F.size(tokens(text_col)) >= n),
-                     text_col, n, k, hasher=hasher)
+        with_minhash(filtered, text_col, n, k, hasher=hasher)
         .select(id_col, *[f"mh{i}" for i in range(k)])
     )
     band_structs = [

@@ -245,6 +245,60 @@ def ivfpq_totals_udf(ivf_cents: list, probe_sets: list, pq_cents: list,
     return totals
 
 
+def minhash_sig_udf(family: list, n: int, hash_p: int, shingle_c: int):
+    """pandas_udf: raw text -> k-member MinHash signature (array<long>,
+    null when the document has fewer than ``n`` tokens).
+
+    The NUMERICALLY IDENTICAL twin of dedup.with_minhash's HOF pipeline
+    (token md5 → rolling-polynomial shingles → k universal-hash minima),
+    one kernel call per document instead of ~k·T interpreted lambda
+    evals. Exactness: the token hash is hashlib.md5 — bit-identical
+    digests to JVM/DuckDB md5 — parsed exactly like md5_long
+    (int(hexdigest[:15], 16), 60 bits) then reduced mod ``hash_p``; all
+    downstream arithmetic is int64 modular math on values < 2^62, so
+    numpy, Spark HOFs, and DuckDB produce the same integers. Token
+    hashes are memoized per batch (documents share most tokens), which
+    is where the kernel beats the JVM path: the md5+conv+decimal
+    pipeline re-hashes every occurrence.
+    """
+    import hashlib
+
+    fam_a = np.array([a for a, _ in family], dtype=np.int64)
+    fam_b = np.array([b for _, b in family], dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def sig(col: pd.Series) -> pd.Series:
+        memo: dict = {}
+
+        def th_of(tok: str) -> int:
+            v = memo.get(tok)
+            if v is None:
+                v = int(hashlib.md5(tok.encode()).hexdigest()[:15],
+                        16) % hash_p
+                memo[tok] = v
+            return v
+
+        out = []
+        for t in col:
+            toks = t.split(" ")
+            T = len(toks)
+            if T < n:
+                out.append(None)
+                continue
+            th = np.fromiter((th_of(tok) for tok in toks),
+                             dtype=np.int64, count=T)
+            w = T - n + 1
+            acc = th[:w].copy()
+            for j in range(1, n):
+                acc = (acc * shingle_c + th[j:j + w]) % hash_p
+            mh = ((fam_a[:, None] * acc[None, :] + fam_b[:, None])
+                  % hash_p).min(axis=1)
+            out.append(mh.tolist())
+        return pd.Series(out)
+
+    return sig
+
+
 def ivf_cos_udf(cents: list, probe_sets: list, qsvs: list, scale: float):
     """pandas_udf: RAW embedding (array<float>) -> per-query exact
     cosines restricted to IVF-probed lists (array<double>; position qi

@@ -81,10 +81,40 @@ def main() -> None:
     ) TO '{args.out}/events.parquet' (FORMAT PARQUET)
     """)
 
+    # orders/lineitem x10 (for pl01/u01 scaling rows): replicas shift
+    # order keys and customer keys into disjoint ranges, so per-order
+    # aggregates and per-customer windows scale linearly (no artificial
+    # cross-replica payment piles); all other columns ride unchanged.
+    orders = f"{args.src}/orders.parquet"
+    li = f"{args.src}/lineitem.parquet"
+    n_ok = con.execute(
+        f"SELECT MAX(o_orderkey) + 1 FROM '{orders}'").fetchone()[0]
+    n_ck = con.execute(
+        f"SELECT MAX(o_custkey) + 1 FROM '{orders}'").fetchone()[0]
+    for dst in (f"{args.out}/orders.parquet", f"{args.out}/lineitem.parquet"):
+        if os.path.islink(dst):
+            os.unlink(dst)
+    con.execute(f"""
+    COPY (
+        SELECT * FROM '{orders}'
+        UNION ALL
+        SELECT o.* REPLACE (o.o_orderkey + k.k * {n_ok} AS o_orderkey,
+                            o.o_custkey + k.k * {n_ck} AS o_custkey)
+        FROM '{orders}' o, (SELECT unnest(range(1, 10)) AS k) k
+    ) TO '{args.out}/orders.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+    COPY (
+        SELECT * FROM '{li}'
+        UNION ALL
+        SELECT l.* REPLACE (l.l_orderkey + k.k * {n_ok} AS l_orderkey)
+        FROM '{li}' l, (SELECT unnest(range(1, 10)) AS k) k
+    ) TO '{args.out}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+
     # the remaining tables are consumed by relational queries that the
     # scaling study doesn't re-time — symlink them so tables.load works
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem"):
+    for t in ("region", "nation", "customer", "supplier", "part"):
         dst = f"{args.out}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{args.src}/{t}.parquet", dst)

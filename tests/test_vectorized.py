@@ -36,3 +36,16 @@ def test_arrow_equals_sql_twin(spark, sf_dir, op, kwargs):
     arrow = _rows(op(emb, arrow=True, **kwargs))
     sql = _rows(op(emb, arrow=False, **kwargs))
     assert arrow == sql  # bit-identical, floats included
+
+
+def test_minhash_arrow_equals_sql_twin(spark, sf_dir):
+    """The r5 MinHash kernel (hashlib md5 + numpy modular arithmetic +
+    inline candidate estimation) must reproduce the HOF/join formulation
+    bit-for-bit — including est_jaccard's single IEEE division."""
+    from data_pipeline_foundations_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    docs = load(spark, sf_dir, "documents")
+    arrow = _rows(minhash_lsh_pairs(docs, arrow=True))
+    sql = _rows(minhash_lsh_pairs(docs, arrow=False))
+    assert arrow == sql and len(arrow) > 0
