@@ -208,9 +208,38 @@ def pl01_settlement_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimization — each stage is individually sub-second and
     corpus-proportional.
     """
+    return settlement_pipeline(load(spark, sf_dir, "orders"),
+                               load(spark, sf_dir, "lineitem"))
+
+
+def settlement_pipeline(o: DataFrame, li: DataFrame, *,
+                        cust_in_li: bool = False) -> DataFrame:
+    """The pl01 computation over caller-supplied orders/lineitem frames.
+
+    ``cust_in_li=True`` expects lineitem denormalized with ``l_custkey``
+    (the orders-side customer key carried onto each line at warehouse
+    build time) and switches the plan to the CUSTOMER-CO-PARTITIONED
+    shape: the per-order aggregate groups by (l_custkey, l_orderkey) and
+    the join keys on both columns, so a warehouse whose orders AND
+    lineitem are bucketed by customer key runs the ENTIRE pipeline —
+    aggregate, join, and the per-customer window — with ZERO shuffle
+    exchanges (HashPartitioning(custkey) satisfies every clustered
+    distribution in the plan; sorts are bucket-local). Output is
+    identical to the plain shape: o_orderkey is unique, so joining on
+    (custkey, orderkey) equals joining on orderkey when l_custkey came
+    from the same orders table. Pinned by
+    tests/test_skew_and_bucketing.py (plan has no Exchange, rows equal
+    pl01's).
+
+    Deployment settings for the Exchange-free shape (both pinned in the
+    test): ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false``
+    (the auto heuristic disables bucketed reading before
+    EnsureRequirements can exploit it here) and
+    ``spark.sql.requireAllClusterKeysForCoPartition=false`` (accept both
+    join sides hash-partitioned on the custkey SUBSET of the join keys —
+    exactly the single-bucket-key / multi-key-join layout).
+    """
     from ..functions.money import scaled_long
-    o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
     amt = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     amt_cents = scaled_long(amt, 100.0)
 
@@ -221,7 +250,8 @@ def pl01_settlement_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     def chan_last(flag: str) -> F.Column:
         return F.max(F.when(F.col("l_returnflag") == flag, F.col("l_shipdate")))
 
-    aggs = (li.groupBy("l_orderkey").agg(
+    grp = ["l_custkey", "l_orderkey"] if cust_in_li else ["l_orderkey"]
+    aggs = (li.groupBy(*grp).agg(
         chan_sum("A").alias("paid_a"), chan_last("A").alias("last_paid_a"),
         chan_sum("N").alias("paid_n"), chan_last("N").alias("last_paid_n"),
         chan_sum("R").alias("paid_r"), chan_last("R").alias("last_paid_r"),
@@ -231,7 +261,10 @@ def pl01_settlement_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.lit(100.0)).alias("disputed"),
     ))
 
-    j = (o.join(aggs, o.o_orderkey == aggs.l_orderkey, "left")
+    cond = (o.o_orderkey == aggs.l_orderkey)
+    if cust_in_li:
+        cond = cond & (o.o_custkey == aggs.l_custkey)
+    j = (o.join(aggs, cond, "left")
          .select(
              F.col("o_orderkey").alias("loan_id"),
              F.col("o_custkey").alias("customer_id"),
