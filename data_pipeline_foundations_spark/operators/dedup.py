@@ -694,6 +694,48 @@ def dedup_against_store(spark, batch: DataFrame, store_table: str, *,
     return survivors
 
 
+def dedup_against_versioned_store(spark, batch: DataFrame, root: str, *,
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  fp_col: str = "fp") -> DataFrame:
+    """:func:`dedup_against_store` with ATOMIC reader visibility
+    (VERDICT r4 task #6): the fingerprint store is a versioned-snapshot
+    directory (sources/warehouse.py write_versioned) where each version
+    holds ONE batch's accepted fingerprints — the delta-log pattern.
+    "History" is the union of COMMITTED versions only, so a reader (or
+    the next batch) racing this batch's append sees the store before or
+    after the whole batch, never a partial file set: the flip is the
+    new version's _SUCCESS marker, and a crashed write leaves an
+    ignored orphan directory. Concurrent-reader behavior is pinned in
+    tests/test_incremental_dedup.py.
+
+    Trade vs the bucketed store: each version is plain parquet (no
+    catalog bucket metadata), so the anti-join shuffles the history
+    side per batch — the price of multi-reader atomicity. Single-writer
+    pipelines with no external readers keep the bucketed store's
+    exchange-free probe; pipelines whose store doubles as a published
+    table take this one. Squash the per-batch versions with
+    ``sources.warehouse.squash_versioned(distinct=True)`` once the
+    version count grows (compact_versioned would DROP pre-current
+    deltas — its state model is current-version-only).
+    """
+    from ..sources.warehouse import list_versions, write_versioned
+    from .caching import persistent_rdd_ids, track_checkpoint_rdds
+    dirs = [d for _, d in list_versions(spark, root)]
+    if dirs:
+        history = spark.read.parquet(*dirs).select(fp_col)
+    else:
+        history = spark.createDataFrame([], f"{fp_col} long")
+    sc = spark.sparkContext
+    before = persistent_rdd_ids(sc)
+    survivors = incremental_dedup(
+        batch, history, id_col=id_col,
+        text_col=text_col, fp_col=fp_col).localCheckpoint(eager=True)
+    track_checkpoint_rdds(sc, persistent_rdd_ids(sc) - before)
+    write_versioned(spark, root, survivors.select(fp_col))
+    return survivors
+
+
 def ngram_containment_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                             text_col: str = "text", n: int = 3,
                             max_df: int = MAX_SHINGLE_DF,

@@ -256,6 +256,35 @@ def compact_versioned(spark: SparkSession, root: str, *,
     return new_dir
 
 
+def squash_versioned(spark: SparkSession, root: str, *,
+                     distinct: bool = False,
+                     keep_versions: int = 2) -> str | None:
+    """Squash a DELTA-style versioned store (state = UNION of committed
+    versions, e.g. the dedup fingerprint store) into one version.
+
+    Unlike :func:`compact_versioned` (whose state is the CURRENT version
+    alone), the squash unions every committed version into the new one —
+    so after the prune, state is preserved while readers stop paying a
+    per-version listing. ``distinct=True`` also collapses duplicate rows
+    (safe for membership sets like fingerprints). Readers racing the
+    squash see a SUPERSET union (old versions + the squash) — identical
+    membership, which is why this is safe without a reader lock.
+    ``keep_versions >= 2`` retains the pre-squash current version for
+    in-flight readers, same contract as compact_versioned. Returns the
+    new version dir, or None when there is at most one version."""
+    vs = list_versions(spark, root)
+    if len(vs) <= 1:
+        return None
+    df = spark.read.parquet(*[d for _, d in vs])
+    if distinct:
+        df = df.distinct()
+    new_dir = write_versioned(spark, root, df)
+    fs, _, jvm = _fs(spark, root)
+    for v, d in list_versions(spark, root)[:-keep_versions]:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+    return new_dir
+
+
 def backup_before_rebuild(spark: SparkSession, path: str, *,
                           keep: int = 1, now=None) -> str | None:
     """S8 — snapshot a warehouse directory before overwriting it, then

@@ -63,13 +63,28 @@ def parse_arcus(df: DataFrame) -> DataFrame:
 
 
 def run_available_now(spark: SparkSession, landing_dir: str, out_dir: str,
-                      checkpoint_dir: str) -> None:
+                      checkpoint_dir: str,
+                      publish_root: str | None = None) -> str | None:
     """Drain all currently-available staged files into the parquet sink,
     exactly once per file (checkpoint-tracked), then stop.
 
     Append mode matches the transactions feed's intent (the reference's
     payments variant overwrites and silently drops history — flagged in
     SURVEY.md §7.4 as a bug not to replicate).
+
+    ``publish_root`` (VERDICT r4 task #6 — versioned snapshots as the
+    default consumer surface): after the drain, the ACCUMULATED sink is
+    committed as the next snapshot version under ``publish_root``
+    (sources/warehouse.py write_versioned) and that directory is
+    returned. Batch consumers read via ``read_versioned(publish_root)``
+    and get atomic visibility — a reader racing the next drain resolves
+    the previous committed version until the new _SUCCESS marker lands,
+    and a crashed publish leaves only an ignored orphan directory.
+    (The raw ``out_dir`` stays exactly-once for STREAM restarts via the
+    checkpoint, but a batch reader racing an in-flight micro-batch can
+    observe a partial file set there — the published snapshot is the
+    safe handle. Concurrent-reader behavior pinned in
+    tests/test_streaming.py.)
     """
     stream = (
         spark.readStream
@@ -88,3 +103,8 @@ def run_available_now(spark: SparkSession, landing_dir: str, out_dir: str,
         .start()
     )
     q.awaitTermination()
+    if publish_root is not None:
+        from ..sources.warehouse import write_versioned
+        return write_versioned(spark, publish_root,
+                               spark.read.parquet(out_dir))
+    return None

@@ -360,3 +360,49 @@ def test_ann_serving_stream_equals_batch(spark, sf_dir, tmp_path):
     q.awaitTermination()
     codes.unpersist()
     assert sorted(got) == want and len(want) > 0
+
+
+def test_ingest_published_snapshot_is_atomic(spark, tmp_path):
+    """VERDICT r4 task #6: the ledgered ingest publishes its accumulated
+    sink as a versioned snapshot after each drain; batch consumers read
+    the snapshot, where visibility flips atomically on the _SUCCESS
+    marker — an uncommitted (crashed/in-flight) version is invisible."""
+    from data_pipeline_foundations_spark.sources.warehouse import (
+        list_versions, read_versioned,
+    )
+    landing = tmp_path / "landing"; landing.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pub = str(tmp_path / "published")
+    raw = tmp_path / "raw"; raw.mkdir()
+
+    _write_csv(str(raw / "a.csv"), [
+        "1,1050,2025-06-01 10:00:00,r1",
+        "2,2000,2025-06-01 11:00:00,r2",
+        "999,3050,,TOTAL",
+    ])
+    stage_csv_file(str(raw / "a.csv"), str(landing))
+    v1 = run_available_now(spark, str(landing), out, ckpt,
+                           publish_root=pub)
+    assert v1 is not None
+    assert read_versioned(spark, pub).count() == 2
+
+    # a crashed concurrent publish: data files, no _SUCCESS marker —
+    # consumers keep resolving v1
+    orphan = os.path.join(pub, "v_00000005")
+    (spark.read.parquet(out).write.mode("overwrite").parquet(orphan))
+    os.remove(os.path.join(orphan, "_SUCCESS"))
+    assert read_versioned(spark, pub).count() == 2
+    assert len(list_versions(spark, pub)) == 1
+
+    # second drain picks up a new file and publishes v2 with ALL rows
+    _write_csv(str(raw / "b.csv"), [
+        "4,100,2025-06-02 09:00:00,r4",
+        "5,250,2025-06-02 09:30:00,r5",
+        "999,350,,TOTAL",
+    ])
+    stage_csv_file(str(raw / "b.csv"), str(landing))
+    run_available_now(spark, str(landing), out, ckpt, publish_root=pub)
+    snap = read_versioned(spark, pub)
+    assert snap.count() == 4
+    assert {r.tx_id for r in snap.collect()} == {1, 2, 4, 5}
