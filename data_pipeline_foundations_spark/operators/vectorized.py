@@ -59,14 +59,20 @@ def srp_sig_udf(signs, scale: float):
     return sig
 
 
-def bucket_pair_cosines(bands_df, id_col: str, threshold: float):
+def bucket_pair_cosines(bands_df, id_col: str, threshold: float,
+                        scale: float | None = None):
     """Per-LSH-bucket pairwise quantized cosines via one int64 matmul.
 
-    ``bands_df``: (band_id, band_key, id, sv: array<long>, n2: long) —
-    one row per (vector, band). Returns (vec_a, vec_b, cosine) for every
-    within-bucket pair with cosine >= threshold, a < b, NOT deduped
-    across bands (caller applies .distinct(); cosines are bit-identical
-    across bands so the dedup is exact).
+    ``bands_df``: (band_id, band_key, id, sv, [n2]) — one row per
+    (vector, band). With ``scale=None`` (default), ``sv`` is the
+    pre-quantized array<long> and ``n2`` its exact norm; with ``scale``
+    set, ``sv`` is the RAW float embedding and quantization + norms
+    happen INSIDE the kernel (the srp_sig_udf discipline — the scan
+    ships raw floats and pays no interpreted int_vec/idot HOFs; the
+    int64 arithmetic is identical either way). Returns (vec_a, vec_b,
+    cosine) for every within-bucket pair with cosine >= threshold,
+    a < b, NOT deduped across bands (caller applies .distinct();
+    cosines are bit-identical across bands so the dedup is exact).
 
     The Gram matrix S @ S.T reproduces the SQL twin's idot fold exactly
     (integer sums); cosine = idot / (sqrt(na2) * sqrt(nb2)) with the same
@@ -80,8 +86,14 @@ def bucket_pair_cosines(bands_df, id_col: str, threshold: float):
         if n < 2:
             return empty
         ids = pdf[id_col].to_numpy()
-        S = np.vstack(pdf["sv"].to_numpy()).astype(np.int64)
-        rt = np.sqrt(pdf["n2"].to_numpy().astype(np.int64).astype(np.float64))
+        if scale is not None:
+            M = np.vstack(pdf["sv"].to_numpy()).astype(np.float64)
+            S = np.floor(M * scale + 0.5).astype(np.int64)
+            n2 = np.einsum("nd,nd->n", S, S)
+        else:
+            S = np.vstack(pdf["sv"].to_numpy()).astype(np.int64)
+            n2 = pdf["n2"].to_numpy().astype(np.int64)
+        rt = np.sqrt(n2.astype(np.float64))
         G = (S @ S.T).astype(np.float64)       # exact: |idot| < 2^53
         cos = G / (rt[:, None] * rt[None, :])
         iu = np.triu_indices(n, 1)
@@ -353,8 +365,11 @@ def ivf_cos_udf(cents: list, probe_sets: list, qsvs: list, scale: float):
     return cosines
 
 
-def ivf_assign_udf(cents: list):
+def ivf_assign_udf(cents: list, scale: float | None = None):
     """pandas_udf: scaled vector sv -> nearest-centroid cid (long).
+    With ``scale`` set, the input is the RAW float embedding and the
+    1e-6-grid quantization happens inside the kernel (srp_sig_udf
+    discipline) — arithmetic identical either way.
 
     ``cents`` is the collected [(cid, cv, cn2)] centroid table. Cosines
     are the derived-float contract (exact int Gram row / product of two
@@ -373,7 +388,11 @@ def ivf_assign_udf(cents: list):
     def assign(col: pd.Series) -> pd.Series:
         if len(col) == 0:
             return pd.Series([], dtype="int64")
-        SV = np.vstack(col.to_numpy()).astype(np.int64)
+        if scale is not None:
+            M = np.vstack(col.to_numpy()).astype(np.float64)
+            SV = np.floor(M * scale + 0.5).astype(np.int64)
+        else:
+            SV = np.vstack(col.to_numpy()).astype(np.int64)
         n2 = np.einsum("nd,nd->n", SV, SV)
         G = (SV @ C.T).astype(np.float64)      # exact: |idot| < 2^53
         cos = G / (np.sqrt(n2.astype(np.float64))[:, None] * crt[None, :])
