@@ -225,16 +225,16 @@ def connected_components(vertices: DataFrame, edges: DataFrame, *,
         from pyspark.sql import types as T
         label_schema = T.StructType([T.StructField("v", id_type),
                                      T.StructField("label", id_type)])
-        labels = (spark.createDataFrame(label_rows, label_schema)
-                  .join(vertices.select(F.col(id_col).alias("v")),
-                        "v", "leftsemi"))
-        participants = labels.select("v")
-        singletons = (vertices.select(F.col(id_col).alias("v"))
-                      .join(participants, "v", "leftanti")
-                      .select("v", F.col("v").alias("label")))
-        return (labels.unionByName(singletons)
+        labels = spark.createDataFrame(label_rows, label_schema)
+        # ONE broadcast left join assembles the whole result: vertices
+        # drive (so labels for ids outside the vertex frame drop out
+        # naturally — the old leftsemi), unmatched vertices are their
+        # own singleton cluster (the old anti-join + union), and no
+        # shuffle exists anywhere in the fast path.
+        return (vertices.select(F.col(id_col).alias("v"))
+                .join(F.broadcast(labels), "v", "left")
                 .select(F.col("v").alias(id_col),
-                        F.col("label").alias("cluster_id")))
+                        F.coalesce("label", "v").alias("cluster_id")))
 
     for _ in range(max_rounds + 1):
         converged = _is_star_forest(e)
@@ -285,9 +285,15 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame, *,
     """
     comp = connected_components(docs.select(id_col), pairs, id_col=id_col,
                                 src=src, dst=dst, max_rounds=max_rounds)
-    sizes = comp.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size"))
-    return (comp.join(sizes, "cluster_id")
+    # cluster_size via ONE window on cluster_id instead of groupBy +
+    # self-join (r5): the join formulation recomputed the component
+    # frame (vertex scan + label joins) twice and paid two exchanges
+    # where the window pays one.
+    from pyspark.sql import Window as W
+    wc = W.partitionBy("cluster_id")
+    return (comp
+            .withColumn("cluster_size",
+                        F.count(F.lit(1)).over(wc).cast("long"))
             .select(id_col, "cluster_id", "cluster_size",
                     (F.col(id_col) == F.col("cluster_id"))
                     .cast("int").alias("is_canonical")))
