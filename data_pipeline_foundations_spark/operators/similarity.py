@@ -920,6 +920,76 @@ def oracle_pq_topk_sql(*, dim: int = 64, m: int = PQ_M, ks: int = PQ_KS,
 # ---------------------------------------------------------------------------
 # IVF-PQ with exact re-rank — the production composite of tiers 3 + 4 + 1
 # ---------------------------------------------------------------------------
+def _ivfpq_artifacts(emb: DataFrame, id_col: str, vec_col: str, dim: int,
+                     k_clusters: int, m: int, ks: int, ivf_seed: int,
+                     pq_seed: int,
+                     n_queries: int = 0) -> tuple[list, list, list]:
+    """(ivf_rows, pq_rows, qrows) in ONE non-AQE collect job — the
+    shared model build of build_ivfpq_model and the inline
+    ivfpq_rerank_topk path. The IVF half uses the one-aggregate
+    columnar-sums shape (_ivf_model_rows' reasoning: the shuffle
+    carries k_clusters×(dim+1) longs at any corpus size, centroids
+    assembled driver-side with the SQL twin's IEEE casts); the PQ half
+    keeps the posexplode build (the columnar variant was measured
+    slower for the per-(id, subspace) bucket layout — see
+    _pq_codebook); the optional query part rides the same union."""
+    import math
+
+    from ..functions.hashing import md5_long as _md5
+    block = dim // m
+    base0 = emb.withColumn(
+        "bucket",
+        _md5(F.col(id_col).cast("string"), seed=ivf_seed) % k_clusters)
+    sum_arr = F.expr(
+        "array(" + ", ".join(
+            f"sum(cast(floor(cast({vec_col}[{i}] as double) * "
+            f"{EMB_SCALE} + 0.5) as bigint))"
+            for i in range(dim)) + ")"
+    ).alias("vec")
+    ivf_part = (base0.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("cnt"), sum_arr)
+                .select(F.lit(0).alias("kind"), F.lit(-1).alias("s"),
+                        F.col("bucket").cast("long").alias("cid"),
+                        "cnt", F.lit(0).cast("long").alias("n2"), "vec"))
+    pq_base = emb.select(F.col(id_col), int_vec(vec_col).alias("sv"))
+    pq_part = _pq_codebook(pq_base, id_col, block, ks,
+                           pq_seed, m=m).select(
+        F.lit(1).alias("kind"), F.col("s").cast("int"),
+        F.col("cid").cast("long"), F.lit(0).cast("long").alias("cnt"),
+        F.lit(0).cast("long").alias("n2"), F.col("cvec").alias("vec"))
+    model = ivf_part.union(pq_part)
+    if n_queries > 0:
+        q_part = (emb.filter(F.col(id_col) < n_queries)
+                  .select(F.col(id_col), int_vec(vec_col).alias("sv"))
+                  .select(F.lit(2).alias("kind"), F.lit(-1).alias("s"),
+                          F.col(id_col).cast("long").alias("cid"),
+                          F.lit(0).cast("long").alias("cnt"),
+                          idot("sv", "sv").alias("n2"),
+                          F.col("sv").alias("vec")))
+        model = model.union(q_part)
+    conf = emb.sparkSession.conf
+    aqe0 = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        rows = [r.asDict() for r in model.collect()]
+    finally:
+        conf.set("spark.sql.adaptive.enabled", aqe0)
+    ivf_rows = []
+    for r in rows:
+        if r["kind"] != 0:
+            continue
+        cnt = float(r["cnt"])
+        cv = [int(math.floor(float(s) / cnt)) for s in r["vec"]]
+        ivf_rows.append({"cid": r["cid"], "cv": cv,
+                         "cn2": sum(c * c for c in cv)})
+    pq_rows = [{"s": r["s"], "cid": r["cid"], "cvec": r["vec"]}
+               for r in rows if r["kind"] == 1]
+    qrows = sorted(({id_col: r["cid"], "sv": list(r["vec"]),
+                     "n2": r["n2"]} for r in rows if r["kind"] == 2),
+                   key=lambda r: r[id_col])
+    return ivf_rows, pq_rows, qrows
+
+
 def build_ivfpq_model(emb: DataFrame, *, id_col: str = "vec_id",
                       vec_col: str = "embedding", dim: int = 64,
                       k_clusters: int = 16, m: int = PQ_M, ks: int = PQ_KS,
@@ -932,30 +1002,11 @@ def build_ivfpq_model(emb: DataFrame, *, id_col: str = "vec_id",
     codebook passes on every query batch; results are bit-identical to
     the build-inline path (same collected rows), pinned by
     tests/test_similarity.py."""
-    block = dim // m
-    base, ivf_cents = _ivf_quantizer(emb, id_col, vec_col, k_clusters,
-                                     ivf_seed, dim=dim)
-    ivf_part = ivf_cents.select(
-        F.lit(0).alias("kind"), F.lit(-1).alias("s"),
-        F.col("cid").cast("long"), F.col("cv").alias("vec"),
-        F.col("cn2").alias("n2"))
-    pq_part = _pq_codebook(base.select(id_col, "sv"), id_col, block, ks,
-                           pq_seed, m=m).select(
-        F.lit(1).alias("kind"), F.col("s").cast("int"),
-        F.col("cid").cast("long"), F.col("cvec").alias("vec"),
-        F.lit(0).cast("long").alias("n2"))
-    conf = emb.sparkSession.conf
-    aqe0 = conf.get("spark.sql.adaptive.enabled", "true")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        rows = [r.asDict() for r in ivf_part.union(pq_part).collect()]
-    finally:
-        conf.set("spark.sql.adaptive.enabled", aqe0)
+    ivf_rows, pq_rows, _ = _ivfpq_artifacts(
+        emb, id_col, vec_col, dim, k_clusters, m, ks, ivf_seed, pq_seed)
     return {
-        "ivf_rows": [{"cid": r["cid"], "cv": r["vec"], "cn2": r["n2"]}
-                     for r in rows if r["kind"] == 0],
-        "pq_rows": [{"s": r["s"], "cid": r["cid"], "cvec": r["vec"]}
-                    for r in rows if r["kind"] == 1],
+        "ivf_rows": ivf_rows,
+        "pq_rows": pq_rows,
         "params": {"dim": dim, "k_clusters": k_clusters, "m": m, "ks": ks,
                    "ivf_seed": ivf_seed, "pq_seed": pq_seed},
     }
@@ -1023,45 +1074,14 @@ def ivfpq_rerank_topk(emb: DataFrame, *, id_col: str = "vec_id",
         # Build-inline: KB-sized model collect (documented driver-side
         # broadcast equivalent) — k_clusters IVF centroid rows, m·ks PQ
         # codebook rows, and n_queries query vectors, unioned into ONE
-        # generic-schema frame so all three artifacts materialize in a
-        # single job (three serial collects cost three scheduler
-        # roundtrips for KBs of data).
-        base, ivf_cents = _ivf_quantizer(emb, id_col, vec_col, k_clusters,
-                                         ivf_seed, dim=dim)
-        ivf_part = ivf_cents.select(
-            F.lit(0).alias("kind"), F.lit(-1).alias("s"),
-            F.col("cid").cast("long"), F.col("cv").alias("vec"),
-            F.col("cn2").alias("n2"))
-        pq_part = _pq_codebook(base.select(id_col, "sv"), id_col, block, ks,
-                               pq_seed, m=m).select(
-            F.lit(1).alias("kind"), F.col("s").cast("int"),
-            F.col("cid").cast("long"), F.col("cvec").alias("vec"),
-            F.lit(0).cast("long").alias("n2"))
-        q_part = (emb.filter(F.col(id_col) < n_queries)
-                  .select(F.col(id_col), int_vec(vec_col).alias("sv"))
-                  .select(F.lit(2).alias("kind"), F.lit(-1).alias("s"),
-                          F.col(id_col).cast("long").alias("cid"),
-                          F.col("sv").alias("vec"),
-                          idot("sv", "sv").alias("n2")))
-        # AQE is disabled just for this KB-sized collect: the model
-        # pipeline holds 4 tiny shuffles, and AQE materializes every
-        # exchange as its own scheduler roundtrip (measured: ~5 jobs for
-        # a <100 KB result). One non-adaptive job runs the whole DAG.
-        conf = emb.sparkSession.conf
-        aqe0 = conf.get("spark.sql.adaptive.enabled", "true")
-        conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            rows = [r.asDict()
-                    for r in ivf_part.union(pq_part).union(q_part).collect()]
-        finally:
-            conf.set("spark.sql.adaptive.enabled", aqe0)
-        ivf_rows = [{"cid": r["cid"], "cv": r["vec"], "cn2": r["n2"]}
-                    for r in rows if r["kind"] == 0]
-        pq_rows = [{"s": r["s"], "cid": r["cid"], "cvec": r["vec"]}
-                   for r in rows if r["kind"] == 1]
-        qrows = sorted(({id_col: r["cid"], "sv": r["vec"], "n2": r["n2"]}
-                        for r in rows if r["kind"] == 2),
-                       key=lambda r: r[id_col])
+        # non-AQE job (AQE would materialize each tiny exchange as its
+        # own scheduler roundtrip — measured ~5 jobs for <100 KB); the
+        # IVF half is the one-aggregate columnar-sums build
+        # (_ivfpq_artifacts / _ivf_model_rows — no posexplode, the
+        # shuffle carries k_clusters×(dim+1) longs at any corpus size).
+        ivf_rows, pq_rows, qrows = _ivfpq_artifacts(
+            emb, id_col, vec_col, dim, k_clusters, m, ks, ivf_seed,
+            pq_seed, n_queries=n_queries)
     qids = [int(r[id_col]) for r in qrows]
     qvecs = {int(r[id_col]): (list(r["sv"]), int(r["n2"])) for r in qrows}
     # probe selection driver-side — same derived-float cosine and the
