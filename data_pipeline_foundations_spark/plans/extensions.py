@@ -923,3 +923,193 @@ def x57_corpus_datasheet(spark, sf_dir):
     return (base.crossJoin(F.broadcast(vocab)).crossJoin(F.broadcast(q))
             .select("n_docs", "n_tokens", "vocab_size", "n_sources",
                     "n_langs", "mean_tokens", "p50_tokens", "p90_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# x59 — per-domain token-budget allocation by water-filling
+# ---------------------------------------------------------------------------
+# The data-mixing step after contribution capping (x50): given per-source
+# token totals and a global training-token budget, allocate by water-
+# filling — every source keeps min(its tokens, cap) where the cap is the
+# unique level that exactly spends the budget. Small sources keep
+# everything; the head is clipped to one common level — the
+# max-min-fair allocation (the classic water-filling solution).
+
+
+def _oracle_waterfill_sql() -> str:
+    nt = oracle_token_count("text")
+    return f"""
+    WITH t AS (
+        SELECT source, CAST(SUM({nt}) AS BIGINT) AS tok
+        FROM documents GROUP BY source
+    ), r AS (
+        SELECT source, tok,
+               CAST(row_number() OVER w AS BIGINT) AS idx,
+               CAST(SUM(tok) OVER w AS BIGINT) AS prefix,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n,
+               CAST(FLOOR(CAST(SUM(tok) OVER () AS DOUBLE) / 2.0) AS BIGINT)
+                   AS budget
+        FROM t
+        WINDOW w AS (ORDER BY tok, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), lvl AS (
+        SELECT MIN(CAST(budget - (prefix - tok) AS DOUBLE)
+                   / CAST(n - idx + 1 AS DOUBLE)) AS c
+        FROM r
+        WHERE tok * (n - idx + 1) >= budget - (prefix - tok)
+    )
+    SELECT r.source, r.tok AS total_tokens,
+           CASE WHEN lvl.c IS NULL OR CAST(r.tok AS DOUBLE) < lvl.c
+                THEN CAST(r.tok AS DOUBLE) ELSE lvl.c END AS alloc_tokens,
+           CAST(lvl.c IS NOT NULL
+                AND CAST(r.tok AS DOUBLE) >= lvl.c AS INTEGER) AS capped
+    FROM r, lvl
+    """
+
+
+@query("x59_token_budget_waterfill", oracle=_oracle_waterfill_sql())
+def x59_token_budget_waterfill(spark, sf_dir):
+    """Water-filling token-budget allocation across sources: budget =
+    half the corpus (an exact int), cap level c solves
+    Σ min(tok_s, c) = budget in closed form over the sources sorted by
+    size — the first source (ascending) whose full allocation would
+    exceed the remaining per-source share sets
+    c = (budget − prefix_below) / (sources remaining), an exact-int
+    division both engines round identically (the feasibility test is
+    pure int arithmetic: tok·remaining ≥ budget − prefix_below).
+    Scale shape: ONE map-side-combined aggregate collapses the corpus
+    to |sources| rows; the windows and the broadcast level row are
+    dimension-sized. Output: (source, total_tokens, alloc_tokens,
+    capped)."""
+    from pyspark.sql import Window as W
+    t = (scale_out(load(spark, sf_dir, "documents"))
+         .select("source", token_count("text").alias("nt"))
+         .groupBy("source").agg(F.sum("nt").alias("tok")))
+    w = W.orderBy("tok", "source")
+    r = (t.withColumn("idx", F.row_number().over(w).cast("long"))
+         .withColumn("prefix",
+                     F.sum("tok").over(w.rowsBetween(W.unboundedPreceding,
+                                                     0)))
+         .withColumn("n", F.count(F.lit(1)).over(
+             W.partitionBy(F.lit(1))).cast("long"))
+         .withColumn("budget",
+                     F.floor(F.sum("tok").over(W.partitionBy(F.lit(1)))
+                             .cast("double") / 2.0).cast("long")))
+    lvl = r.filter(
+        F.col("tok") * (F.col("n") - F.col("idx") + 1)
+        >= F.col("budget") - (F.col("prefix") - F.col("tok"))
+    ).agg(F.min(
+        (F.col("budget") - (F.col("prefix") - F.col("tok"))).cast("double")
+        / (F.col("n") - F.col("idx") + 1).cast("double")).alias("c"))
+    return (r.crossJoin(F.broadcast(lvl))
+            .select("source", F.col("tok").alias("total_tokens"),
+                    F.when(F.col("c").isNull()
+                           | (F.col("tok").cast("double") < F.col("c")),
+                           F.col("tok").cast("double"))
+                    .otherwise(F.col("c")).alias("alloc_tokens"),
+                    (F.col("c").isNotNull()
+                     & (F.col("tok").cast("double") >= F.col("c")))
+                    .cast("int").alias("capped")))
+
+
+# ---------------------------------------------------------------------------
+# x60 — BPE merge-pair candidates (tokenizer-training first step)
+# ---------------------------------------------------------------------------
+
+BPE_TOP_K = 20
+
+
+@query(
+    "x60_bpe_merge_candidates",
+    oracle=f"""
+    WITH words AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+    ), p AS (
+        SELECT freq, substring(w, CAST(i AS BIGINT), 2) AS pair
+        FROM words, unnest(range(1, greatest(length(w) - 1, 0) + 1)) t(i)
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair ASC
+    LIMIT {BPE_TOP_K}
+    """,
+)
+def x60_bpe_merge_candidates(spark, sf_dir):
+    """The first iteration of BPE tokenizer training (Sennrich et al.,
+    "Neural Machine Translation of Rare Words with Subword Units",
+    ACL'16): count adjacent character pairs weighted by word frequency
+    and rank the top merge candidates. The full trainer repeats this
+    with merged symbols; iteration one is the SQL-expressible core and
+    the dominant cost (every later round runs over the same word-freq
+    table, which is orders of magnitude smaller than the corpus).
+    Scale shape: the corpus collapses to the distinct-word frequency
+    table in ONE map-side-combined shuffle; pair expansion is
+    scan-local over words (not the corpus); the top-k is
+    TakeOrderedAndProject with a full deterministic tie-break."""
+    words = (scale_out(load(spark, sf_dir, "documents"))
+             .select(F.explode(F.split("text", " ")).alias("w"))
+             .filter(F.col("w") != "")
+             .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+    pairs = words.select(
+        "freq",
+        F.explode(F.expr(
+            "CASE WHEN length(w) >= 2 THEN "
+            "transform(sequence(1, length(w) - 1), "
+            "i -> substring(w, i, 2)) "
+            "ELSE array() END")).alias("pair"))
+    return (pairs.groupBy("pair").agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair").asc())
+            .limit(BPE_TOP_K))
+
+
+# ---------------------------------------------------------------------------
+# x61 — ANN recall evaluation (approximate index vs exact ground truth)
+# ---------------------------------------------------------------------------
+
+
+def _oracle_ann_recall_sql() -> str:
+    from ..operators.similarity import (
+        oracle_cosine_topk_sql, oracle_pq_topk_sql,
+    )
+    return f"""
+    WITH exact_t AS ({oracle_cosine_topk_sql()}),
+    approx_t AS ({oracle_pq_topk_sql()})
+    SELECT e.query_id,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / 5.0 AS recall
+    FROM exact_t e
+    LEFT JOIN approx_t a
+           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@query("x61_ann_recall", oracle=_oracle_ann_recall_sql())
+def x61_ann_recall(spark, sf_dir):
+    """Recall@5 of the PQ-ADC index (x36) against the exact brute-force
+    ground truth (x07), per query — the evaluation loop every ANN
+    deployment runs before trusting an index (and the number the
+    nprobe/ks knobs are tuned against). Composes the two registered
+    operators unchanged: ground truth and approximate results are each
+    one operator call; recall is a per-query left join + conditional
+    count. Scale shape: both operands end at k rows per query, so the
+    evaluation join is dimension-sized regardless of corpus."""
+    from ..operators.similarity import cosine_topk, pq_topk
+    emb = load(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb).select("query_id", "neighbor_id")
+    approx = (pq_topk(emb)
+              .select("query_id", F.col("neighbor_id").alias("nb"),
+                      F.lit(1).alias("hit")))
+    return (exact.join(approx,
+                       (exact.query_id == approx.query_id)
+                       & (exact.neighbor_id == approx.nb), "left")
+            .select(exact.query_id, "hit")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                 .cast("long").alias("n_hits"))
+            .select("query_id", "n_hits",
+                    (F.col("n_hits").cast("double") / 5.0).alias("recall")))

@@ -26,6 +26,8 @@ BNLJ_WHITELIST = {
     "x51_bigram_nll": "single broadcast vocabulary-size row",
     "x57_corpus_datasheet": "single-row stats/vocab/quantile attaches",
     "x58_negative_pairs": "single broadcast corpus-size row",
+    "x59_token_budget_waterfill": "single broadcast water-level row",
+    "x61_ann_recall": "inherits x07's broadcast n_queries ground truth",
 }
 
 
