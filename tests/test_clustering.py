@@ -150,3 +150,33 @@ def test_random_graphs_match_union_find(spark):
             got = {r.doc_id: r.cluster_id for r in comp.collect()}
             release_cached_intermediates()
             assert got == want, sge
+
+
+def test_string_ids_both_paths(spark):
+    """ADVICE r4: the driver fast path must not assume long ids. String
+    vertex ids run through BOTH the union-find fast path and the
+    distributed contraction with identical labels (min = lexicographic
+    minimum, Spark's string ordering)."""
+    docs = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("e",)], "doc_id string")
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("e", "d")], "doc_a string, doc_b string")
+    want = {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+    fast = connected_components(docs, pairs)
+    assert {r.doc_id: r.cluster_id for r in fast.collect()} == want
+    dist = connected_components(docs, pairs, small_graph_edges=0)
+    assert {r.doc_id: r.cluster_id for r in dist.collect()} == want
+
+
+def test_non_orderable_id_type_falls_through(spark):
+    """A vertex id type Python cannot order consistently with Spark
+    (e.g. date) skips the driver fast path and still resolves through
+    the distributed contraction."""
+    import datetime as dt
+    d0, d1, d2 = (dt.date(2024, 1, 1), dt.date(2024, 1, 2),
+                  dt.date(2024, 1, 3))
+    docs = spark.createDataFrame([(d0,), (d1,), (d2,)], "doc_id date")
+    pairs = spark.createDataFrame([(d2, d1)], "doc_a date, doc_b date")
+    comp = connected_components(docs, pairs)
+    got = {r.doc_id: r.cluster_id for r in comp.collect()}
+    assert got == {d0: d0, d1: d1, d2: d1}
