@@ -1433,6 +1433,11 @@ def pq_search_from_codes(codes: DataFrame, queries: DataFrame, model: dict,
 
     from .vectorized import pq_totals_from_codes_udf
     p = model["params"]
+    if "codes" not in codes.columns:
+        raise ValueError(
+            "pq_search_from_codes: the codes table must carry an "
+            "encode_corpus 'codes' column (array<int> PQ codes); got "
+            f"columns {codes.columns}")
     stamped = codes.schema["codes"].metadata.get("ivfpq_params")
     if stamped is not None and dict(stamped) != dict(p):
         raise ValueError(

@@ -241,17 +241,28 @@ def compact_versioned(spark: SparkSession, root: str, *,
     Returns the new version dir, or None if nothing to do."""
     import math
 
-    cur = current_version_dir(spark, root)
-    if cur is None:
+    if keep_versions < 2:
+        raise ValueError(
+            f"keep_versions must be >= 2 (got {keep_versions}): the "
+            "pre-compaction current version must survive for in-flight "
+            "readers")
+    vs = list_versions(spark, root)
+    if not vs:
         return None
+    cur = vs[-1][1]
     n_files, total = dir_stats(spark, cur)
     n_out = max(1, math.ceil(total / target_file_bytes))
     if n_files == 0 or n_out >= n_files:
         return None
     new_dir = write_versioned(
         spark, root, spark.read.parquet(cur).repartition(n_out))
+    # Prune from the PRE-commit snapshot of the version list: a writer
+    # committing between our write and the prune must never shift the
+    # kept tail onto (and delete) the pre-compaction current version
+    # that in-flight readers still resolve. vs[-(keep_versions-1):]
+    # plus the new version = keep_versions retained.
     fs, _, jvm = _fs(spark, root)
-    for v, d in list_versions(spark, root)[:-keep_versions]:
+    for v, d in vs[:-(keep_versions - 1)]:
         fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
     return new_dir
 
@@ -272,6 +283,11 @@ def squash_versioned(spark: SparkSession, root: str, *,
     ``keep_versions >= 2`` retains the pre-squash current version for
     in-flight readers, same contract as compact_versioned. Returns the
     new version dir, or None when there is at most one version."""
+    if keep_versions < 2:
+        raise ValueError(
+            f"keep_versions must be >= 2 (got {keep_versions}): the "
+            "pre-squash current version must survive for in-flight "
+            "readers")
     vs = list_versions(spark, root)
     if len(vs) <= 1:
         return None
@@ -279,8 +295,14 @@ def squash_versioned(spark: SparkSession, root: str, *,
     if distinct:
         df = df.distinct()
     new_dir = write_versioned(spark, root, df)
+    # Prune from the PRE-squash snapshot (see compact_versioned): a
+    # concurrent commit between write_versioned and the prune must not
+    # shift the kept tail onto the pre-squash current version. Note a
+    # concurrent commit also means the squash is no longer the full
+    # union — callers coordinating writers get exact state; lone-writer
+    # stores (the dedup fingerprint ledger) are always exact.
     fs, _, jvm = _fs(spark, root)
-    for v, d in list_versions(spark, root)[:-keep_versions]:
+    for v, d in vs[:-(keep_versions - 1)]:
         fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
     return new_dir
 

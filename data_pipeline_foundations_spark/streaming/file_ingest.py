@@ -105,6 +105,14 @@ def run_available_now(spark: SparkSession, landing_dir: str, out_dir: str,
     q.awaitTermination()
     if publish_root is not None:
         from ..sources.warehouse import write_versioned
-        return write_versioned(spark, publish_root,
-                               spark.read.parquet(out_dir))
+        from pyspark.errors import AnalysisException
+
+        # A drain that never processed a file leaves out_dir absent (or
+        # holding only _spark_metadata, from which no schema can be
+        # inferred) — skip the publish instead of raising.
+        try:
+            accumulated = spark.read.parquet(out_dir)
+        except AnalysisException:
+            return None
+        return write_versioned(spark, publish_root, accumulated)
     return None

@@ -87,13 +87,29 @@ def main() -> None:
     # cross-replica payment piles); all other columns ride unchanged.
     orders = f"{args.src}/orders.parquet"
     li = f"{args.src}/lineitem.parquet"
+    cust = f"{args.src}/customer.parquet"
     n_ok = con.execute(
         f"SELECT MAX(o_orderkey) + 1 FROM '{orders}'").fetchone()[0]
+    # stride for custkey shifts comes from the CUSTOMER table (every
+    # o_custkey is a valid c_custkey but not vice versa) so replicated
+    # customer keys stay disjoint across replicas AND replicated orders
+    # keep a matching customer row (ADVICE r5: shifting orders while
+    # symlinking customer unscaled dangled ~90% of replica FKs, silently
+    # dropping rows from any customer-joining query timed on scale10)
     n_ck = con.execute(
-        f"SELECT MAX(o_custkey) + 1 FROM '{orders}'").fetchone()[0]
-    for dst in (f"{args.out}/orders.parquet", f"{args.out}/lineitem.parquet"):
+        f"SELECT MAX(c_custkey) + 1 FROM '{cust}'").fetchone()[0]
+    for dst in (f"{args.out}/orders.parquet", f"{args.out}/lineitem.parquet",
+                f"{args.out}/customer.parquet"):
         if os.path.islink(dst):
             os.unlink(dst)
+    con.execute(f"""
+    COPY (
+        SELECT * FROM '{cust}'
+        UNION ALL
+        SELECT c.* REPLACE (c.c_custkey + k.k * {n_ck} AS c_custkey)
+        FROM '{cust}' c, (SELECT unnest(range(1, 10)) AS k) k
+    ) TO '{args.out}/customer.parquet' (FORMAT PARQUET)
+    """)
     con.execute(f"""
     COPY (
         SELECT * FROM '{orders}'
@@ -114,7 +130,7 @@ def main() -> None:
 
     # the remaining tables are consumed by relational queries that the
     # scaling study doesn't re-time — symlink them so tables.load works
-    for t in ("region", "nation", "customer", "supplier", "part"):
+    for t in ("region", "nation", "supplier", "part"):
         dst = f"{args.out}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{args.src}/{t}.parquet", dst)

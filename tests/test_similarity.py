@@ -162,3 +162,17 @@ def test_stored_codes_search_matches_fused_kernel(spark, sf_dir):
     stored = sorted(map(tuple, pq_search_from_codes(
         codes, emb.filter(F.col("vec_id") < 10), model).collect()))
     assert fused == stored
+
+
+def test_pq_search_from_codes_requires_codes_column(spark, sf_dir):
+    """ADVICE r5: a codes table missing the 'codes' column raises a
+    descriptive ValueError, not a bare KeyError from the schema lookup."""
+    import pytest as _pytest
+
+    from data_pipeline_foundations_spark.operators.similarity import (
+        pq_search_from_codes,
+    )
+    bogus = spark.range(4).selectExpr("id", "id AS not_codes")
+    with _pytest.raises(ValueError, match="codes"):
+        pq_search_from_codes(spark.range(1).selectExpr("id", "array(0.0) AS vec"),
+                             bogus, model={"params": {}, "pq_rows": []}, k=1)

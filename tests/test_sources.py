@@ -644,3 +644,51 @@ def test_constraint_report_counts_violations(spark):
     assert rep["unique:id"].n_violations == 1
     assert all(r.n_rows == 5 for r in rep.values())
     assert not rep["not_null:id"].passed
+
+
+def test_versioned_prune_race_and_guards(spark, tmp_path, monkeypatch):
+    """ADVICE r5: (a) keep_versions < 2 must be an explicit error, not a
+    silent slice no-op; (b) the post-squash prune must work from the
+    PRE-squash version list, so a writer committing between the squash's
+    write and its prune can neither lose its own commit nor shift the
+    kept tail onto the pre-squash current version."""
+    import pytest as _pytest
+
+    from data_pipeline_foundations_spark.sources import warehouse as wh
+
+    root = str(tmp_path / "snap")
+    for i in range(3):
+        wh.write_versioned(spark, root,
+                           spark.range(10).selectExpr(f"id + {10 * i} AS id"))
+    vs = wh.list_versions(spark, root)
+    assert len(vs) == 3
+    pre_squash_current = vs[-1][1]
+
+    with _pytest.raises(ValueError, match="keep_versions"):
+        wh.squash_versioned(spark, root, keep_versions=1)
+    with _pytest.raises(ValueError, match="keep_versions"):
+        wh.compact_versioned(spark, root, keep_versions=0)
+
+    # race-sim: the first write_versioned call (the squash's own commit)
+    # is immediately followed by a concurrent writer's commit, BEFORE
+    # squash_versioned reaches its prune
+    real_write = wh.write_versioned
+    state = {"fired": False}
+
+    def write_then_concurrent_commit(spark_, root_, df, **kw):
+        out = real_write(spark_, root_, df, **kw)
+        if not state["fired"]:
+            state["fired"] = True
+            real_write(spark_, root_, spark.range(5).selectExpr(
+                "id + 1000 AS id"))
+        return out
+
+    monkeypatch.setattr(wh, "write_versioned", write_then_concurrent_commit)
+    wh.squash_versioned(spark, root, keep_versions=2)
+    remaining = {d for _, d in wh.list_versions(spark, root)}
+    # the concurrent commit survived, and so did the pre-squash current
+    # (the documented in-flight-reader contract)
+    assert pre_squash_current in remaining
+    assert any(d.endswith("v_00000005") for d in remaining)
+    ids = {r.id for r in wh.read_versioned(spark, root).collect()}
+    assert ids == {1000, 1001, 1002, 1003, 1004}

@@ -475,3 +475,19 @@ def test_ann_serving_live_trigger_rolling_index_swap(spark, sf_dir, tmp_path):
         assert sorted(got) == want_b
     finally:
         q.stop()
+
+
+def test_publish_with_empty_landing_returns_none(spark, tmp_path):
+    """ADVICE r5: a drain that never processed a file leaves no sink
+    directory; publish must skip (return None), not raise."""
+    from data_pipeline_foundations_spark.streaming.file_ingest import (
+        run_available_now,
+    )
+    landing = tmp_path / "landing"; landing.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pub = str(tmp_path / "published")
+    assert run_available_now(spark, str(landing), out, ckpt,
+                             publish_root=pub) is None
+    import os
+    assert not os.path.exists(pub)
