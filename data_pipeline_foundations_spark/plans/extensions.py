@@ -1113,3 +1113,237 @@ def x61_ann_recall(spark, sf_dir):
                  .cast("long").alias("n_hits"))
             .select("query_id", "n_hits",
                     (F.col("n_hits").cast("double") / 5.0).alias("recall")))
+
+
+# ---------------------------------------------------------------------------
+# x62 — canonical-URL dedup behind a host blocklist (crawl-frontier step)
+# ---------------------------------------------------------------------------
+# The step every web pipeline runs before content dedup: canonicalize the
+# capture URL (strip scheme, www., query string, fragment, trailing
+# slash), drop blocklisted hosts, and keep ONE capture per canonical URL
+# (the earliest doc_id — "first crawl wins", CCNet's URL-level dedup).
+# Synthetic per-doc URL like x34's synth (the corpus carries no URLs);
+# the derivation varies scheme/www/slash/query/fragment so the
+# canonicalizer has real work on every row.
+
+_PAGE_URL_SPARK = (
+    "concat(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END,"
+    " CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END,"
+    " 'h', CAST(doc_id % 23 AS STRING), '.example.com',"
+    " '/p/', CAST(doc_id % 101 AS STRING),"
+    " CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN"
+    "   concat('?utm_source=feed&sid=', CAST(doc_id AS STRING))"
+    "   ELSE '' END,"
+    " CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)")
+
+_PAGE_URL_SQL = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||"
+    " (CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END) ||"
+    " 'h' || CAST(doc_id % 23 AS VARCHAR) || '.example.com' ||"
+    " '/p/' || CAST(doc_id % 101 AS VARCHAR) ||"
+    " (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||"
+    " (CASE WHEN doc_id % 5 = 0 THEN"
+    "   '?utm_source=feed&sid=' || CAST(doc_id AS VARCHAR)"
+    "   ELSE '' END) ||"
+    " (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)")
+
+BLOCKED_HOSTS = ("h3.example.com", "h11.example.com", "h17.example.com")
+
+
+@query(
+    "x62_canonical_url_dedup",
+    oracle=f"""
+    WITH u AS (
+        SELECT doc_id, {_PAGE_URL_SQL} AS url FROM documents
+    ), c AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(url, '#.*$', ''), '\\?.*$', ''),
+                   '/$', ''), '^https?://', ''), '^www\\.', '')
+                   AS canon_url
+        FROM u
+    )
+    SELECT canon_url,
+           regexp_extract(canon_url, '^([^/]+)', 1) AS host,
+           MIN(doc_id) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_captures
+    FROM c
+    WHERE regexp_extract(canon_url, '^([^/]+)', 1) NOT IN
+          ({", ".join(f"'{h}'" for h in BLOCKED_HOSTS)})
+    GROUP BY canon_url
+    """,
+)
+def x62_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup behind a host blocklist: canonicalize each
+    capture URL (drop fragment, query string, trailing slash, scheme,
+    leading www.), remove blocklisted hosts with a BROADCAST anti-join
+    (the blocklist is a table — millions of hosts in production — never
+    an IN-list in the plan), then keep the earliest capture per
+    canonical URL. Scale shape: canonicalization is scan-local regex;
+    the blocklist anti-join is map-side (broadcast, kills rows BEFORE
+    the shuffle); the dedup is ONE map-side-combined groupBy on the
+    canonical key. Output: (canon_url, host, keep_doc_id, n_captures)."""
+    block = F.broadcast(
+        spark.createDataFrame([(h,) for h in BLOCKED_HOSTS], "bhost string"))
+    c = (scale_out(load(spark, sf_dir, "documents"))
+         .select("doc_id", F.expr(_PAGE_URL_SPARK).alias("url"))
+         .withColumn(
+             "canon_url",
+             F.regexp_replace(F.regexp_replace(F.regexp_replace(
+                 F.regexp_replace(F.regexp_replace(
+                     F.col("url"), r"#.*$", ""), r"\?.*$", ""),
+                 r"/$", ""), r"^https?://", ""), r"^www\.", ""))
+         .withColumn("host", F.regexp_extract("canon_url", r"^([^/]+)", 1)))
+    return (c.join(block, c.host == block.bhost, "left_anti")
+            .groupBy("canon_url")
+            .agg(F.first("host").alias("host"),
+                 F.min("doc_id").alias("keep_doc_id"),
+                 F.count(F.lit(1)).alias("n_captures")))
+
+
+# ---------------------------------------------------------------------------
+# x63 — hashed linear quality classifier (fasttext-style model filter)
+# ---------------------------------------------------------------------------
+# Model-based quality filtering (the GPT-3/LLaMA-pipeline "quality
+# classifier" stage) with the hashing trick: token -> hash bucket ->
+# integer weight, document score = sum of token weights. The weight
+# table is IMPLICIT in the hash (2001 buckets, weight = bucket - 1000),
+# so no model artifact ships with the query and both engines reproduce
+# it bit-exactly; swapping in trained weights = one broadcast join
+# against a (bucket, weight) table in the same plan. The monotone
+# sigmoid is omitted on purpose: keep-decisions only need the linear
+# score's order, and exp() is not bit-portable across engines.
+
+_CLF_BUCKETS = 2001  # odd -> weights symmetric in [-1000, 1000]
+_CLF_THRESHOLD = 25.0  # mean-weight keep threshold (~0.33 sd at n=60)
+
+
+@query(
+    "x63_quality_classifier",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(list_sum(list_transform(toks,
+               t -> (CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)
+                     % {_CLF_BUCKETS}) - 1000)), 0) AS BIGINT) AS score,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE CAST(coalesce(list_sum(list_transform(toks,
+                    t -> (CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)
+                          % {_CLF_BUCKETS}) - 1000)), 0) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) END AS mean_weight,
+           CAST(CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE CAST(coalesce(list_sum(list_transform(toks,
+                    t -> (CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)
+                          % {_CLF_BUCKETS}) - 1000)), 0) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) END
+                > {_CLF_THRESHOLD} AS INTEGER) AS keep
+    FROM t
+    """,
+)
+def x63_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-linear quality classifier: per-token integer weight from a
+    60-bit md5 hash bucket, document score = exact integer sum over the
+    token array via a codegen'd HOF aggregate — scan-local, ZERO
+    shuffles, no UDF. mean_weight (score / n_tokens) is one exact int
+    division, so the keep verdict is bit-identical across engines.
+    Output: (doc_id, n_tokens, score, mean_weight, keep)."""
+    from ..functions.hashing import md5_long
+
+    def weight(t):
+        return (md5_long(t) % F.lit(_CLF_BUCKETS)) - F.lit(1000)
+
+    toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
+    d = (scale_out(load(spark, sf_dir, "documents"))
+         .select("doc_id", toks.alias("toks"))
+         .select("doc_id",
+                 F.size("toks").cast("long").alias("n_tokens"),
+                 F.aggregate("toks", F.lit(0).cast("long"),
+                             lambda acc, t: acc + weight(t)).alias("score")))
+    mean_w = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        F.col("score").cast("double") / F.col("n_tokens").cast("double"))
+    return d.select("doc_id", "n_tokens", "score",
+                    mean_w.alias("mean_weight"),
+                    (mean_w > F.lit(_CLF_THRESHOLD)).cast("int").alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# x64 — corpus snapshot diff (incremental-crawl changelog)
+# ---------------------------------------------------------------------------
+# What changed between two crawl snapshots: added / removed / changed
+# documents, detected by id presence + content-fingerprint mismatch.
+# The "new" snapshot is derived deterministically from the corpus (drop
+# doc_id % 17 = 3, edit text of doc_id % 13 = 5 among the retained,
+# add a fresh doc per doc_id % 11 = 0 under a disjoint id range), so
+# both engines diff the same pair of tables.
+
+_SNAP_ADD_BASE = 10_000_000
+
+
+@query(
+    "x64_snapshot_diff",
+    oracle=f"""
+    WITH old AS (
+        SELECT doc_id, source, {oracle_fingerprint('text')} AS fp
+        FROM documents
+    ), new AS (
+        SELECT doc_id, source,
+               {oracle_fingerprint(
+                   "CASE WHEN doc_id % 13 = 5 THEN text || ' edit-v2' "
+                   "ELSE text END")} AS fp
+        FROM documents WHERE doc_id % 17 <> 3
+        UNION ALL
+        SELECT doc_id + {_SNAP_ADD_BASE} AS doc_id, source,
+               {oracle_fingerprint("text || ' brand-new'")} AS fp
+        FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+           coalesce(old.source, new.source) AS source,
+           CASE WHEN old.doc_id IS NULL THEN 'added'
+                WHEN new.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    WHERE old.doc_id IS NULL OR new.doc_id IS NULL OR old.fp <> new.fp
+    """,
+)
+def x64_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two crawl versions: FULL OUTER join on
+    doc_id, classify added (no old row) / removed (no new row) /
+    changed (both present, content fingerprints differ); unchanged rows
+    are filtered out, so the output IS the changelog an incremental
+    pipeline would process. Scale shape: each side collapses to
+    (doc_id, source, 60-bit fp) before the join — the only wide column
+    never shuffles — and the join is one sort-merge exchange per side
+    on the id; on a bucketed-by-doc_id warehouse layout
+    (sources/warehouse.py) both exchanges vanish. Output:
+    (doc_id, source, status)."""
+    docs = scale_out(load(spark, sf_dir, "documents"))
+    old = docs.select("doc_id", "source", fingerprint("text").alias("fp"))
+    new_text = F.when(F.col("doc_id") % 13 == 5,
+                      F.concat(F.col("text"), F.lit(" edit-v2"))) \
+        .otherwise(F.col("text"))
+    new = (docs.filter(F.col("doc_id") % 17 != 3)
+           .select("doc_id", "source", fingerprint(new_text).alias("fp"))
+           .unionByName(
+               docs.filter(F.col("doc_id") % 11 == 0)
+               .select((F.col("doc_id") + _SNAP_ADD_BASE).alias("doc_id"),
+                       "source",
+                       fingerprint(F.concat(F.col("text"),
+                                            F.lit(" brand-new"))).alias("fp"))))
+    o = old.alias("o")
+    n = new.alias("n")
+    j = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+    return (j.filter(F.col("o.doc_id").isNull() | F.col("n.doc_id").isNull()
+                     | (F.col("o.fp") != F.col("n.fp")))
+            .select(F.coalesce(F.col("o.doc_id"), F.col("n.doc_id"))
+                    .alias("doc_id"),
+                    F.coalesce(F.col("o.source"), F.col("n.source"))
+                    .alias("source"),
+                    F.when(F.col("o.doc_id").isNull(), F.lit("added"))
+                    .when(F.col("n.doc_id").isNull(), F.lit("removed"))
+                    .otherwise(F.lit("changed")).alias("status")))
