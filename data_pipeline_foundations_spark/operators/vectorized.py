@@ -142,7 +142,8 @@ def pq_codes_udf(cents: list, m: int, block: int):
     return codes
 
 
-def pq_adc_totals_udf(cents: list, qsvs: list, m: int, block: int):
+def pq_adc_totals_udf(cents: list, qsvs: list, m: int, block: int,
+                      scale: float | None = None):
     """pandas_udf: scaled vector sv -> per-query ADC distance totals
     (array<long>, position qi = Σ_s qtab[qi][s][code_s]).
 
@@ -156,6 +157,10 @@ def pq_adc_totals_udf(cents: list, qsvs: list, m: int, block: int):
     ``qsvs`` (the n_queries scaled query vectors) and ``cents`` are
     KB-sized driver values baked into the closure; all entries are exact
     ints so the totals are bit-identical to the join+sum formulation.
+
+    With ``scale`` set, the input column is the RAW float embedding and
+    the 1e-6-grid quantization happens inside the kernel (srp_sig_udf /
+    ivf_cos_udf discipline) — the scan pays no interpreted int_vec HOF.
     """
     by_s = {}
     for s, cid, cvec in sorted((c["s"], c["cid"], c["cvec"]) for c in cents):
@@ -174,7 +179,11 @@ def pq_adc_totals_udf(cents: list, qsvs: list, m: int, block: int):
     def totals(col: pd.Series) -> pd.Series:
         if len(col) == 0:
             return pd.Series([], dtype="object")
-        SV = np.vstack(col.to_numpy()).astype(np.int64)
+        if scale is not None:
+            M = np.vstack(col.to_numpy()).astype(np.float64)
+            SV = np.floor(M * scale + 0.5).astype(np.int64)
+        else:
+            SV = np.vstack(col.to_numpy()).astype(np.int64)
         n = SV.shape[0]
         out = np.zeros((n, nq), dtype=np.int64)
         for s in range(m):
@@ -185,6 +194,63 @@ def pq_adc_totals_udf(cents: list, qsvs: list, m: int, block: int):
             pos = np.argmin(d, axis=1)        # first min = smallest cid
             out += qtab[s][:, pos].T
         return pd.Series(list(out))
+
+    return totals
+
+
+def recall_totals_udf(cents: list, qsvs: list, m: int, block: int,
+                      scale: float):
+    """pandas_udf for the ANN-recall evaluation: RAW embedding
+    (array<float>) -> length-2·nq array<double> where positions
+    [0, nq) hold the per-query exact PQ-ADC totals (int64 values —
+    exactly representable, bounded far below 2^53) and positions
+    [nq, 2·nq) the per-query exact quantized cosines.
+
+    ONE kernel produces both sides of a recall@k evaluation — the
+    approximate index ranking (pq_adc_totals_udf's arithmetic, exact
+    ints) and the brute-force ground truth (ivf_cos_udf's derived-float
+    cosine contract: exact int Gram / product of two sqrts) — so each
+    corpus vector crosses the Arrow boundary ONCE and the downstream
+    plan needs a single exchange (the per-query window) to rank both.
+    Quantization happens in-kernel from the raw floats; every value is
+    bit-identical to the two-operator composition the SQL twin runs.
+    """
+    by_s = {}
+    for s, cid, cvec in sorted((c["s"], c["cid"], c["cvec"]) for c in cents):
+        by_s.setdefault(int(s), []).append(
+            (int(cid), np.asarray(cvec, dtype=np.int64)))
+    cent_mats = {s: np.vstack([v for _, v in lst]) for s, lst in by_s.items()}
+    Q = (np.asarray(qsvs, dtype=np.int64) if qsvs
+         else np.zeros((0, m * block), dtype=np.int64))
+    nq = Q.shape[0]
+    qtab = {}
+    for s, C in cent_mats.items():
+        qsub = Q[:, s * block:(s + 1) * block]
+        qd = qsub[:, None, :] - C[None, :, :]
+        qtab[s] = np.einsum("qkb,qkb->qk", qd, qd)
+    qrt = np.sqrt(np.einsum("qd,qd->q", Q, Q).astype(np.float64))
+
+    @F.pandas_udf("array<double>")
+    def totals(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="object")
+        M = np.vstack(col.to_numpy()).astype(np.float64)
+        SV = np.floor(M * scale + 0.5).astype(np.int64)
+        n = SV.shape[0]
+        ap = np.zeros((n, nq), dtype=np.int64)
+        for s in range(m):
+            sub = SV[:, s * block:(s + 1) * block]
+            C = cent_mats[s]
+            diff = sub[:, None, :] - C[None, :, :]
+            d = np.einsum("nkb,nkb->nk", diff, diff)
+            pos = np.argmin(d, axis=1)        # first min = smallest cid
+            ap += qtab[s][:, pos].T
+        n2 = np.einsum("nd,nd->n", SV, SV)
+        rt = np.sqrt(n2.astype(np.float64))
+        Gq = (SV @ Q.T).astype(np.float64)    # exact: |idot| < 2^53
+        ex = Gq / (rt[:, None] * qrt[None, :])
+        return pd.Series(list(np.concatenate(
+            [ap.astype(np.float64), ex], axis=1)))
 
     return totals
 

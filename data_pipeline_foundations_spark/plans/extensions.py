@@ -1093,26 +1093,16 @@ def x61_ann_recall(spark, sf_dir):
     """Recall@5 of the PQ-ADC index (x36) against the exact brute-force
     ground truth (x07), per query — the evaluation loop every ANN
     deployment runs before trusting an index (and the number the
-    nprobe/ks knobs are tuned against). Composes the two registered
-    operators unchanged: ground truth and approximate results are each
-    one operator call; recall is a per-query left join + conditional
-    count. Scale shape: both operands end at k rows per query, so the
-    evaluation join is dimension-sized regardless of corpus."""
-    from ..operators.similarity import cosine_topk, pq_topk
-    emb = load(spark, sf_dir, "embeddings")
-    exact = cosine_topk(emb).select("query_id", "neighbor_id")
-    approx = (pq_topk(emb)
-              .select("query_id", F.col("neighbor_id").alias("nb"),
-                      F.lit(1).alias("hit")))
-    return (exact.join(approx,
-                       (exact.query_id == approx.query_id)
-                       & (exact.neighbor_id == approx.nb), "left")
-            .select(exact.query_id, "hit")
-            .groupBy("query_id")
-            .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-                 .cast("long").alias("n_hits"))
-            .select("query_id", "n_hits",
-                    (F.col("n_hits").cast("double") / 5.0).alias("recall")))
+    nprobe/ks knobs are tuned against). Runs the FUSED evaluation
+    (operators/similarity.ann_recall): one model collect, one Arrow map
+    stage scoring both rankings per corpus vector, one shared per-query
+    exchange for both row_number windows — bit-identical to composing
+    cosine_topk + pq_topk (the SQL twin still runs the composition;
+    equality of the two Spark paths pinned in tests/test_similarity.py).
+    Scale shape: each vector moves once; only (query, neighbor, score)
+    longs shuffle; output is n_queries rows."""
+    from ..operators.similarity import ann_recall
+    return ann_recall(load(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------

@@ -176,3 +176,34 @@ def test_pq_search_from_codes_requires_codes_column(spark, sf_dir):
     with _pytest.raises(ValueError, match="codes"):
         pq_search_from_codes(spark.range(1).selectExpr("id", "array(0.0) AS vec"),
                              bogus, model={"params": {}, "pq_rows": []}, k=1)
+
+
+def test_ann_recall_fused_equals_composed(spark, sf_dir):
+    """The fused recall evaluation (one kernel stage, shared window
+    exchange) is bit-identical to composing cosine_topk + pq_topk."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.operators.similarity import (
+        ann_recall, cosine_topk, pq_topk,
+    )
+    from data_pipeline_foundations_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    fused = {(r.query_id, r.n_hits, r.recall)
+             for r in ann_recall(emb).collect()}
+    exact = cosine_topk(emb).select("query_id", "neighbor_id")
+    approx = (pq_topk(emb)
+              .select("query_id", F.col("neighbor_id").alias("nb"),
+                      F.lit(1).alias("hit")))
+    composed = {(r.query_id, r.n_hits, r.recall) for r in (
+        exact.join(approx,
+                   (exact.query_id == approx.query_id)
+                   & (exact.neighbor_id == approx.nb), "left")
+        .select(exact.query_id, "hit")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+             .cast("long").alias("n_hits"))
+        .select("query_id", "n_hits",
+                (F.col("n_hits").cast("double") / 5.0).alias("recall"))
+    ).collect()}
+    assert fused == composed
