@@ -1,0 +1,106 @@
+"""Iterative graph computations beyond connected components.
+
+PageRank on a deterministic integer grid: ranks are int64 multiples of
+1/scale, the damping factor is the exact rational 17/20, and every edge
+contribution is floored BEFORE the per-destination sum — so the
+aggregation is an exact int64 reduction and any engine/any order yields
+bit-identical ranks (the same cross-engine determinism contract as the
+quantized-embedding family, vectorized.py's preamble).
+
+Two execution paths, identical semantics (differential-pinned in
+tests/test_graph.py, the clustering.py union-find precedent):
+
+- **Distributed** (the honest Pregel-style movement): edges annotated
+  with out-degrees, partitioned by src once and persisted; each
+  iteration joins the rank table to that layout and pays one
+  groupBy(dst) exchange. Rank state is 2 longs per node — works at any
+  graph size.
+- **Driver fast path** (edge count <= ``small_graph_edges``, default
+  100k): iterative workloads pay 2+ fixed-latency Spark stages per
+  round no matter how tiny the graph; below the threshold the edge
+  snapshot is collected (a few MBs) and the same exact-int loop runs
+  in Python. At 100 TB the guard costs one count over the persisted
+  edge set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .caching import tracked_persist
+
+PR_SCALE = 10 ** 9
+PR_ITERS = 5
+
+
+def pagerank_topk(edges: DataFrame, *, src: str = "src", dst: str = "dst",
+                  iters: int = PR_ITERS, scale: int = PR_SCALE,
+                  k: int = 20,
+                  small_graph_edges: int = 100_000) -> DataFrame:
+    """Top-``k`` pages by ``iters`` PageRank iterations over the
+    (already-distinct) edge list. Returns (page, rank_q, rank) ordered
+    by (rank_q DESC, page ASC); rank_q is the int64 grid value, rank
+    the derived double rank_q/scale.
+
+    rank_{t+1}(v) = (3·scale) div (20·N)
+                    + Σ_{(u,v)∈E} (rank_t(u)·17) div (20·outdeg(u))
+
+    Dangling mass (nodes without out-edges) is dropped — identically in
+    every formulation, including the DuckDB oracle twin.
+    """
+    spark = edges.sparkSession
+    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Guard probe in ONE job: a truncated collect moves at most
+    # small_graph_edges+1 rows to the driver. If the truncation did not
+    # bite, `probe` IS the complete edge set and the fast path runs on
+    # it directly; otherwise the distributed path recomputes from the
+    # (lazy) plan and persists.
+    probe = e0.limit(small_graph_edges + 1).collect()
+
+    if len(probe) <= small_graph_edges:
+        rows = [(r["src"], r["dst"]) for r in probe]
+        outdeg: dict = {}
+        nodes = set()
+        for s, d in rows:
+            outdeg[s] = outdeg.get(s, 0) + 1
+            nodes.add(s)
+            nodes.add(d)
+        n = len(nodes)
+        base = (3 * scale) // (20 * n)
+        rank = {v: scale // n for v in nodes}
+        for _ in range(iters):
+            nxt = {v: base for v in nodes}
+            for s, d in rows:
+                nxt[d] += (rank[s] * 17) // (20 * outdeg[s])
+            rank = nxt
+        top = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return spark.createDataFrame(
+            [(int(p), int(rq), rq / scale) for p, rq in top],
+            "page long, rank_q long, rank double")
+
+    e = tracked_persist(e0)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = tracked_persist(e.join(deg, "src").repartition("src"))
+    nodes = tracked_persist(
+        e.select(F.col("src").alias("page"))
+        .union(e.select("dst")).distinct())
+    n = nodes.count()
+    base = (3 * scale) // (20 * n)
+    rank = nodes.select(
+        "page", F.lit(scale // n).cast("long").alias("rank_q"))
+    for _ in range(iters):
+        contrib = (ed.join(rank.withColumnRenamed("page", "src"), "src")
+                   .select("dst",
+                           F.expr("(rank_q * 17) div (20 * outdeg)")
+                           .alias("c"))
+                   .groupBy("dst").agg(F.sum("c").alias("s")))
+        rank = (nodes.join(contrib, nodes.page == contrib.dst, "left")
+                .select("page",
+                        (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
+                        .cast("long").alias("rank_q")))
+    return (rank.orderBy(F.col("rank_q").desc(), F.col("page").asc())
+            .limit(k)
+            .select("page", "rank_q",
+                    (F.col("rank_q").cast("double") / scale)
+                    .alias("rank")))

@@ -1337,3 +1337,101 @@ def x64_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.col("o.doc_id").isNull(), F.lit("added"))
                     .when(F.col("n.doc_id").isNull(), F.lit("removed"))
                     .otherwise(F.lit("changed")).alias("status")))
+
+
+# ---------------------------------------------------------------------------
+# x65 — PageRank over the page link graph (iterative graph computation)
+# ---------------------------------------------------------------------------
+# The domain/page-authority signal web-curation pipelines weight sources
+# by (and the classic iterative-computation stress test beyond x15's
+# connected components). Deterministic integer-grid formulation: ranks
+# live on a 1e-9 grid as int64, the damping factor is the exact
+# rational 17/20, and every edge contribution is one positive-int floor
+# division — so five unrolled iterations produce bit-identical ranks in
+# any engine and any reduction order. The link graph is synthesized
+# deterministically from doc_ids (the corpus carries no links): page
+# p(doc) = doc_id % P links to (31·doc_id + 7) % P and
+# (17·doc_id + 11) % P.
+
+_PR_P = 97            # page-id space (prime)
+_PR_SCALE = 10 ** 9   # rank grid
+_PR_ITERS = 5
+_PR_TOP = 20
+
+
+def _pr_edges_sql() -> str:
+    return f"""
+        SELECT DISTINCT src, dst FROM (
+            SELECT doc_id % {_PR_P} AS src,
+                   (31 * doc_id + 7) % {_PR_P} AS dst FROM documents
+            UNION ALL
+            SELECT doc_id % {_PR_P} AS src,
+                   (17 * doc_id + 11) % {_PR_P} AS dst FROM documents
+        ) WHERE src <> dst
+    """
+
+
+def _oracle_pagerank_sql() -> str:
+    it = [f"""
+    nodes AS (
+        SELECT src AS page FROM edges UNION SELECT dst FROM edges
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+    ), deg AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+    ), it0 AS (
+        SELECT page, {_PR_SCALE} // n.n AS rank_q FROM nodes, n
+    )"""]
+    for t in range(_PR_ITERS):
+        it.append(f""", it{t + 1} AS (
+        SELECT nodes.page,
+               CAST({3 * _PR_SCALE} AS BIGINT) // (20 * n.n)
+                   + coalesce(c.s, 0) AS rank_q
+        FROM nodes CROSS JOIN n
+        LEFT JOIN (
+            SELECT e.dst AS page,
+                   SUM((r.rank_q * 17) // (20 * d.outdeg)) AS s
+            FROM edges e
+            JOIN it{t} r ON r.page = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        ) c ON c.page = nodes.page
+    )""")
+    return f"""
+    WITH edges AS ({_pr_edges_sql()}),
+    {''.join(it)}
+    SELECT page, rank_q,
+           CAST(rank_q AS DOUBLE) / {_PR_SCALE} AS rank
+    FROM it{_PR_ITERS}
+    ORDER BY rank_q DESC, page ASC
+    LIMIT {_PR_TOP}
+    """
+
+
+@query("x65_domain_pagerank", oracle=_oracle_pagerank_sql())
+def x65_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five PageRank iterations over the deterministic page link graph,
+    top-{20} pages by authority. Integer-grid arithmetic end to end:
+    damping 17/20 and the teleport term 3/(20·N) are positive-int floor
+    divisions, each edge's contribution is floored BEFORE the sum, so
+    the per-destination aggregation is an exact int64 reduction — any
+    engine, any order, bit-identical ranks.
+
+    Execution via operators/graph.py pagerank_topk: the distributed
+    path is the honest Pregel-style movement (edges + out-degrees
+    partitioned by src once and persisted; per iteration one rank join
+    against that layout + one groupBy(dst) exchange, rank state 2 longs
+    per node), with the scale-adaptive driver fast path below 100k
+    edges (the clustering.py union-find precedent — same exact-int
+    loop, differential-pinned equal in tests/test_graph.py). Dangling
+    mass is dropped identically in both formulations and the oracle."""
+    from ..operators.graph import pagerank_topk
+
+    docs = scale_out(load(spark, sf_dir, "documents"))
+    e1 = docs.select((F.col("doc_id") % _PR_P).alias("src"),
+                     ((31 * F.col("doc_id") + 7) % _PR_P).alias("dst"))
+    e2 = docs.select((F.col("doc_id") % _PR_P).alias("src"),
+                     ((17 * F.col("doc_id") + 11) % _PR_P).alias("dst"))
+    edges = (e1.unionByName(e2).filter(F.col("src") != F.col("dst"))
+             .distinct())
+    return pagerank_topk(edges, iters=_PR_ITERS, scale=_PR_SCALE,
+                         k=_PR_TOP)

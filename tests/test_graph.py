@@ -1,0 +1,58 @@
+"""PageRank (operators/graph.py): fast-path/distributed equivalence and
+exact-arithmetic invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_foundations_spark.operators.graph import (
+    PR_SCALE, pagerank_topk,
+)
+
+
+def _edges(spark):
+    # a small digraph with a hub (0), a chain, and a dangling sink (9)
+    rows = [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1), (1, 2), (2, 3),
+            (3, 4), (4, 5), (5, 6), (6, 7), (7, 8), (8, 9), (0, 9)]
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_pagerank_fastpath_equals_distributed(spark):
+    """The driver loop (<=100k edges) and the iterative join/agg plan
+    produce bit-identical integer ranks — the union-find precedent."""
+    e = _edges(spark)
+    fast = [(r.page, r.rank_q, r.rank)
+            for r in pagerank_topk(e, k=100).collect()]
+    dist = [(r.page, r.rank_q, r.rank)
+            for r in pagerank_topk(e, k=100,
+                                   small_graph_edges=0).collect()]
+    assert fast == dist
+    assert len(fast) == 10
+
+
+def test_pagerank_sink_and_hub_rank_highest(spark):
+    top = pagerank_topk(_edges(spark), k=3).collect()
+    # 9 is the dangling sink fed by 8's whole mass AND half of the
+    # hub's; 0 is the four-in-link hub — they must lead the ranking
+    assert {top[0].page, top[1].page} == {9, 0}
+    assert all(r.rank_q > 0 for r in top)
+    assert all(abs(r.rank - r.rank_q / PR_SCALE) == 0.0 for r in top)
+
+
+def test_pagerank_mass_bounded(spark):
+    """Floored contributions + dropped dangling mass mean total rank is
+    <= scale and strictly positive; ordering is fully deterministic."""
+    out = pagerank_topk(_edges(spark), k=100).collect()
+    total = sum(r.rank_q for r in out)
+    assert 0 < total <= PR_SCALE
+    ranks = [(r.rank_q, r.page) for r in out]
+    assert ranks == sorted(ranks, key=lambda t: (-t[0], t[1]))
+
+
+def test_pagerank_query_matches_oracle_shape(spark, sf_dir):
+    from data_pipeline_foundations_spark.registry import all_queries
+    df = all_queries()["x65_domain_pagerank"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert 0 < len(rows) <= 20
+    assert df.columns == ["page", "rank_q", "rank"]
+    assert all(isinstance(r.rank_q, int) for r in rows)
