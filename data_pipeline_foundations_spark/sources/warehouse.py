@@ -221,11 +221,72 @@ def write_versioned(spark: SparkSession, root: str, df,
     return committed[nxt]
 
 
-def read_versioned(spark: SparkSession, root: str):
+def read_versioned(spark: SparkSession, root: str, *,
+                   version: int | None = None):
+    """Read the current committed snapshot — or, with ``version``, a
+    SPECIFIC committed version (time travel: any version the pruning
+    policy has retained stays readable, a crashed/in-flight one never
+    resolves)."""
+    if version is not None:
+        vs = dict(list_versions(spark, root))
+        if version not in vs:
+            raise FileNotFoundError(
+                f"version {version} not committed under {root} "
+                f"(available: {sorted(vs)})")
+        return spark.read.parquet(vs[version])
     cur = current_version_dir(spark, root)
     if cur is None:
         raise FileNotFoundError(f"no committed version under {root}")
     return spark.read.parquet(cur)
+
+
+def snapshot_changelog(spark: SparkSession, root: str, *,
+                       id_col: str, compare_cols: list[str],
+                       v_old: int | None = None,
+                       v_new: int | None = None):
+    """Changelog between two committed versions of a versioned table:
+    one row per added / removed / changed id (the x64 snapshot-diff
+    semantics over the warehouse's own time-travel surface — what an
+    incremental consumer processes instead of re-reading the snapshot).
+
+    ``compare_cols`` define row identity-of-content: each side collapses
+    to (id, 60-bit md5 fingerprint over the unit-separator-joined
+    columns) before the FULL OUTER join, so wide columns never shuffle.
+    Defaults: v_new = current version, v_old = the one before it.
+    Returns (id_col, status) with status in added/removed/changed.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import md5_long
+
+    vs = [v for v, _ in list_versions(spark, root)]
+    if len(vs) < 2 and (v_old is None or v_new is None):
+        raise ValueError(
+            f"snapshot_changelog needs two committed versions under "
+            f"{root} (found {vs})")
+    v_new = vs[-1] if v_new is None else v_new
+    v_old = (max(v for v in vs if v < v_new)
+             if v_old is None else v_old)
+
+    def side(version):
+        df = read_versioned(spark, root, version=version)
+        fp = md5_long(F.concat_ws("\x1f",
+                                  *[F.col(c).cast("string")
+                                    for c in compare_cols]))
+        return df.select(F.col(id_col), fp.alias("fp"))
+
+    o = side(v_old).alias("o")
+    n = side(v_new).alias("n")
+    j = o.join(n, F.col(f"o.{id_col}") == F.col(f"n.{id_col}"),
+               "full_outer")
+    return (j.filter(F.col(f"o.{id_col}").isNull()
+                     | F.col(f"n.{id_col}").isNull()
+                     | (F.col("o.fp") != F.col("n.fp")))
+            .select(F.coalesce(F.col(f"o.{id_col}"),
+                               F.col(f"n.{id_col}")).alias(id_col),
+                    F.when(F.col(f"o.{id_col}").isNull(), F.lit("added"))
+                    .when(F.col(f"n.{id_col}").isNull(), F.lit("removed"))
+                    .otherwise(F.lit("changed")).alias("status")))
 
 
 def compact_versioned(spark: SparkSession, root: str, *,

@@ -692,3 +692,31 @@ def test_versioned_prune_race_and_guards(spark, tmp_path, monkeypatch):
     assert any(d.endswith("v_00000005") for d in remaining)
     ids = {r.id for r in wh.read_versioned(spark, root).collect()}
     assert ids == {1000, 1001, 1002, 1003, 1004}
+
+
+def test_time_travel_and_snapshot_changelog(spark, tmp_path):
+    """read_versioned(version=) resolves any retained committed version;
+    snapshot_changelog classifies added/removed/changed between two
+    versions off the content fingerprints."""
+    import pytest as _pytest
+
+    from data_pipeline_foundations_spark.sources.warehouse import (
+        read_versioned, snapshot_changelog, write_versioned,
+    )
+    root = str(tmp_path / "snap")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string")
+    v2 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "id long, val string")
+    write_versioned(spark, root, v1)
+    write_versioned(spark, root, v2)
+
+    assert {r.val for r in
+            read_versioned(spark, root, version=1).collect()} == {"a", "b", "c"}
+    assert {r.val for r in read_versioned(spark, root).collect()} == {"a", "B", "d"}
+    with _pytest.raises(FileNotFoundError, match="version 9"):
+        read_versioned(spark, root, version=9)
+
+    log = {(r.id, r.status) for r in snapshot_changelog(
+        spark, root, id_col="id", compare_cols=["val"]).collect()}
+    assert log == {(2, "changed"), (3, "removed"), (4, "added")}
