@@ -49,16 +49,32 @@ def pagerank_topk(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     Dangling mass (nodes without out-edges) is dropped — identically in
     every formulation, including the DuckDB oracle twin.
     """
+    from pyspark.sql import types as T
+
     spark = edges.sparkSession
     e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # The fast path's Python min-heap ordering must match Spark's for
+    # the page id type (the clustering.py id-type contract): integral
+    # and string ids agree; anything else falls through to the
+    # distributed path, which preserves the input type untouched.
+    id_type = e0.schema["src"].dataType
+    fastpath_ok = id_type.typeName() in {
+        "long", "integer", "short", "byte", "string"}
     # Guard probe in ONE job: a truncated collect moves at most
     # small_graph_edges+1 rows to the driver. If the truncation did not
     # bite, `probe` IS the complete edge set and the fast path runs on
     # it directly; otherwise the distributed path recomputes from the
     # (lazy) plan and persists.
-    probe = e0.limit(small_graph_edges + 1).collect()
+    probe = (e0.limit(small_graph_edges + 1).collect()
+             if fastpath_ok else [])
+    empty_schema = T.StructType([
+        T.StructField("page", id_type),
+        T.StructField("rank_q", T.LongType()),
+        T.StructField("rank", T.DoubleType())])
 
-    if len(probe) <= small_graph_edges:
+    if fastpath_ok and len(probe) <= small_graph_edges:
+        if not probe:
+            return spark.createDataFrame([], empty_schema)
         rows = [(r["src"], r["dst"]) for r in probe]
         outdeg: dict = {}
         nodes = set()
@@ -74,10 +90,13 @@ def pagerank_topk(edges: DataFrame, *, src: str = "src", dst: str = "dst",
             for s, d in rows:
                 nxt[d] += (rank[s] * 17) // (20 * outdeg[s])
             rank = nxt
-        top = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        # sort by rank desc, page asc — page comparisons stay within the
+        # fastpath_ok types, where Python's < matches Spark's ordering
+        # (two stable sorts: page asc first, then rank desc)
+        top = sorted(sorted(rank.items(), key=lambda kv: kv[0]),
+                     key=lambda kv: -kv[1])[:k]
         return spark.createDataFrame(
-            [(int(p), int(rq), rq / scale) for p, rq in top],
-            "page long, rank_q long, rank double")
+            [(p, int(rq), rq / scale) for p, rq in top], empty_schema)
 
     e = tracked_persist(e0)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
@@ -86,6 +105,8 @@ def pagerank_topk(edges: DataFrame, *, src: str = "src", dst: str = "dst",
         e.select(F.col("src").alias("page"))
         .union(e.select("dst")).distinct())
     n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame([], empty_schema)
     base = (3 * scale) // (20 * n)
     rank = nodes.select(
         "page", F.lit(scale // n).cast("long").alias("rank_q"))

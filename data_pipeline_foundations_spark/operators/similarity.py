@@ -738,10 +738,11 @@ def _pq_artifacts(emb: DataFrame, id_col: str, vec_col: str, block: int,
                   n_queries: int) -> tuple[list, list]:
     """(pq_rows, qrows) in ONE non-AQE collect job — the
     _ivfpq_artifacts shape minus the IVF half: PQ codebook rows ride
-    kind=1, query vectors (with their exact int norms) kind=2, unioned
-    into a single Spark job so the model build pays ONE scheduler
-    roundtrip instead of two (VERDICT r4 task #1's one-job discipline,
-    extended to the pq_topk/ann_recall paths)."""
+    kind=1, query vectors kind=2, unioned into a single Spark job so
+    the model build pays ONE scheduler roundtrip instead of two
+    (VERDICT r4 task #1's one-job discipline, extended to the
+    pq_topk/ann_recall paths). Both consumers derive query norms from
+    the vectors themselves, so no norm column rides the union."""
     pq_base = emb.select(F.col(id_col), int_vec(vec_col).alias("sv"))
     pq_part = _pq_codebook(pq_base, id_col, block, ks, seed, m=m).select(
         F.lit(1).alias("kind"), F.col("s").cast("int"),
@@ -751,7 +752,7 @@ def _pq_artifacts(emb: DataFrame, id_col: str, vec_col: str, block: int,
               .select(F.col(id_col), int_vec(vec_col).alias("sv"))
               .select(F.lit(2).alias("kind"), F.lit(-1).alias("s"),
                       F.col(id_col).cast("long").alias("cid"),
-                      idot("sv", "sv").alias("n2"),
+                      F.lit(0).cast("long").alias("n2"),
                       F.col("sv").alias("vec")))
     model = pq_part.union(q_part)
     conf = emb.sparkSession.conf
@@ -763,7 +764,7 @@ def _pq_artifacts(emb: DataFrame, id_col: str, vec_col: str, block: int,
         conf.set("spark.sql.adaptive.enabled", aqe0)
     pq_rows = [{"s": r["s"], "cid": r["cid"], "cvec": r["vec"]}
                for r in rows if r["kind"] == 1]
-    qrows = sorted(({id_col: r["cid"], "sv": list(r["vec"]), "n2": r["n2"]}
+    qrows = sorted(({id_col: r["cid"], "sv": list(r["vec"])}
                     for r in rows if r["kind"] == 2),
                    key=lambda r: r[id_col])
     return pq_rows, qrows

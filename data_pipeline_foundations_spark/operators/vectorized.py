@@ -249,6 +249,15 @@ def recall_totals_udf(cents: list, qsvs: list, m: int, block: int,
         rt = np.sqrt(n2.astype(np.float64))
         Gq = (SV @ Q.T).astype(np.float64)    # exact: |idot| < 2^53
         ex = Gq / (rt[:, None] * qrt[None, :])
+        # the ADC totals ride the double output column; their int64
+        # values must stay exactly representable or the bit-identity
+        # contract with pq_topk's pure-long path silently breaks
+        if ap.size and int(ap.max()) > (1 << 53):
+            raise ValueError(
+                "recall_totals_udf: ADC total exceeds 2^53 and cannot "
+                "round-trip through the double output exactly — "
+                "embeddings are far outside the expected unit-norm "
+                "scale; use the composed cosine_topk+pq_topk paths")
         return pd.Series(list(np.concatenate(
             [ap.astype(np.float64), ex], axis=1)))
 

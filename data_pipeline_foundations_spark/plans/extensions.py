@@ -1209,6 +1209,13 @@ _CLF_BUCKETS = 2001  # odd -> weights symmetric in [-1000, 1000]
 _CLF_THRESHOLD = 25.0  # mean-weight keep threshold (~0.33 sd at n=60)
 
 
+def _clf_weight_sql() -> str:
+    """Per-token integer weight — md5_long kept in lockstep with the
+    Spark side via the shared oracle helper (functions/hashing.py)."""
+    from ..functions.hashing import oracle_md5_long
+    return f"({oracle_md5_long('t')} % {_CLF_BUCKETS}) - 1000"
+
+
 @query(
     "x63_quality_classifier",
     oracle=f"""
@@ -1216,24 +1223,21 @@ _CLF_THRESHOLD = 25.0  # mean-weight keep threshold (~0.33 sd at n=60)
         SELECT doc_id,
                list_filter(string_split(text, ' '), t -> t <> '') AS toks
         FROM documents
+    ), s AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(coalesce(list_sum(list_transform(toks,
+                   t -> {_clf_weight_sql()})), 0) AS BIGINT) AS score
+        FROM t
     )
-    SELECT doc_id,
-           CAST(len(toks) AS BIGINT) AS n_tokens,
-           CAST(coalesce(list_sum(list_transform(toks,
-               t -> (CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)
-                     % {_CLF_BUCKETS}) - 1000)), 0) AS BIGINT) AS score,
-           CASE WHEN len(toks) = 0 THEN 0.0
-                ELSE CAST(coalesce(list_sum(list_transform(toks,
-                    t -> (CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)
-                          % {_CLF_BUCKETS}) - 1000)), 0) AS DOUBLE)
-                     / CAST(len(toks) AS DOUBLE) END AS mean_weight,
-           CAST(CASE WHEN len(toks) = 0 THEN 0.0
-                ELSE CAST(coalesce(list_sum(list_transform(toks,
-                    t -> (CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)
-                          % {_CLF_BUCKETS}) - 1000)), 0) AS DOUBLE)
-                     / CAST(len(toks) AS DOUBLE) END
-                > {_CLF_THRESHOLD} AS INTEGER) AS keep
-    FROM t
+    SELECT doc_id, n_tokens, score,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE CAST(score AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                END AS mean_weight,
+           CAST(CASE WHEN n_tokens = 0 THEN 0.0
+                     ELSE CAST(score AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                     END > {_CLF_THRESHOLD} AS INTEGER) AS keep
+    FROM s
     """,
 )
 def x63_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -250,10 +250,18 @@ def snapshot_changelog(spark: SparkSession, root: str, *,
     incremental consumer processes instead of re-reading the snapshot).
 
     ``compare_cols`` define row identity-of-content: each side collapses
-    to (id, 60-bit md5 fingerprint over the unit-separator-joined
-    columns) before the FULL OUTER join, so wide columns never shuffle.
+    to (id, 60-bit md5 fingerprint over the null-tagged, unit-separator-
+    joined columns) before the FULL OUTER join, so wide columns never
+    shuffle. NULL and empty string fingerprint differently (each value
+    is prefixed with a presence tag — concat_ws alone would silently
+    DROP nulls and collide ('x', NULL) with (NULL, 'x')).
     Defaults: v_new = current version, v_old = the one before it.
     Returns (id_col, status) with status in added/removed/changed.
+
+    Precondition: ``id_col`` is unique within each snapshot (the usual
+    primary-key contract of a versioned table; write_versioned does not
+    enforce it). Duplicate ids fan out through the full-outer join and
+    the one-row-per-id contract no longer holds.
     """
     from pyspark.sql import functions as F
 
@@ -265,14 +273,21 @@ def snapshot_changelog(spark: SparkSession, root: str, *,
             f"snapshot_changelog needs two committed versions under "
             f"{root} (found {vs})")
     v_new = vs[-1] if v_new is None else v_new
-    v_old = (max(v for v in vs if v < v_new)
-             if v_old is None else v_old)
+    if v_old is None:
+        older = [v for v in vs if v < v_new]
+        if not older:
+            raise ValueError(
+                f"snapshot_changelog: no committed version older than "
+                f"v_new={v_new} under {root} (available: {vs})")
+        v_old = max(older)
 
     def side(version):
         df = read_versioned(spark, root, version=version)
-        fp = md5_long(F.concat_ws("\x1f",
-                                  *[F.col(c).cast("string")
-                                    for c in compare_cols]))
+        tagged = [F.when(F.col(c).isNull(), F.lit("\x00"))
+                  .otherwise(F.concat(F.lit("\x01"),
+                                      F.col(c).cast("string")))
+                  for c in compare_cols]
+        fp = md5_long(F.concat_ws("\x1f", *tagged))
         return df.select(F.col(id_col), fp.alias("fp"))
 
     o = side(v_old).alias("o")

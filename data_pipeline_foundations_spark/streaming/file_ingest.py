@@ -109,10 +109,18 @@ def run_available_now(spark: SparkSession, landing_dir: str, out_dir: str,
 
         # A drain that never processed a file leaves out_dir absent (or
         # holding only _spark_metadata, from which no schema can be
-        # inferred) — skip the publish instead of raising.
+        # inferred) — skip the publish for THOSE two shapes only; any
+        # other AnalysisException (corrupt footer, conflicting schema)
+        # is a real failure and must propagate, not silently unpublish.
         try:
             accumulated = spark.read.parquet(out_dir)
-        except AnalysisException:
-            return None
+        except AnalysisException as exc:
+            # _LEGACY_ERROR_TEMP_1134 is Spark 4's condition for
+            # "Unable to infer schema" (the metadata-only sink dir)
+            cls = exc.getCondition() or ""
+            if cls in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA",
+                       "_LEGACY_ERROR_TEMP_1134"):
+                return None
+            raise
         return write_versioned(spark, publish_root, accumulated)
     return None

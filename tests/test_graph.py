@@ -56,3 +56,22 @@ def test_pagerank_query_matches_oracle_shape(spark, sf_dir):
     assert 0 < len(rows) <= 20
     assert df.columns == ["page", "rank_q", "rank"]
     assert all(isinstance(r.rank_q, int) for r in rows)
+
+
+def test_pagerank_string_ids_and_empty_graph(spark):
+    """Fast path preserves the input id type (string hosts work on both
+    paths with identical results); an empty edge set returns an empty,
+    correctly-typed frame instead of dividing by zero."""
+    e = spark.createDataFrame(
+        [("a.com", "b.com"), ("b.com", "c.com"), ("c.com", "a.com"),
+         ("b.com", "a.com")], "src string, dst string")
+    fast = [(r.page, r.rank_q) for r in pagerank_topk(e, k=10).collect()]
+    dist = [(r.page, r.rank_q) for r in
+            pagerank_topk(e, k=10, small_graph_edges=0).collect()]
+    assert fast == dist
+    assert all(isinstance(p, str) for p, _ in fast)
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = pagerank_topk(empty, k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["page", "rank_q", "rank"]

@@ -172,10 +172,12 @@ def test_pq_search_from_codes_requires_codes_column(spark, sf_dir):
     from data_pipeline_foundations_spark.operators.similarity import (
         pq_search_from_codes,
     )
-    bogus = spark.range(4).selectExpr("id", "id AS not_codes")
+    bogus_codes = spark.range(4).selectExpr("id AS vec_id", "id AS not_codes")
+    queries = spark.range(1).selectExpr("id AS vec_id",
+                                        "array(0.0F) AS embedding")
     with _pytest.raises(ValueError, match="codes"):
-        pq_search_from_codes(spark.range(1).selectExpr("id", "array(0.0) AS vec"),
-                             bogus, model={"params": {}, "pq_rows": []}, k=1)
+        pq_search_from_codes(bogus_codes, queries,
+                             model={"params": {}, "pq_rows": []}, k=1)
 
 
 def test_ann_recall_fused_equals_composed(spark, sf_dir):

@@ -720,3 +720,26 @@ def test_time_travel_and_snapshot_changelog(spark, tmp_path):
     log = {(r.id, r.status) for r in snapshot_changelog(
         spark, root, id_col="id", compare_cols=["val"]).collect()}
     assert log == {(2, "changed"), (3, "removed"), (4, "added")}
+
+
+def test_changelog_null_handling_and_version_guard(spark, tmp_path):
+    """NULL and '' fingerprint differently; ('x', NULL) != (NULL, 'x');
+    v_new at the oldest version raises the descriptive error."""
+    import pytest as _pytest
+
+    from data_pipeline_foundations_spark.sources.warehouse import (
+        snapshot_changelog, write_versioned,
+    )
+    root = str(tmp_path / "snap")
+    v1 = spark.createDataFrame(
+        [(1, "x", None), (2, None, None)], "id long, a string, b string")
+    v2 = spark.createDataFrame(
+        [(1, None, "x"), (2, "", None)], "id long, a string, b string")
+    write_versioned(spark, root, v1)
+    write_versioned(spark, root, v2)
+    log = {(r.id, r.status) for r in snapshot_changelog(
+        spark, root, id_col="id", compare_cols=["a", "b"]).collect()}
+    assert log == {(1, "changed"), (2, "changed")}
+    with _pytest.raises(ValueError, match="older than"):
+        snapshot_changelog(spark, root, id_col="id",
+                           compare_cols=["a"], v_new=1)
