@@ -1148,9 +1148,9 @@ BLOCKED_HOSTS = ("h3.example.com", "h11.example.com", "h17.example.com")
         SELECT doc_id, {_PAGE_URL_SQL} AS url FROM documents
     ), c AS (
         SELECT doc_id,
-               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                   regexp_replace(url, '#.*$', ''), '\\?.*$', ''),
-                   '/$', ''), '^https?://', ''), '^www\\.', '')
+               regexp_replace(regexp_replace(regexp_replace(
+                   url, '[?#].*$', ''),
+                   '/$', ''), '^https?://(www\\.)?', '')
                    AS canon_url
         FROM u
     )
@@ -1180,10 +1180,12 @@ def x62_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("doc_id", F.expr(_PAGE_URL_SPARK).alias("url"))
          .withColumn(
              "canon_url",
+             # 3 passes, not 5: query+fragment strip from the earliest
+             # of ?/# (identical to #-then-? in sequence), then trailing
+             # slash, then scheme+www in one anchored pattern
              F.regexp_replace(F.regexp_replace(F.regexp_replace(
-                 F.regexp_replace(F.regexp_replace(
-                     F.col("url"), r"#.*$", ""), r"\?.*$", ""),
-                 r"/$", ""), r"^https?://", ""), r"^www\.", ""))
+                 F.col("url"), r"[?#].*$", ""),
+                 r"/$", ""), r"^https?://(www\.)?", ""))
          .withColumn("host", F.regexp_extract("canon_url", r"^([^/]+)", 1)))
     return (c.join(block, c.host == block.bhost, "left_anti")
             .groupBy("canon_url")
@@ -1439,3 +1441,73 @@ def x65_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              .distinct())
     return pagerank_topk(edges, iters=_PR_ITERS, scale=_PR_SCALE,
                          k=_PR_TOP)
+
+
+# ---------------------------------------------------------------------------
+# x66 — snapshot drift statistic (corpus-monitoring companion to x64)
+# ---------------------------------------------------------------------------
+# Did the source mixture shift between two crawl snapshots? Per-source
+# chi-square contributions of the new snapshot's counts against the
+# expectation under the old mixture — the alerting statistic a corpus
+# monitor tracks release-over-release. Uses x64's derived "new"
+# snapshot (drop doc_id%17=3, add a doc per doc_id%11=0; text edits
+# don't move counts). No cross-row float aggregation: each source's
+# expected count and chi-square contribution are derived per ROW from
+# exact int counts with a mirrored IEEE op order, and the total is left
+# to the consumer — so every output value is bit-identical cross-engine.
+
+
+@query(
+    "x66_snapshot_drift",
+    oracle="""
+    WITH c AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_old,
+               CAST(SUM(CASE WHEN doc_id % 17 <> 3 THEN 1 ELSE 0 END)
+                    + SUM(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new
+        FROM documents GROUP BY source
+    ), t AS (
+        SELECT source, n_old, n_new,
+               SUM(n_old) OVER () AS tot_old,
+               SUM(n_new) OVER () AS tot_new
+        FROM c
+    )
+    SELECT source, n_old, n_new,
+           (CAST(tot_new AS DOUBLE) * CAST(n_old AS DOUBLE))
+               / CAST(tot_old AS DOUBLE) AS expected,
+           ((CAST(n_new AS DOUBLE)
+             - (CAST(tot_new AS DOUBLE) * CAST(n_old AS DOUBLE))
+               / CAST(tot_old AS DOUBLE))
+            * (CAST(n_new AS DOUBLE)
+               - (CAST(tot_new AS DOUBLE) * CAST(n_old AS DOUBLE))
+                 / CAST(tot_old AS DOUBLE)))
+           / ((CAST(tot_new AS DOUBLE) * CAST(n_old AS DOUBLE))
+              / CAST(tot_old AS DOUBLE)) AS chi2_contrib
+    FROM t
+    """,
+)
+def x66_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source chi-square drift between consecutive snapshots: both
+    snapshots' counts come from ONE map-side-combined aggregate pass
+    over the corpus (the new snapshot's count is two conditional sums —
+    no second scan, no join), the totals are window sums over the
+    dimension-sized result, and expected/chi2 are per-row derived
+    floats with the oracle's exact op order. Output: (source, n_old,
+    n_new, expected, chi2_contrib)."""
+    from pyspark.sql import Window as W
+
+    c = (scale_out(load(spark, sf_dir, "documents"))
+         .groupBy("source")
+         .agg(F.count(F.lit(1)).alias("n_old"),
+              (F.sum(F.when(F.col("doc_id") % 17 != 3, 1).otherwise(0))
+               + F.sum(F.when(F.col("doc_id") % 11 == 0, 1).otherwise(0)))
+              .cast("long").alias("n_new")))
+    w = W.partitionBy(F.lit(1))
+    t = (c.withColumn("tot_old", F.sum("n_old").over(w))
+         .withColumn("tot_new", F.sum("n_new").over(w)))
+    e = ((F.col("tot_new").cast("double") * F.col("n_old").cast("double"))
+         / F.col("tot_old").cast("double"))
+    d = F.col("n_new").cast("double") - e
+    return t.select("source", "n_old", "n_new", e.alias("expected"),
+                    ((d * d) / e).alias("chi2_contrib"))
