@@ -304,6 +304,64 @@ def snapshot_changelog(spark: SparkSession, root: str, *,
                     .otherwise(F.lit("changed")).alias("status")))
 
 
+def replicate_incremental(spark: SparkSession, src_root: str,
+                          dst_root: str, *, id_col: str,
+                          compare_cols: list[str]) -> str | None:
+    """Bring a follower versioned table up to the leader's current
+    snapshot by applying only the CHANGELOG delta — the incremental
+    consumer snapshot_changelog exists for. Delta application, not a
+    copy: surviving rows are the follower's own (one anti-join on the
+    removed/changed id set), and only added/changed payload rows are
+    read from the leader. Commits the result as the follower's next
+    version (write_versioned's atomic _SUCCESS flip) and returns its
+    dir; returns None when the follower is already current (no empty
+    version is committed). First sync (no follower version yet) is a
+    full copy. Same id-uniqueness precondition as snapshot_changelog.
+
+    Scale shape: the diff ships (id, 60-bit fp) only; the anti-join and
+    the payload semi-join are id-keyed shuffles (Exchange-free on a
+    bucketed-by-id layout); unchanged payload never moves.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import md5_long
+    from ..operators.caching import tracked_persist
+
+    src = read_versioned(spark, src_root)
+    if not list_versions(spark, dst_root):
+        return write_versioned(spark, dst_root, src)
+
+    def fp(df):
+        tagged = [F.when(F.col(c).isNull(), F.lit("\x00"))
+                  .otherwise(F.concat(F.lit("\x01"),
+                                      F.col(c).cast("string")))
+                  for c in compare_cols]
+        return df.withColumn("_fp", md5_long(F.concat_ws("\x1f", *tagged)))
+
+    dst = read_versioned(spark, dst_root)
+    o = fp(dst).select(F.col(id_col), "_fp").alias("o")
+    n = fp(src).select(F.col(id_col), "_fp").alias("n")
+    j = o.join(n, F.col(f"o.{id_col}") == F.col(f"n.{id_col}"),
+               "full_outer")
+    delta = tracked_persist(
+        j.filter(F.col(f"o.{id_col}").isNull()
+                 | F.col(f"n.{id_col}").isNull()
+                 | (F.col("o._fp") != F.col("n._fp")))
+        .select(F.coalesce(F.col(f"o.{id_col}"),
+                           F.col(f"n.{id_col}")).alias(id_col),
+                F.col(f"n.{id_col}").isNull().alias("gone")))
+    if delta.limit(1).count() == 0:
+        delta.unpersist()
+        return None
+    survivors = dst.join(delta.select(id_col), id_col, "left_anti")
+    incoming = src.join(delta.filter(~F.col("gone")).select(id_col),
+                        id_col, "left_semi")
+    out = write_versioned(spark, dst_root,
+                          survivors.unionByName(incoming))
+    delta.unpersist()
+    return out
+
+
 def compact_versioned(spark: SparkSession, root: str, *,
                       target_file_bytes: int = 128 << 20,
                       keep_versions: int = 2) -> str | None:

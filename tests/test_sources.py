@@ -743,3 +743,35 @@ def test_changelog_null_handling_and_version_guard(spark, tmp_path):
     with _pytest.raises(ValueError, match="older than"):
         snapshot_changelog(spark, root, id_col="id",
                            compare_cols=["a"], v_new=1)
+
+
+def test_replicate_incremental_roundtrip(spark, tmp_path):
+    """Follower = leader after every sync; already-current sync commits
+    nothing; only delta rows are applied (survivors keep follower rows)."""
+    from data_pipeline_foundations_spark.sources.warehouse import (
+        list_versions, read_versioned, replicate_incremental,
+        write_versioned,
+    )
+    src = str(tmp_path / "leader")
+    dst = str(tmp_path / "follower")
+
+    def content(root):
+        return {(r.id, r.a) for r in read_versioned(spark, root).collect()}
+
+    write_versioned(spark, src, spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, a string"))
+    assert replicate_incremental(spark, src, dst, id_col="id",
+                                 compare_cols=["a"]) is not None
+    assert content(dst) == content(src)
+
+    # leader evolves: 2 changed, 3 removed, 4 added
+    write_versioned(spark, src, spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "id long, a string"))
+    assert replicate_incremental(spark, src, dst, id_col="id",
+                                 compare_cols=["a"]) is not None
+    assert content(dst) == {(1, "a"), (2, "B"), (4, "d")}
+    # idempotent: a second sync is a no-op (no new version committed)
+    n_before = len(list_versions(spark, dst))
+    assert replicate_incremental(spark, src, dst, id_col="id",
+                                 compare_cols=["a"]) is None
+    assert len(list_versions(spark, dst)) == n_before
