@@ -1511,3 +1511,45 @@ def x66_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("n_new").cast("double") - e
     return t.select("source", "n_old", "n_new", e.alias("expected"),
                     ((d * d) / e).alias("chi2_contrib"))
+
+
+# ---------------------------------------------------------------------------
+# x67 — k-anonymity audit over quasi-identifiers (privacy governance)
+# ---------------------------------------------------------------------------
+# Re-identification risk scan: how many documents sit in a
+# quasi-identifier equivalence class smaller than k? The (lang, source,
+# length-bucket) tuple plays the quasi-identifier role (the release
+# reviewer's question: "can metadata alone single a document out?").
+# One map-side-combined groupBy; the audit output is every risky class
+# plus its size — dimension-bounded regardless of corpus size.
+
+_KANON_K = 5
+_KANON_BUCKET = 50  # n_chars bucket width
+
+
+@query(
+    "x67_k_anonymity",
+    oracle=f"""
+    SELECT lang, source,
+           n_chars // {_KANON_BUCKET} AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           CAST(MIN(doc_id) AS BIGINT) AS example_doc
+    FROM documents
+    GROUP BY lang, source, n_chars // {_KANON_BUCKET}
+    HAVING COUNT(*) < {_KANON_K}
+    """,
+)
+def x67_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: every (lang, source, length-bucket)
+    quasi-identifier class with fewer than k={5} members, with its size
+    and one example doc — the classes where metadata alone risks
+    re-identification. ONE map-side-combined aggregate + a HAVING
+    filter; at 100 TB the output stays bounded by the quasi-identifier
+    cardinality, never the corpus."""
+    return (scale_out(load(spark, sf_dir, "documents"))
+            .groupBy("lang", "source",
+                     F.expr(f"n_chars div {_KANON_BUCKET}")
+                     .alias("len_bucket"))
+            .agg(F.count(F.lit(1)).alias("class_size"),
+                 F.min("doc_id").alias("example_doc"))
+            .filter(F.col("class_size") < _KANON_K))
