@@ -260,3 +260,20 @@ def fingerprint(col: Column | str) -> Column:
 def oracle_fingerprint(sql_col: str) -> str:
     norm = f"regexp_replace(lower(trim({sql_col})), '\\s+', ' ', 'g')"
     return oracle_md5_long(norm)
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Crawl-frontier URL canonicalization, 3 regex passes: strip
+    query+fragment (from the earliest of ?/#), trailing slash, then
+    scheme + leading www. in one anchored pattern. Shared by the batch
+    x62 operator and the streaming URL frontier; the DuckDB twin
+    mirrors the same three patterns."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.regexp_replace(F.regexp_replace(
+        c, r"[?#].*$", ""), r"/$", ""), r"^https?://(www\.)?", "")
+
+
+def url_host(col: Column | str) -> Column:
+    """Host part of a canonicalized URL (everything before the first /)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, r"^([^/]+)", 1)

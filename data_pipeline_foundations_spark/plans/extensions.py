@@ -9,8 +9,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import (
-    fingerprint, oracle_fingerprint, oracle_stopword_count,
-    oracle_token_count, stopword_count, token_count, tokens,
+    canonical_url, fingerprint, oracle_fingerprint, oracle_stopword_count,
+    oracle_token_count, stopword_count, token_count, tokens, url_host,
 )
 from ..operators.clustering import dedup_clusters, oracle_dedup_clusters_sql
 from ..operators.dedup import (
@@ -1178,15 +1178,8 @@ def x62_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame([(h,) for h in BLOCKED_HOSTS], "bhost string"))
     c = (scale_out(load(spark, sf_dir, "documents"))
          .select("doc_id", F.expr(_PAGE_URL_SPARK).alias("url"))
-         .withColumn(
-             "canon_url",
-             # 3 passes, not 5: query+fragment strip from the earliest
-             # of ?/# (identical to #-then-? in sequence), then trailing
-             # slash, then scheme+www in one anchored pattern
-             F.regexp_replace(F.regexp_replace(F.regexp_replace(
-                 F.col("url"), r"[?#].*$", ""),
-                 r"/$", ""), r"^https?://(www\.)?", ""))
-         .withColumn("host", F.regexp_extract("canon_url", r"^([^/]+)", 1)))
+         .withColumn("canon_url", canonical_url("url"))
+         .withColumn("host", url_host("canon_url")))
     return (c.join(block, c.host == block.bhost, "left_anti")
             .groupBy("canon_url")
             .agg(F.first("host").alias("host"),

@@ -491,3 +491,35 @@ def test_publish_with_empty_landing_returns_none(spark, tmp_path):
                              publish_root=pub) is None
     import os
     assert not os.path.exists(pub)
+
+
+def test_url_frontier_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming URL frontier admits exactly one capture per
+    canonical URL, never a blocklisted host, and its canonical-URL
+    survivor set equals the batch x62 operator's (which capture
+    survives differs by design — arrival vs min doc_id)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.plans.extensions import (
+        _PAGE_URL_SPARK, BLOCKED_HOSTS, x62_canonical_url_dedup,
+    )
+    from data_pipeline_foundations_spark.streaming import url_frontier
+
+    cap_dir = str(tmp_path / "captures")
+    (load(spark, sf_dir, "documents")
+     .select("doc_id", F.expr(_PAGE_URL_SPARK).alias("url"))
+     .withColumn("event_ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+     .coalesce(1).write.parquet(cap_dir))
+    block = spark.createDataFrame([(h,) for h in BLOCKED_HOSTS],
+                                  "bhost string")
+
+    admitted = url_frontier.run_over_dir(spark, cap_dir, block,
+                                         "test_frontier_out")
+    got = {r.canon_url for r in admitted.select("canon_url").collect()}
+    assert admitted.count() == len(got)  # one admission per canonical URL
+    hosts = {r.host for r in admitted.select("host").collect()}
+    assert hosts.isdisjoint(set(BLOCKED_HOSTS))
+
+    want = {r.canon_url for r in
+            x62_canonical_url_dedup(spark, sf_dir).collect()}
+    assert got == want
