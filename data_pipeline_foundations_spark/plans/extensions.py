@@ -1236,7 +1236,9 @@ def _clf_weight_sql() -> str:
     """,
 )
 def x63_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hashed-linear quality classifier: per-token integer weight from a
+    """Hashed-linear quality classifier (the fastText shape: Joulin et
+    al. 2016, "Bag of Tricks for Efficient Text Classification"; the
+    hashing trick: Weinberger et al. 2009): per-token integer weight from a
     60-bit md5 hash bucket, document score = exact integer sum over the
     token array via a codegen'd HOF aggregate — scan-local, ZERO
     shuffles, no UDF. mean_weight (score / n_tokens) is one exact int
@@ -1408,7 +1410,8 @@ def _oracle_pagerank_sql() -> str:
 
 @query("x65_domain_pagerank", oracle=_oracle_pagerank_sql())
 def x65_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Five PageRank iterations over the deterministic page link graph,
+    """Five PageRank iterations (Page/Brin/Motwani/Winograd 1999) over
+    the deterministic page link graph,
     top-{20} pages by authority. Integer-grid arithmetic end to end:
     damping 17/20 and the teleport term 3/(20·N) are positive-int floor
     divisions, each edge's contribution is floored BEFORE the sum, so
@@ -1533,7 +1536,7 @@ _KANON_BUCKET = 50  # n_chars bucket width
     """,
 )
 def x67_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-anonymity audit: every (lang, source, length-bucket)
+    """k-anonymity audit (Sweeney 2002): every (lang, source, length-bucket)
     quasi-identifier class with fewer than k={5} members, with its size
     and one example doc — the classes where metadata alone risks
     re-identification. ONE map-side-combined aggregate + a HAVING
