@@ -265,12 +265,14 @@ def oracle_fingerprint(sql_col: str) -> str:
 def canonical_url(col: Column | str) -> Column:
     """Crawl-frontier URL canonicalization, 3 regex passes: strip
     query+fragment (from the earliest of ?/#), trailing slash, then
-    scheme + leading www. in one anchored pattern. Shared by the batch
-    x62 operator and the streaming URL frontier; the DuckDB twin
-    mirrors the same three patterns."""
+    scheme and/or leading www. in one anchored pattern — BOTH optional,
+    so a scheme-less 'www.host/...' capture still canonicalizes to the
+    bare host (blocklists and dedup must not be evadable by omitting
+    the scheme). Shared by the batch x62 operator and the streaming URL
+    frontier; the DuckDB twin mirrors the same three patterns."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_replace(F.regexp_replace(F.regexp_replace(
-        c, r"[?#].*$", ""), r"/$", ""), r"^https?://(www\.)?", "")
+        c, r"[?#].*$", ""), r"/$", ""), r"^(https?://)?(www\.)?", "")
 
 
 def url_host(col: Column | str) -> Column:

@@ -1150,7 +1150,7 @@ BLOCKED_HOSTS = ("h3.example.com", "h11.example.com", "h17.example.com")
         SELECT doc_id,
                regexp_replace(regexp_replace(regexp_replace(
                    url, '[?#].*$', ''),
-                   '/$', ''), '^https?://(www\\.)?', '')
+                   '/$', ''), '^(https?://)?(www\\.)?', '')
                    AS canon_url
         FROM u
     )

@@ -240,6 +240,23 @@ def read_versioned(spark: SparkSession, root: str, *,
     return spark.read.parquet(cur)
 
 
+def _content_fp(compare_cols: list[str]):
+    """60-bit null-tagged content fingerprint column — the row
+    identity-of-content shared by snapshot_changelog and
+    replicate_incremental. Each value is prefixed with a presence tag
+    so NULL and '' fingerprint differently and ('x', NULL) never
+    collides with (NULL, 'x') — concat_ws alone silently DROPS nulls.
+    The resulting column is never null."""
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import md5_long
+    tagged = [F.when(F.col(c).isNull(), F.lit("\x00"))
+              .otherwise(F.concat(F.lit("\x01"),
+                                  F.col(c).cast("string")))
+              for c in compare_cols]
+    return md5_long(F.concat_ws("\x1f", *tagged))
+
+
 def snapshot_changelog(spark: SparkSession, root: str, *,
                        id_col: str, compare_cols: list[str],
                        v_old: int | None = None,
@@ -283,24 +300,22 @@ def snapshot_changelog(spark: SparkSession, root: str, *,
 
     def side(version):
         df = read_versioned(spark, root, version=version)
-        tagged = [F.when(F.col(c).isNull(), F.lit("\x00"))
-                  .otherwise(F.concat(F.lit("\x01"),
-                                      F.col(c).cast("string")))
-                  for c in compare_cols]
-        fp = md5_long(F.concat_ws("\x1f", *tagged))
-        return df.select(F.col(id_col), fp.alias("fp"))
+        return df.select(F.col(id_col), _content_fp(compare_cols).alias("fp"))
 
     o = side(v_old).alias("o")
     n = side(v_new).alias("n")
-    j = o.join(n, F.col(f"o.{id_col}") == F.col(f"n.{id_col}"),
+    # null-safe id equality + fp-based presence (fp is never null): a
+    # single NULL id behaves like any other key value instead of
+    # classifying as simultaneously added and removed
+    j = o.join(n, F.col(f"o.{id_col}").eqNullSafe(F.col(f"n.{id_col}")),
                "full_outer")
-    return (j.filter(F.col(f"o.{id_col}").isNull()
-                     | F.col(f"n.{id_col}").isNull()
+    return (j.filter(F.col("o.fp").isNull()
+                     | F.col("n.fp").isNull()
                      | (F.col("o.fp") != F.col("n.fp")))
-            .select(F.coalesce(F.col(f"o.{id_col}"),
-                               F.col(f"n.{id_col}")).alias(id_col),
-                    F.when(F.col(f"o.{id_col}").isNull(), F.lit("added"))
-                    .when(F.col(f"n.{id_col}").isNull(), F.lit("removed"))
+            .select(F.when(F.col("o.fp").isNull(), F.col(f"n.{id_col}"))
+                    .otherwise(F.col(f"o.{id_col}")).alias(id_col),
+                    F.when(F.col("o.fp").isNull(), F.lit("added"))
+                    .when(F.col("n.fp").isNull(), F.lit("removed"))
                     .otherwise(F.lit("changed")).alias("status")))
 
 
@@ -324,42 +339,39 @@ def replicate_incremental(spark: SparkSession, src_root: str,
     """
     from pyspark.sql import functions as F
 
-    from ..functions.hashing import md5_long
-    from ..operators.caching import tracked_persist
-
     src = read_versioned(spark, src_root)
     if not list_versions(spark, dst_root):
         return write_versioned(spark, dst_root, src)
 
-    def fp(df):
-        tagged = [F.when(F.col(c).isNull(), F.lit("\x00"))
-                  .otherwise(F.concat(F.lit("\x01"),
-                                      F.col(c).cast("string")))
-                  for c in compare_cols]
-        return df.withColumn("_fp", md5_long(F.concat_ws("\x1f", *tagged)))
-
     dst = read_versioned(spark, dst_root)
-    o = fp(dst).select(F.col(id_col), "_fp").alias("o")
-    n = fp(src).select(F.col(id_col), "_fp").alias("n")
-    j = o.join(n, F.col(f"o.{id_col}") == F.col(f"n.{id_col}"),
+    o = dst.select(F.col(id_col),
+                   _content_fp(compare_cols).alias("_fp")).alias("o")
+    n = src.select(F.col(id_col),
+                   _content_fp(compare_cols).alias("_fp")).alias("n")
+    # null-safe id equality + fp-based presence (fp is never null), the
+    # snapshot_changelog discipline: a NULL id replicates like any
+    # other key instead of re-entering the delta on every sync
+    j = o.join(n, F.col(f"o.{id_col}").eqNullSafe(F.col(f"n.{id_col}")),
                "full_outer")
-    delta = tracked_persist(
-        j.filter(F.col(f"o.{id_col}").isNull()
-                 | F.col(f"n.{id_col}").isNull()
-                 | (F.col("o._fp") != F.col("n._fp")))
-        .select(F.coalesce(F.col(f"o.{id_col}"),
-                           F.col(f"n.{id_col}")).alias(id_col),
-                F.col(f"n.{id_col}").isNull().alias("gone")))
-    if delta.limit(1).count() == 0:
+    delta = (j.filter(F.col("o._fp").isNull()
+                      | F.col("n._fp").isNull()
+                      | (F.col("o._fp") != F.col("n._fp")))
+             .select(F.when(F.col("o._fp").isNull(), F.col(f"n.{id_col}"))
+                     .otherwise(F.col(f"o.{id_col}")).alias(id_col),
+                     F.col("n._fp").isNull().alias("gone"))
+             .persist())  # plain persist: released below, not registry-tracked
+    try:
+        if delta.count() == 0:  # one job: materializes AND checks
+            return None
+        survivors = dst.join(
+            delta, dst[id_col].eqNullSafe(delta[id_col]), "left_anti")
+        incoming = src.join(
+            delta.filter(~F.col("gone")),
+            src[id_col].eqNullSafe(delta[id_col]), "left_semi")
+        return write_versioned(spark, dst_root,
+                               survivors.unionByName(incoming))
+    finally:
         delta.unpersist()
-        return None
-    survivors = dst.join(delta.select(id_col), id_col, "left_anti")
-    incoming = src.join(delta.filter(~F.col("gone")).select(id_col),
-                        id_col, "left_semi")
-    out = write_versioned(spark, dst_root,
-                          survivors.unionByName(incoming))
-    delta.unpersist()
-    return out
 
 
 def compact_versioned(spark: SparkSession, root: str, *,

@@ -775,3 +775,24 @@ def test_replicate_incremental_roundtrip(spark, tmp_path):
     assert replicate_incremental(spark, src, dst, id_col="id",
                                  compare_cols=["a"]) is None
     assert len(list_versions(spark, dst)) == n_before
+
+
+def test_replicate_incremental_null_id(spark, tmp_path):
+    """A NULL id replicates like any other key (null-safe joins): it
+    syncs once, converges, and the idempotence contract holds."""
+    from data_pipeline_foundations_spark.sources.warehouse import (
+        read_versioned, replicate_incremental, write_versioned,
+    )
+    src = str(tmp_path / "leader")
+    dst = str(tmp_path / "follower")
+    write_versioned(spark, src, spark.createDataFrame(
+        [(None, "x"), (1, "a")], "id long, a string"))
+    write_versioned(spark, dst, spark.createDataFrame(
+        [(1, "a")], "id long, a string"))
+    assert replicate_incremental(spark, src, dst, id_col="id",
+                                 compare_cols=["a"]) is not None
+    got = {(r.id, r.a) for r in read_versioned(spark, dst).collect()}
+    assert got == {(None, "x"), (1, "a")}
+    # converged: next sync is a no-op
+    assert replicate_incremental(spark, src, dst, id_col="id",
+                                 compare_cols=["a"]) is None

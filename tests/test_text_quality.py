@@ -366,3 +366,21 @@ def test_repeated_window_dedup_differential(spark):
                           r.n_removed_tokens, r.clean_text)
                for r in dedup_repeated_windows(df, win_tokens=k).collect()}
         assert got == expect, f"trial {trial}"
+
+
+def test_canonical_url_scheme_optional(spark):
+    """Scheme-less www captures canonicalize to the bare host — the
+    blocklist and dedup cannot be evaded by omitting the scheme."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.functions.text import (
+        canonical_url, url_host,
+    )
+    rows = spark.createDataFrame(
+        [("www.h3.example.com/p/1",),
+         ("https://www.h3.example.com/p/1/?q=2#f",),
+         ("http://h3.example.com/p/1",)], "url string") \
+        .select(canonical_url("url").alias("c")) \
+        .withColumn("h", url_host("c")).collect()
+    assert {r.c for r in rows} == {"h3.example.com/p/1"}
+    assert {r.h for r in rows} == {"h3.example.com"}
