@@ -1549,3 +1549,118 @@ def x67_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("class_size"),
                  F.min("doc_id").alias("example_doc"))
             .filter(F.col("class_size") < _KANON_K))
+
+
+# ---------------------------------------------------------------------------
+# x69 — content-defined chunking + cross-doc chunk dedup (CDC, LBFS-style)
+# ---------------------------------------------------------------------------
+# Storage-layer dedup for near-identical documents (Muthitacharoen et
+# al., SOSP'01 — the LBFS rolling-hash boundary scheme; the same idea
+# restic/borg use): chunk boundaries are placed where the rolling
+# 4-gram hash hits 0 mod D, so boundaries depend on CONTENT ALONE and
+# shared passages chunk identically in every document regardless of
+# offset shifts — exactly what fixed-size chunking (x31) cannot give.
+# The audit reports, per document, how much of it is chunk-shared with
+# the rest of the corpus.
+
+_CDC_W = 4   # rolling window (tokens)
+_CDC_D = 8   # boundary divisor -> mean chunk ~D tokens
+
+
+def _oracle_cdc_sql() -> str:
+    from ..functions.hashing import oracle_md5_long
+    from ..functions.text import oracle_shingles
+    return f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               {oracle_shingles('text', _CDC_W)} AS sh
+        FROM documents
+    ), e AS (
+        SELECT doc_id, i AS pos, toks[i] AS tok,
+               CASE WHEN i >= {_CDC_W}
+                    THEN ({oracle_md5_long(f'sh[i - {_CDC_W - 1}]')}
+                          % {_CDC_D} = 0)
+                    ELSE FALSE END AS trig
+        FROM t, unnest(range(1, len(toks) + 1)) r(i)
+    ), c AS (
+        SELECT doc_id, pos, tok,
+               coalesce(SUM(CASE WHEN trig THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS chunk_id
+        FROM e
+    ), ch AS (
+        SELECT doc_id, chunk_id,
+               CAST(COUNT(*) AS BIGINT) AS n_toks,
+               {oracle_md5_long(
+                   "array_to_string(list(tok ORDER BY pos), ' ')")} AS fp
+        FROM c GROUP BY doc_id, chunk_id
+    ), fs AS (
+        SELECT fp, COUNT(DISTINCT doc_id) AS n_docs_fp FROM ch GROUP BY fp
+    )
+    SELECT ch.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN fs.n_docs_fp > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared_chunks,
+           CAST(SUM(CASE WHEN fs.n_docs_fp > 1 THEN n_toks ELSE 0 END)
+                AS BIGINT) AS shared_tokens
+    FROM ch JOIN fs ON fs.fp = ch.fp
+    GROUP BY ch.doc_id
+    """
+
+
+@query("x69_cdc_chunking", oracle=_oracle_cdc_sql())
+def x69_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking audit: rolling-4-gram boundaries
+    (hash % D = 0), chunk fingerprints, and per-document sharing stats
+    against the whole corpus. Boundary detection is scan-local (shingle
+    hashes computed in-array before the explode, so the explode ships
+    scalars, never per-row array copies); chunk assembly is one
+    doc-keyed window + one (doc, chunk) aggregate; the cross-doc pass
+    is one fp-keyed aggregate + join-back. Every key is bounded (docs,
+    chunk fps) — no pairwise anything. Output: (doc_id, n_chunks,
+    n_shared_chunks, shared_tokens)."""
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import md5_long
+    from ..functions.text import shingles
+
+    d = (scale_out(load(spark, sf_dir, "documents"))
+         .select("doc_id", tokens("text").alias("toks"),
+                 shingles("text", _CDC_W).alias("sh"))
+         .withColumn(
+             "trig",
+             F.transform(
+                 F.sequence(F.lit(1), F.size("toks")),
+                 lambda p: F.when(
+                     p >= _CDC_W,
+                     md5_long(F.get("sh", p - _CDC_W)) % _CDC_D == 0)
+                 .otherwise(F.lit(False)))))
+    e = (d.select("doc_id",
+                  F.posexplode(F.arrays_zip("toks", "trig"))
+                  .alias("pos0", "z"))
+         .select("doc_id", (F.col("pos0") + 1).alias("pos"),
+                 F.col("z.toks").alias("tok"),
+                 F.col("z.trig").alias("trig")))
+    w = (W.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(W.unboundedPreceding, -1))
+    c = e.withColumn(
+        "chunk_id",
+        F.coalesce(F.sum(F.col("trig").cast("int")).over(w), F.lit(0)))
+    ch = (c.groupBy("doc_id", "chunk_id")
+          .agg(F.count(F.lit(1)).alias("n_toks"),
+               F.array_sort(F.collect_list(F.struct("pos", "tok")))
+               .alias("pt"))
+          .select("doc_id", "n_toks",
+                  md5_long(F.concat_ws(
+                      " ", F.transform("pt", lambda x: x["tok"])))
+                  .alias("fp")))
+    fs = ch.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("n_docs_fp"))
+    return (ch.join(fs, "fp")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum((F.col("n_docs_fp") > 1).cast("int"))
+                 .cast("long").alias("n_shared_chunks"),
+                 F.sum(F.when(F.col("n_docs_fp") > 1, F.col("n_toks"))
+                       .otherwise(0)).cast("long").alias("shared_tokens")))

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import oracle_md5_long
 from ..functions.text import (
-    oracle_fingerprint, oracle_token_count, token_count,
+    oracle_fingerprint, oracle_token_count, token_count, tokens,
 )
 from ..operators.sampling import (
     exact_stratified_sample, oracle_exact_stratified_qualify,
@@ -605,3 +605,81 @@ def x58_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / (F.sqrt(F.col("na").cast("double"))
                         * F.sqrt(F.col("nb").cast("double"))))
                     .alias("cosine")))
+
+
+# ---------------------------------------------------------------------------
+# x68 — span-corruption pretraining pairs (T5-style example construction)
+# ---------------------------------------------------------------------------
+# Deterministic denoising-objective construction (Raffel et al. 2020,
+# "Exploring the Limits of Transfer Learning...", the T5 span-corruption
+# objective — here the single-token-mask unit variant): token i of doc d
+# is masked iff md5(d:i) lands in the corruption rate, the input keeps a
+# sentinel at each masked position, and the target is the masked-out
+# token sequence. Everything is array HOFs over the token array —
+# scan-local, ZERO shuffles, reproducible byte-for-byte across runs and
+# engines (the property an RNG-based masker cannot give a resumable
+# 100 TB job).
+
+_CORRUPT_MOD = 6  # ~1/6 of tokens masked
+_SENTINEL = "<X>"
+
+
+@query(
+    "x68_span_corruption_pairs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), m AS (
+        SELECT doc_id, toks,
+               list_transform(range(1, len(toks) + 1),
+                   i -> CAST(('0x' || substring(md5(
+                            CAST(doc_id AS VARCHAR) || ':'
+                            || CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % {_CORRUPT_MOD} = 0) AS mask
+        FROM t
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(range(1, len(toks) + 1),
+               i -> CASE WHEN mask[i] THEN '{_SENTINEL}'
+                         ELSE toks[i] END), ' ') AS input_text,
+           coalesce(array_to_string([toks[i]
+                            FOR i IN range(1, len(toks) + 1)
+                            IF mask[i]], ' '), '') AS target_text,
+           CAST(len([x FOR x IN mask IF x]) AS BIGINT) AS n_masked
+    FROM m
+    """,
+)
+def x68_span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption (input, target) pair construction for denoising
+    pretraining: hash-deterministic token masks (md5(doc:pos) — no RNG,
+    so any shard re-executes identically), sentinel-substituted input,
+    masked-token target, all via codegen'd array HOFs on one scan.
+    Output: (doc_id, input_text, target_text, n_masked)."""
+    from ..functions.hashing import md5_long
+
+    toks = tokens("text")
+    d = (scale_out(load(spark, sf_dir, "documents"))
+         .select("doc_id", toks.alias("toks"))
+         .withColumn(
+             "mask",
+             F.transform(
+                 F.sequence(F.lit(0), F.size("toks") - 1),
+                 lambda i: md5_long(
+                     F.concat(F.col("doc_id").cast("string"),
+                              F.lit(":"), i.cast("string")))
+                 % _CORRUPT_MOD == 0)))
+    idx = F.sequence(F.lit(0), F.size("toks") - 1)
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(idx, lambda i: F.when(F.element_at("mask", i + 1),
+                                              F.lit(_SENTINEL))
+                        .otherwise(F.element_at("toks", i + 1))), " ")
+        .alias("input_text"),
+        F.array_join(
+            F.transform(
+                F.filter(idx, lambda i: F.element_at("mask", i + 1)),
+                lambda i: F.element_at("toks", i + 1)), " ")
+        .alias("target_text"),
+        F.size(F.filter("mask", lambda m: m)).cast("long")
+        .alias("n_masked"))
