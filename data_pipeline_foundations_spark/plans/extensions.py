@@ -1664,3 +1664,100 @@ def x69_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("long").alias("n_shared_chunks"),
                  F.sum(F.when(F.col("n_docs_fp") > 1, F.col("n_toks"))
                        .otherwise(0)).cast("long").alias("shared_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# x70 — cluster purity vs labels (embedding-space clustering evaluation)
+# ---------------------------------------------------------------------------
+# Does the embedding space's cluster structure agree with the labels?
+# Per-IVF-cluster label purity — the evaluation run before trusting
+# semantic dedup (x37) or IVF routing (x20/x42) on a new embedding
+# model. Reuses the deterministic IVF coarse quantizer unchanged; the
+# labels column of the embeddings table plays the ground truth.
+
+
+def _oracle_cluster_purity_sql(*, dim: int = 64, k_clusters: int = 16,
+                               seed: int = 3) -> str:
+    # assignment CTEs mirror oracle_ivf_topk_sql's (same shared hash /
+    # int_vec / idot / qcos helpers keep the arithmetic in lockstep;
+    # only the CTE scaffolding is repeated)
+    from ..functions.hashing import oracle_md5_long
+    from ..operators.similarity import (
+        oracle_idot, oracle_int_vec, oracle_qcos,
+    )
+    bucket = (f"({oracle_md5_long('CAST(vec_id AS VARCHAR)', seed=seed)}"
+              f" % {k_clusters})")
+    nearest = (f"row_number() OVER (PARTITION BY b.vec_id ORDER BY "
+               f"{oracle_qcos(oracle_idot('b.sv', 'c.cv'), 'b.n2', 'c.cn2')}"
+               f" DESC, c.cid DESC)")
+    return f"""
+    WITH b0 AS (
+        SELECT vec_id, {oracle_int_vec('embedding')} AS sv FROM embeddings
+    ), base AS (
+        SELECT vec_id, sv, {oracle_idot('sv', 'sv')} AS n2, {bucket} AS bucket
+        FROM b0
+    ), cent AS (
+        SELECT bucket, i AS pos,
+               CAST(FLOOR(CAST(SUM(sv[i]) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+        FROM base, range(1, {dim + 1}) t(i)
+        GROUP BY bucket, i
+    ), cents AS (
+        SELECT bucket AS cid, list(c ORDER BY pos) AS cv
+        FROM cent GROUP BY bucket
+    ), cents2 AS (
+        SELECT cid, cv, {oracle_idot('cv', 'cv')} AS cn2 FROM cents
+    ), asg AS (
+        SELECT vec_id, cid FROM (
+            SELECT b.vec_id, c.cid, {nearest} AS rn
+            FROM base b, cents2 c) WHERE rn = 1
+    ), lab AS (
+        SELECT a.cid, CAST(e.label AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+        GROUP BY a.cid, e.label
+    ), r AS (
+        SELECT cid, label, n,
+               SUM(n) OVER (PARTITION BY cid) AS n_vectors,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY n DESC, label ASC) AS rn
+        FROM lab
+    )
+    SELECT cid, CAST(n_vectors AS BIGINT) AS n_vectors,
+           label AS top_label, n AS top_n,
+           CAST(n AS DOUBLE) / CAST(n_vectors AS DOUBLE) AS purity
+    FROM r WHERE rn = 1
+    """
+
+
+@query("x70_cluster_purity", oracle=_oracle_cluster_purity_sql())
+def x70_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster label purity of the IVF coarse quantizer: model from
+    the ONE-job columnar-sums collect (_ivf_model_rows), assignment one
+    Arrow kernel over the raw floats, then a (cluster, label)
+    map-combined aggregate + one cluster-keyed window. Output is
+    k_clusters rows: (cid, n_vectors, top_label, top_n, purity)."""
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import EMB_SCALE, _ivf_model_rows
+    from ..operators.vectorized import ivf_assign_udf
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents_rows, _ = _ivf_model_rows(emb, "vec_id", "embedding",
+                                    16, 3, 64)
+    assign = ivf_assign_udf(cents_rows, scale=EMB_SCALE)
+    lab = (scale_out(emb, 8)
+           .select(F.col("label").cast("long").alias("label"),
+                   assign("embedding").alias("cid"))
+           .groupBy("cid", "label")
+           .agg(F.count(F.lit(1)).alias("n")))
+    w = W.partitionBy("cid")
+    r = (lab.withColumn("n_vectors", F.sum("n").over(w))
+         .withColumn("rn", F.row_number().over(
+             w.orderBy(F.col("n").desc(), F.col("label").asc()))))
+    return (r.filter(F.col("rn") == 1)
+            .select("cid", F.col("n_vectors").cast("long").alias("n_vectors"),
+                    F.col("label").alias("top_label"),
+                    F.col("n").alias("top_n"),
+                    (F.col("n").cast("double")
+                     / F.col("n_vectors").cast("double")).alias("purity")))
