@@ -35,8 +35,8 @@ from data_pipeline_foundations_spark.tables import TABLES, load
 # query whose two sweep runs disagreed by >1.5x (mid-tail noise escaped
 # the old top-8 probe and produced four phantom regressions in r3).
 STABLE_RUNS = 3
-STABLE_TOP_N = 24  # widened r5 (registry 96 -> 99; the 0.8-1.1 s mid-tail
-# showed cross-window noise that the old top-16 probe missed)
+STABLE_TOP_N = 28  # widened r6 (registry 99 -> 108; keeps every query
+# >=~0.8 s inside the min-of-3 probe as the mid-tail grew)
 DISAGREE_RATIO = 1.5
 DISAGREE_MIN_SEC = 0.15  # below this, "disagreement" is scheduling jitter
 
