@@ -49,7 +49,7 @@ def main() -> None:
         f"SELECT MAX(vec_id) + 1 FROM '{emb}'").fetchone()[0]
     con.execute(f"""
     COPY (
-        SELECT vec_id, embedding FROM '{emb}'
+        SELECT vec_id, embedding, label FROM '{emb}'
         UNION ALL
         SELECT e.vec_id + k.k * {n_vecs},
                list_transform(
@@ -57,7 +57,8 @@ def main() -> None:
                             range(1, len(e.embedding) + 1)),
                    p -> CAST(p[1] + 0.6 * (
                        (hash(e.vec_id || ':' || k.k || ':' || p[2])
-                        % 1000001) / 1e6 - 0.5) AS FLOAT)) AS embedding
+                        % 1000001) / 1e6 - 0.5) AS FLOAT)) AS embedding,
+               e.label
         FROM '{emb}' e, (SELECT unnest(range(1, 10)) AS k) k
     ) TO '{args.out}/embeddings.parquet' (FORMAT PARQUET)
     """)
