@@ -542,17 +542,19 @@ def ivf_topk(emb: DataFrame, *, id_col: str = "vec_id",
                     F.col("rank").cast("int").alias("rank"), "cosine"))
 
 
-def oracle_ivf_topk_sql(*, dim: int = 64, k_clusters: int = 16,
-                        nprobe: int = 6, n_queries: int = 10, k: int = 5,
-                        seed: int = 3) -> str:
+def oracle_ivf_assign_ctes(*, dim: int = 64, k_clusters: int = 16,
+                           seed: int = 3) -> str:
+    """The IVF coarse-quantizer assignment as a shared CTE chain
+    (b0 → base → cent → cents → cents2 → asg(vec_id, cid)) — ONE copy
+    of the assignment semantics (bucket hash, integer-mean centroids,
+    derived-float cosine, ties to the LARGEST cid) for every oracle
+    that clusters the embedding space (x20's ivf_topk, x70's cluster
+    purity). Callers append their own CTEs after it."""
     from ..functions.hashing import oracle_md5_long
     bucket = (f"({oracle_md5_long('CAST(vec_id AS VARCHAR)', seed=seed)}"
               f" % {k_clusters})")
-    nearest = (f"row_number() OVER (PARTITION BY b.vec_id ORDER BY "
-               f"{oracle_qcos(oracle_idot('b.sv', 'c.cv'), 'b.n2', 'c.cn2')} DESC, "
-               f"c.cid DESC)")
-    return f"""
-    WITH b0 AS (
+    nearest = oracle_ivf_nearest_rn()
+    return f"""b0 AS (
         SELECT vec_id, {oracle_int_vec('embedding')} AS sv FROM embeddings
     ), base AS (
         SELECT vec_id, sv, {oracle_idot('sv', 'sv')} AS n2, {bucket} AS bucket
@@ -569,21 +571,38 @@ def oracle_ivf_topk_sql(*, dim: int = 64, k_clusters: int = 16,
     ), cents2 AS (
         SELECT cid, cv, {oracle_idot('cv', 'cv')} AS cn2 FROM cents
     ), asg AS (
-        SELECT vec_id AS neighbor_id, cid FROM (
+        SELECT vec_id, cid FROM (
             SELECT b.vec_id, c.cid, {nearest} AS rn
             FROM base b, cents2 c) WHERE rn = 1
-    ), probe AS (
+    )"""
+
+
+def oracle_ivf_nearest_rn() -> str:
+    """row_number expression ranking centroids for a base row b against
+    cents2 c — shared by the assignment chain and the probe CTE."""
+    return (f"row_number() OVER (PARTITION BY b.vec_id ORDER BY "
+            f"{oracle_qcos(oracle_idot('b.sv', 'c.cv'), 'b.n2', 'c.cn2')}"
+            f" DESC, c.cid DESC)")
+
+
+def oracle_ivf_topk_sql(*, dim: int = 64, k_clusters: int = 16,
+                        nprobe: int = 6, n_queries: int = 10, k: int = 5,
+                        seed: int = 3) -> str:
+    nearest = oracle_ivf_nearest_rn()
+    return f"""
+    WITH {oracle_ivf_assign_ctes(dim=dim, k_clusters=k_clusters,
+                                 seed=seed)}, probe AS (
         SELECT query_id, cid FROM (
             SELECT b.vec_id AS query_id, c.cid, {nearest} AS rn
             FROM base b, cents2 c WHERE b.vec_id < {n_queries}) WHERE rn <= {nprobe}
     ), scored AS (
-        SELECT p.query_id, a.neighbor_id,
+        SELECT p.query_id, a.vec_id AS neighbor_id,
                {oracle_qcos(oracle_idot('qb.sv', 'nb.sv'), 'qb.n2', 'nb.n2')} AS cosine
         FROM probe p
         JOIN asg a USING (cid)
         JOIN base qb ON qb.vec_id = p.query_id
-        JOIN base nb ON nb.vec_id = a.neighbor_id
-        WHERE a.neighbor_id <> p.query_id
+        JOIN base nb ON nb.vec_id = a.vec_id
+        WHERE a.vec_id <> p.query_id
     )
     SELECT query_id, neighbor_id,
            CAST(row_number() OVER (PARTITION BY query_id

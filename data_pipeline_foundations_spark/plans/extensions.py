@@ -1619,7 +1619,15 @@ def x69_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed window + one (doc, chunk) aggregate; the cross-doc pass
     is one fp-keyed aggregate + join-back. Every key is bounded (docs,
     chunk fps) — no pairwise anything. Output: (doc_id, n_chunks,
-    n_shared_chunks, shared_tokens)."""
+    n_shared_chunks, shared_tokens).
+
+    An all-in-array variant (chunk slices + per-chunk md5 inside a
+    transform HOF, explode only chunk structs) was MEASURED 2.6x
+    slower at 1x and 8x slower at 10x (2.8 s -> 22 s): HOF lambdas
+    evaluate interpreted (vectorized.py preamble), so per-chunk
+    md5+conv in-array loses badly to this codegen'd explode +
+    window + hash-aggregate pipeline even though it shuffles more
+    rows. The exchange count is not the cost driver here."""
     from pyspark.sql import Window as W
 
     from ..functions.hashing import md5_long
@@ -1676,42 +1684,18 @@ def x69_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # labels column of the embeddings table plays the ground truth.
 
 
-def _oracle_cluster_purity_sql(*, dim: int = 64, k_clusters: int = 16,
-                               seed: int = 3) -> str:
-    # assignment CTEs mirror oracle_ivf_topk_sql's (same shared hash /
-    # int_vec / idot / qcos helpers keep the arithmetic in lockstep;
-    # only the CTE scaffolding is repeated)
-    from ..functions.hashing import oracle_md5_long
-    from ..operators.similarity import (
-        oracle_idot, oracle_int_vec, oracle_qcos,
-    )
-    bucket = (f"({oracle_md5_long('CAST(vec_id AS VARCHAR)', seed=seed)}"
-              f" % {k_clusters})")
-    nearest = (f"row_number() OVER (PARTITION BY b.vec_id ORDER BY "
-               f"{oracle_qcos(oracle_idot('b.sv', 'c.cv'), 'b.n2', 'c.cn2')}"
-               f" DESC, c.cid DESC)")
+_PURITY_DIM = 64
+_PURITY_K = 16
+_PURITY_SEED = 3
+
+
+def _oracle_cluster_purity_sql() -> str:
+    # assignment chain is the SHARED oracle_ivf_assign_ctes — one copy
+    # of the quantizer semantics for x20 and x70 alike
+    from ..operators.similarity import oracle_ivf_assign_ctes
     return f"""
-    WITH b0 AS (
-        SELECT vec_id, {oracle_int_vec('embedding')} AS sv FROM embeddings
-    ), base AS (
-        SELECT vec_id, sv, {oracle_idot('sv', 'sv')} AS n2, {bucket} AS bucket
-        FROM b0
-    ), cent AS (
-        SELECT bucket, i AS pos,
-               CAST(FLOOR(CAST(SUM(sv[i]) AS DOUBLE)
-                          / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
-        FROM base, range(1, {dim + 1}) t(i)
-        GROUP BY bucket, i
-    ), cents AS (
-        SELECT bucket AS cid, list(c ORDER BY pos) AS cv
-        FROM cent GROUP BY bucket
-    ), cents2 AS (
-        SELECT cid, cv, {oracle_idot('cv', 'cv')} AS cn2 FROM cents
-    ), asg AS (
-        SELECT vec_id, cid FROM (
-            SELECT b.vec_id, c.cid, {nearest} AS rn
-            FROM base b, cents2 c) WHERE rn = 1
-    ), lab AS (
+    WITH {oracle_ivf_assign_ctes(dim=_PURITY_DIM, k_clusters=_PURITY_K,
+                                 seed=_PURITY_SEED)}, lab AS (
         SELECT a.cid, CAST(e.label AS BIGINT) AS label,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
@@ -1744,7 +1728,7 @@ def x70_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     cents_rows, _ = _ivf_model_rows(emb, "vec_id", "embedding",
-                                    16, 3, 64)
+                                    _PURITY_K, _PURITY_SEED, _PURITY_DIM)
     assign = ivf_assign_udf(cents_rows, scale=EMB_SCALE)
     lab = (scale_out(emb, 8)
            .select(F.col("label").cast("long").alias("label"),

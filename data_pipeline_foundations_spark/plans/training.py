@@ -624,6 +624,14 @@ _CORRUPT_MOD = 6  # ~1/6 of tokens masked
 _SENTINEL = "<X>"
 
 
+def _mask_hash_sql() -> str:
+    """md5-to-bigint over 'doc:pos' via the shared oracle helper, so the
+    hex-digit width can never drift from the Spark side's md5_long."""
+    from ..functions.hashing import oracle_md5_long
+    return oracle_md5_long(
+        "(CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR))")
+
+
 @query(
     "x68_span_corruption_pairs",
     oracle=f"""
@@ -632,10 +640,7 @@ _SENTINEL = "<X>"
     ), m AS (
         SELECT doc_id, toks,
                list_transform(range(1, len(toks) + 1),
-                   i -> CAST(('0x' || substring(md5(
-                            CAST(doc_id AS VARCHAR) || ':'
-                            || CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT)
-                        % {_CORRUPT_MOD} = 0) AS mask
+                   i -> {_mask_hash_sql()} % {_CORRUPT_MOD} = 0) AS mask
         FROM t
     )
     SELECT doc_id,
@@ -668,6 +673,8 @@ def x68_span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.concat(F.col("doc_id").cast("string"),
                               F.lit(":"), i.cast("string")))
                  % _CORRUPT_MOD == 0)))
+    # the same 0-based index sequence the mask transform iterates — any
+    # change to the index range must hit both
     idx = F.sequence(F.lit(0), F.size("toks") - 1)
     return d.select(
         "doc_id",
