@@ -104,8 +104,9 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from data_pipeline_foundations_spark.operators.dedup import (
-        decontaminate, minhash_lsh_pairs, ngram_containment_pairs,
-        ngram_jaccard_pairs, remove_boilerplate_segments, simhash_pairs,
+        cdc_chunk_stats, decontaminate, minhash_lsh_pairs,
+        ngram_containment_pairs, ngram_jaccard_pairs,
+        remove_boilerplate_segments, simhash_pairs,
     )
 
     def _fast(fn):
@@ -136,6 +137,8 @@ def main() -> None:
                 docs.withColumn("text", F.expr(
                     "concat('nav menu home about contact rss login ', "
                     "source, ' ', text)")), hasher="xx")),
+        "x69_cdc_chunking__xx":
+            _fast(lambda: cdc_chunk_stats(docs, hasher="xx")),
     }
     fast = {name: round(min(run() for _ in range(2)), 3)
             for name, run in sorted(fast_specs.items())}

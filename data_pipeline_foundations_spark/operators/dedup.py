@@ -1060,3 +1060,61 @@ def oracle_repeated_windows_sql(*, win_tokens: int = 4,
                ' '), '') AS clean_text
     FROM t LEFT JOIN remlist r USING (doc_id)
     """
+
+
+def cdc_chunk_stats(df: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id", w: int = 4, d: int = 8,
+                    hasher: str = "md5") -> DataFrame:
+    """Content-defined chunking audit (LBFS rolling-hash boundaries,
+    Muthitacharoen et al. SOSP'01): chunk where the rolling w-gram hash
+    is 0 mod d, fingerprint each chunk, and report per-document sharing
+    against the whole corpus. Registered as x69 with the md5 oracle
+    hash; ``hasher="xx"`` is the production xxhash64 path (same plan
+    shape, ~4x cheaper per hashed string — bench.py fast_variants).
+
+    Shape: boundary detection in-array pre-explode; chunk assembly one
+    doc-keyed window + (doc, chunk) aggregate — both codegen'd (the
+    all-in-array variant was measured 8x slower at 10x, see the x69
+    docstring); sharing is one fp aggregate + join-back. Output:
+    (id_col, n_chunks, n_shared_chunks, shared_tokens)."""
+    from pyspark.sql import Window as W
+
+    from ..functions.text import shingles, tokens
+    h = HASHERS[hasher]
+    base = (df.select(F.col(id_col), tokens(text_col).alias("toks"),
+                      shingles(text_col, w).alias("sh"))
+            .withColumn(
+                "trig",
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks")),
+                    lambda p: F.when(
+                        p >= w, h(F.get("sh", p - w)) % d == 0)
+                    .otherwise(F.lit(False)))))
+    e = (base.select(id_col,
+                     F.posexplode(F.arrays_zip("toks", "trig"))
+                     .alias("pos0", "z"))
+         .select(id_col, (F.col("pos0") + 1).alias("pos"),
+                 F.col("z.toks").alias("tok"),
+                 F.col("z.trig").alias("trig")))
+    win = (W.partitionBy(id_col).orderBy("pos")
+           .rowsBetween(W.unboundedPreceding, -1))
+    c = e.withColumn(
+        "chunk_id",
+        F.coalesce(F.sum(F.col("trig").cast("int")).over(win), F.lit(0)))
+    ch = (c.groupBy(id_col, "chunk_id")
+          .agg(F.count(F.lit(1)).alias("n_toks"),
+               F.array_sort(F.collect_list(F.struct("pos", "tok")))
+               .alias("pt"))
+          .select(id_col, "n_toks",
+                  h(F.concat_ws(
+                      " ", F.transform("pt", lambda x: x["tok"])))
+                  .alias("fp")))
+    fs = ch.groupBy("fp").agg(
+        F.countDistinct(id_col).alias("n_docs_fp"))
+    return (ch.join(fs, "fp")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum((F.col("n_docs_fp") > 1).cast("int"))
+                 .cast("long").alias("n_shared_chunks"),
+                 F.sum(F.when(F.col("n_docs_fp") > 1, F.col("n_toks"))
+                       .otherwise(0)).cast("long").alias("shared_tokens")))

@@ -1628,50 +1628,10 @@ def x69_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5+conv in-array loses badly to this codegen'd explode +
     window + hash-aggregate pipeline even though it shuffles more
     rows. The exchange count is not the cost driver here."""
-    from pyspark.sql import Window as W
+    from ..operators.dedup import cdc_chunk_stats
 
-    from ..functions.hashing import md5_long
-    from ..functions.text import shingles
-
-    d = (scale_out(load(spark, sf_dir, "documents"))
-         .select("doc_id", tokens("text").alias("toks"),
-                 shingles("text", _CDC_W).alias("sh"))
-         .withColumn(
-             "trig",
-             F.transform(
-                 F.sequence(F.lit(1), F.size("toks")),
-                 lambda p: F.when(
-                     p >= _CDC_W,
-                     md5_long(F.get("sh", p - _CDC_W)) % _CDC_D == 0)
-                 .otherwise(F.lit(False)))))
-    e = (d.select("doc_id",
-                  F.posexplode(F.arrays_zip("toks", "trig"))
-                  .alias("pos0", "z"))
-         .select("doc_id", (F.col("pos0") + 1).alias("pos"),
-                 F.col("z.toks").alias("tok"),
-                 F.col("z.trig").alias("trig")))
-    w = (W.partitionBy("doc_id").orderBy("pos")
-         .rowsBetween(W.unboundedPreceding, -1))
-    c = e.withColumn(
-        "chunk_id",
-        F.coalesce(F.sum(F.col("trig").cast("int")).over(w), F.lit(0)))
-    ch = (c.groupBy("doc_id", "chunk_id")
-          .agg(F.count(F.lit(1)).alias("n_toks"),
-               F.array_sort(F.collect_list(F.struct("pos", "tok")))
-               .alias("pt"))
-          .select("doc_id", "n_toks",
-                  md5_long(F.concat_ws(
-                      " ", F.transform("pt", lambda x: x["tok"])))
-                  .alias("fp")))
-    fs = ch.groupBy("fp").agg(
-        F.countDistinct("doc_id").alias("n_docs_fp"))
-    return (ch.join(fs, "fp")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_chunks"),
-                 F.sum((F.col("n_docs_fp") > 1).cast("int"))
-                 .cast("long").alias("n_shared_chunks"),
-                 F.sum(F.when(F.col("n_docs_fp") > 1, F.col("n_toks"))
-                       .otherwise(0)).cast("long").alias("shared_tokens")))
+    return cdc_chunk_stats(scale_out(load(spark, sf_dir, "documents")),
+                           w=_CDC_W, d=_CDC_D)
 
 
 # ---------------------------------------------------------------------------
