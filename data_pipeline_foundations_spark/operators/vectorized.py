@@ -574,3 +574,44 @@ def pq_totals_from_codes_udf(cents: list, qsvs: list, m: int, block: int):
         return pd.Series(list(out))
 
     return totals
+
+
+def feature_hash_udf(dim: int):
+    """pandas_udf: token array -> dim-wide signed-count feature vector
+    (array<long>) via the hashing trick: each token hashes once (the
+    portable 60-bit md5), and its ±1 contribution to feature d is bit d
+    of the hash (d mod 60). Exact integer sums — bit-identical to the
+    SQL list-HOF twin at any reduction order — so the output plugs
+    straight into the int-grid similarity contract (idot/qcos) with no
+    quantization step.
+
+    Python hashlib runs per DISTINCT token per batch (memoized dict —
+    the corpus vocabulary is far smaller than the token stream), then
+    the ±1 expansion is one numpy take + sum per document.
+    """
+    import hashlib
+
+    shifts = np.arange(dim, dtype=np.uint64) % 60
+    memo: dict = {}
+
+    def hrow(tok: str):
+        r = memo.get(tok)
+        if r is None:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            r = (((np.uint64(h) >> shifts) & np.uint64(1))
+                 .astype(np.int64) * 2 - 1)
+            memo[tok] = r
+        return r
+
+    @F.pandas_udf("array<long>")
+    def feats(col: pd.Series) -> pd.Series:
+        out = []
+        for toks in col:
+            if toks is None or len(toks) == 0:
+                out.append(np.zeros(dim, dtype=np.int64))
+                continue
+            M = np.stack([hrow(t) for t in toks])
+            out.append(M.sum(axis=0, dtype=np.int64))
+        return pd.Series(out)
+
+    return feats

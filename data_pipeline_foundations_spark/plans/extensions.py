@@ -1705,3 +1705,73 @@ def x70_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n").alias("top_n"),
                     (F.col("n").cast("double")
                      / F.col("n_vectors").cast("double")).alias("purity")))
+
+
+# ---------------------------------------------------------------------------
+# x71 — feature-hashing text embedding (model-free doc vectors)
+# ---------------------------------------------------------------------------
+# The hashing-vectorizer bridge from raw text into the similarity
+# ladder (Weinberger et al. 2009, "Feature Hashing for Large Scale
+# Multitask Learning"): each token hashes ONCE (portable 60-bit md5)
+# and contributes ±1 to feature d via bit (d mod 60) of its hash. The
+# output vector is exact int64 counts — already on the engine's
+# int-grid similarity contract (idot/qcos work on it unchanged, no
+# quantization step), deterministic across engines and runs, and built
+# without any external embedding model.
+
+_FH_DIM = 64
+
+
+def _oracle_feature_hash_sql() -> str:
+    from ..functions.hashing import oracle_md5_long
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                              t -> {oracle_md5_long('t')}) AS hs
+        FROM documents
+    ), v AS (
+        SELECT doc_id,
+               list_transform(range(0, {_FH_DIM}),
+                   d -> CAST(coalesce(list_sum(list_transform(hs,
+                            h -> ((h >> (d % 60)) & 1) * 2 - 1)), 0)
+                        AS BIGINT)) AS fvec
+        FROM t
+    ), n AS (
+        SELECT doc_id, fvec,
+               CAST(coalesce(list_sum(list_transform(fvec, x -> x * x)), 0)
+                    AS BIGINT) AS fnorm2
+        FROM v
+    )
+    SELECT doc_id, u.pos, u.f, fnorm2
+    FROM (SELECT doc_id, fnorm2,
+                 unnest(list_transform(range(1, len(fvec) + 1),
+                        i -> {{'pos': CAST(i - 1 AS INTEGER),
+                               'f': fvec[i]}})) AS u
+          FROM n)
+    """
+
+
+@query("x71_feature_hash_embedding", oracle=_oracle_feature_hash_sql())
+def x71_feature_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free document embedding via the hashing trick: one Arrow
+    kernel stage (vectorized.feature_hash_udf — one md5 per DISTINCT
+    token per batch, memoized; ±1 expansion is a numpy take+sum), zero
+    shuffles, exact int64 output bit-identical to the SQL list-HOF
+    twin. The vector and its exact squared norm drop straight into the
+    int-grid similarity operators (idot/qcos) — text-space ANN without
+    an external model. Output unnested to (doc_id, pos, f, fnorm2)
+    rows for the driver's value-hash (the x30 precedent); compose with
+    the array form via feature_hash_udf directly."""
+    from ..operators.similarity import idot
+    from ..operators.vectorized import feature_hash_udf
+
+    udf = feature_hash_udf(_FH_DIM)
+    d = (scale_out(load(spark, sf_dir, "documents"))
+         .select("doc_id", tokens("text").alias("toks"))
+         .withColumn("fvec", udf("toks"))
+         .withColumn("fnorm2", idot("fvec", "fvec")))
+    return (d.select("doc_id", "fnorm2",
+                     F.posexplode("fvec").alias("pos", "f"))
+            .select("doc_id", F.col("pos").cast("int").alias("pos"),
+                    "f", "fnorm2"))
