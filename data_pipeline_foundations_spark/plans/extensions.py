@@ -1775,3 +1775,95 @@ def x71_feature_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.posexplode("fvec").alias("pos", "f"))
             .select("doc_id", F.col("pos").cast("int").alias("pos"),
                     "f", "fnorm2"))
+
+
+# ---------------------------------------------------------------------------
+# x72 — text-to-text top-k in hashed feature space (model-free retrieval)
+# ---------------------------------------------------------------------------
+# x71's vectors put raw text on the int-grid similarity contract; this
+# closes the loop: exact cosine top-k between documents USING ONLY
+# their hashed feature vectors — "semantic" search with zero external
+# models, the fallback every retrieval stack wants before an embedding
+# model exists. Query side = the first 10 docs (x07's convention).
+
+_FH_NQ = 10
+_FH_K = 5
+
+
+def _oracle_fh_topk_sql() -> str:
+    from ..functions.hashing import oracle_md5_long
+    from ..operators.similarity import oracle_idot, oracle_qcos
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                              t -> {oracle_md5_long('t')}) AS hs
+        FROM documents
+    ), v AS (
+        SELECT doc_id,
+               list_transform(range(0, {_FH_DIM}),
+                   d -> CAST(coalesce(list_sum(list_transform(hs,
+                            h -> ((h >> (d % 60)) & 1) * 2 - 1)), 0)
+                        AS BIGINT)) AS fvec
+        FROM t
+    ), base AS (
+        SELECT doc_id, fvec, {oracle_idot('fvec', 'fvec')} AS n2 FROM v
+    ), q AS (
+        SELECT doc_id AS query_id, fvec AS qv, n2 AS qn2 FROM base
+        WHERE doc_id < {_FH_NQ}
+    ), joined AS (
+        SELECT q.query_id, b.doc_id AS neighbor_id,
+               {oracle_qcos(oracle_idot('q.qv', 'b.fvec'), 'q.qn2', 'b.n2')}
+                   AS cosine
+        FROM base b, q
+        WHERE b.doc_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC)
+                AS INTEGER) AS rank,
+           cosine
+    FROM joined
+    QUALIFY rank <= {_FH_K}
+    """
+
+
+@query("x72_feature_hash_topk", oracle=_oracle_fh_topk_sql())
+def x72_feature_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{5} over x71's hashed feature vectors: one
+    feature-hash kernel stage, the tiny query side broadcast (x07's
+    shape — the BNLJ is the whitelisted n_queries-row broadcast with a
+    non-equi self-exclusion), derived-float cosines from exact int64
+    dots/norms, one per-query top-k window. Raw-text retrieval with no
+    model artifact anywhere. Output: (query_id, neighbor_id, rank,
+    cosine)."""
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import idot
+    from ..operators.vectorized import feature_hash_udf
+
+    udf = feature_hash_udf(_FH_DIM)
+    base = (scale_out(load(spark, sf_dir, "documents"))
+            .select("doc_id", tokens("text").alias("toks"))
+            .withColumn("fvec", udf("toks"))
+            .withColumn("n2", idot("fvec", "fvec"))
+            .withColumn("rt", F.sqrt(F.col("n2").cast("double")))
+            .drop("toks"))
+    q = (load(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < _FH_NQ)
+         .select(F.col("doc_id").alias("query_id"),
+                 tokens("text").alias("qtoks"))
+         .withColumn("qv", udf("qtoks"))
+         .withColumn("qrt", F.sqrt(idot("qv", "qv").cast("double")))
+         .drop("qtoks"))
+    joined = (base.join(F.broadcast(q),
+                        F.col("doc_id") != F.col("query_id"))
+              .select("query_id", F.col("doc_id").alias("neighbor_id"),
+                      (idot("qv", "fvec").cast("double")
+                       / (F.col("qrt") * F.col("rt"))).alias("cosine")))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                          F.col("neighbor_id").asc())
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _FH_K)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("int").alias("rank"), "cosine"))

@@ -27,6 +27,8 @@ BNLJ_WHITELIST = {
     "x57_corpus_datasheet": "single-row stats/vocab/quantile attaches",
     "x58_negative_pairs": "single broadcast corpus-size row",
     "x59_token_budget_waterfill": "single broadcast water-level row",
+    "x72_feature_hash_topk": "broadcast of n_queries rows, non-equi "
+                             "self-exclusion (x07's shape)",
     # x61_ann_recall left the list in r6: the fused kernel path scores
     # the ground truth in-map, so no broadcast non-equi join remains.
 }
