@@ -75,3 +75,31 @@ def test_pagerank_string_ids_and_empty_graph(spark):
     out = pagerank_topk(empty, k=5)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["page", "rank_q", "rank"]
+
+
+def test_pagerank_properties_random_graphs(spark):
+    """Hypothesis sweep over random digraphs: mass stays bounded by the
+    grid scale, every rank is positive, output covers every node, and
+    the ordering key is total. (Fast path only — the fixed-graph
+    differential test pins fast == distributed.)"""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12))
+        .filter(lambda e: e[0] != e[1]),
+        min_size=1, max_size=40, unique=True))
+    def run(edges):
+        e = spark.createDataFrame(edges, "src long, dst long")
+        out = pagerank_topk(e, k=100).collect()
+        nodes = {a for a, _ in edges} | {b for _, b in edges}
+        assert {r.page for r in out} == nodes
+        total = sum(r.rank_q for r in out)
+        assert 0 < total <= PR_SCALE
+        assert all(r.rank_q > 0 for r in out)
+        keys = [(-r.rank_q, r.page) for r in out]
+        assert keys == sorted(keys)
+
+    run()
