@@ -1867,3 +1867,51 @@ def x72_feature_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= _FH_K)
             .select("query_id", "neighbor_id",
                     F.col("rank").cast("int").alias("rank"), "cosine"))
+
+
+# ---------------------------------------------------------------------------
+# x73 — embedding coverage audit (modality-alignment hygiene)
+# ---------------------------------------------------------------------------
+# Before any embedding-dependent stage (ANN, semantic dedup, purity)
+# runs over a corpus: which documents have no vector, and which vectors
+# no longer have a document? The per-source breakdown is what a
+# pipeline dashboard alerts on after every ingest.
+
+
+@query(
+    "x73_embedding_coverage",
+    oracle="""
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_embedding,
+           CAST(SUM(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missing,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings e2
+            LEFT JOIN documents d2 ON d2.doc_id = e2.vec_id
+            WHERE d2.doc_id IS NULL) AS n_orphan_vectors
+    FROM documents d
+    LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def x73_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-coverage audit: per-source counts of docs with/without
+    a vector (one skinny id left join + map-combined aggregate — the
+    embedding COLUMN never ships, only vec_id) plus the global
+    orphan-vector count attached as a broadcast scalar. Output:
+    (source, n_docs, n_with_embedding, n_missing, n_orphan_vectors)."""
+    docs = scale_out(load(spark, sf_dir, "documents")) \
+        .select("doc_id", "source")
+    vecs = load(spark, sf_dir, "embeddings").select("vec_id")
+    cov = (docs.join(vecs, docs.doc_id == vecs.vec_id, "left")
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col("vec_id").isNotNull().cast("int"))
+                .cast("long").alias("n_with_embedding"),
+                F.sum(F.col("vec_id").isNull().cast("int"))
+                .cast("long").alias("n_missing")))
+    orphans = (vecs.join(docs.select("doc_id"),
+                         vecs.vec_id == F.col("doc_id"), "left_anti")
+               .agg(F.count(F.lit(1)).alias("n_orphan_vectors")))
+    return cov.crossJoin(F.broadcast(orphans))

@@ -29,6 +29,7 @@ BNLJ_WHITELIST = {
     "x59_token_budget_waterfill": "single broadcast water-level row",
     "x72_feature_hash_topk": "broadcast of n_queries rows, non-equi "
                              "self-exclusion (x07's shape)",
+    "x73_embedding_coverage": "single broadcast orphan-count row",
     # x61_ann_recall left the list in r6: the fused kernel path scores
     # the ground truth in-map, so no broadcast non-equi join remains.
 }
