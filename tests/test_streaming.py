@@ -523,3 +523,41 @@ def test_url_frontier_stream_equals_batch(spark, sf_dir, tmp_path):
     want = {r.canon_url for r in
             x62_canonical_url_dedup(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_text_retrieval_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Streamed model-free text retrieval == the registered x72 query
+    row-for-row: same kernel, same exact-int cosine, only the arrival
+    framing differs."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.plans.extensions import (
+        x72_feature_hash_topk,
+    )
+    from data_pipeline_foundations_spark.streaming.text_retrieval import (
+        hashed_corpus, serve_text_queries,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = hashed_corpus(docs).persist()
+    qdir = str(tmp_path / "queries")
+    (docs.filter(F.col("doc_id") < 10)
+     .select(F.col("doc_id").alias("query_id"), "text")
+     .coalesce(1).write.parquet(qdir))
+
+    got = []
+    stream = (spark.readStream
+              .schema("query_id long, text string")
+              .format("parquet").load(qdir))
+    q = serve_text_queries(
+        stream, corpus,
+        on_result=lambda df, bid: got.extend(
+            (r.query_id, r.neighbor_id, r.rank, r.cosine)
+            for r in df.collect()))
+    q.awaitTermination()
+    corpus.unpersist()
+
+    want = [(r.query_id, r.neighbor_id, r.rank, r.cosine)
+            for r in x72_feature_hash_topk(spark, sf_dir).collect()]
+    assert sorted(got) == sorted(want)
+    assert len(got) == 10 * 5
