@@ -1114,13 +1114,16 @@ def x61_ann_recall(spark, sf_dir):
 # (the earliest doc_id — "first crawl wins", CCNet's URL-level dedup).
 # Synthetic per-doc URL like x34's synth (the corpus carries no URLs);
 # the derivation varies scheme/www/slash/query/fragment so the
-# canonicalizer has real work on every row.
+# canonicalizer has real work on every row. The canonical space SCALES
+# WITH THE CORPUS (page = doc_id div 7 → ~7 captures per page, pages
+# ∝ docs — r6: a fixed-modulus space made the operator a constant-size
+# floor whose 10× ratio could never close).
 
 _PAGE_URL_SPARK = (
     "concat(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END,"
     " CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END,"
-    " 'h', CAST(doc_id % 23 AS STRING), '.example.com',"
-    " '/p/', CAST(doc_id % 101 AS STRING),"
+    " 'h', CAST((doc_id div 7) % 23 AS STRING), '.example.com',"
+    " '/p/', CAST(doc_id div 7 AS STRING),"
     " CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,"
     " CASE WHEN doc_id % 5 = 0 THEN"
     "   concat('?utm_source=feed&sid=', CAST(doc_id AS STRING))"
@@ -1130,8 +1133,8 @@ _PAGE_URL_SPARK = (
 _PAGE_URL_SQL = (
     "(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||"
     " (CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END) ||"
-    " 'h' || CAST(doc_id % 23 AS VARCHAR) || '.example.com' ||"
-    " '/p/' || CAST(doc_id % 101 AS VARCHAR) ||"
+    " 'h' || CAST((doc_id // 7) % 23 AS VARCHAR) || '.example.com' ||"
+    " '/p/' || CAST(doc_id // 7 AS VARCHAR) ||"
     " (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||"
     " (CASE WHEN doc_id % 5 = 0 THEN"
     "   '?utm_source=feed&sid=' || CAST(doc_id AS VARCHAR)"
