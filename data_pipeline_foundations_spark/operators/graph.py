@@ -58,8 +58,14 @@ def pagerank_topk(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     # and string ids agree; anything else falls through to the
     # distributed path, which preserves the input type untouched.
     id_type = e0.schema["src"].dataType
-    fastpath_ok = id_type.typeName() in {
-        "long", "integer", "short", "byte", "string"}
+    # BOTH endpoint columns must be the SAME eligible type (ADVICE r6):
+    # a heterogeneous graph (src long, dst string) would crash the
+    # Python sort (int < str TypeError) or createDataFrame against the
+    # src-typed schema — fall through to the distributed path instead,
+    # which preserves the input types untouched.
+    dst_type = e0.schema["dst"].dataType
+    fastpath_ok = (id_type == dst_type and id_type.typeName() in {
+        "long", "integer", "short", "byte", "string"})
     # Guard probe in ONE job: a truncated collect moves at most
     # small_graph_edges+1 rows to the driver. If the truncation did not
     # bite, `probe` IS the complete edge set and the fast path runs on

@@ -246,14 +246,22 @@ def _content_fp(compare_cols: list[str]):
     replicate_incremental. Each value is prefixed with a presence tag
     so NULL and '' fingerprint differently and ('x', NULL) never
     collides with (NULL, 'x') — concat_ws alone silently DROPS nulls.
-    The resulting column is never null."""
+    Each present value is additionally LENGTH-PREFIXED so the encoding
+    is injective even when values contain the control bytes
+    (\\x00/\\x01/\\x1f) themselves: a crawl payload 'x\\x1f\\x01y' next
+    to NULL can no longer collide with ('x', 'y...') across the column
+    boundary — every field is self-delimiting (ADVICE r6). The
+    resulting column is never null."""
     from pyspark.sql import functions as F
 
     from ..functions.hashing import md5_long
-    tagged = [F.when(F.col(c).isNull(), F.lit("\x00"))
-              .otherwise(F.concat(F.lit("\x01"),
-                                  F.col(c).cast("string")))
-              for c in compare_cols]
+    tagged = []
+    for c in compare_cols:
+        s = F.col(c).cast("string")
+        tagged.append(
+            F.when(F.col(c).isNull(), F.lit("\x00"))
+            .otherwise(F.concat(F.lit("\x01"), F.length(s).cast("string"),
+                                F.lit(":"), s)))
     return md5_long(F.concat_ws("\x1f", *tagged))
 
 

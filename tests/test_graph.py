@@ -103,3 +103,21 @@ def test_pagerank_properties_random_graphs(spark):
         assert keys == sorted(keys)
 
     run()
+
+
+def test_pagerank_heterogeneous_id_types_fall_through(spark):
+    """ADVICE r6: src long + dst string must NOT take the driver fast
+    path (Python would crash sorting int against str). The distributed
+    path coerces the union to a common type and still ranks the same
+    graph shape as the homogeneous-long run."""
+    from data_pipeline_foundations_spark.operators.graph import (
+        pagerank_topk,
+    )
+    edges = [(1, 2), (2, 3), (3, 1), (4, 1)]
+    homo = pagerank_topk(spark.createDataFrame(
+        edges, "src long, dst long"), k=10).collect()
+    het = pagerank_topk(spark.createDataFrame(
+        [(s, str(d)) for s, d in edges], "src long, dst string"),
+        k=10).collect()
+    assert {(str(r.page), r.rank_q) for r in homo} == \
+        {(str(r.page), r.rank_q) for r in het}

@@ -796,3 +796,25 @@ def test_replicate_incremental_null_id(spark, tmp_path):
     # converged: next sync is a no-op
     assert replicate_incremental(spark, src, dst, id_col="id",
                                  compare_cols=["a"]) is None
+
+
+def test_content_fp_injective_on_control_bytes(spark):
+    """ADVICE r6: the fingerprint encoding must stay injective even
+    when values CONTAIN the tag/separator control bytes. Before the
+    length-prefix fix, ('x\\x1f\\x01y', NULL) and ('x', 'y\\x1f\\x00')
+    produced identical fingerprints, so changelog/replication would
+    classify a real change as 'unchanged'."""
+    from data_pipeline_foundations_spark.sources.warehouse import (
+        _content_fp,
+    )
+    df = spark.createDataFrame(
+        [(1, "x\x1f\x01y", None),
+         (2, "x", "y\x1f\x00"),
+         (3, "", None),          # empty string vs NULL
+         (4, None, ""),
+         (5, "1:a", None),       # value that mimics a length prefix
+         (6, "a", None)],
+        "id long, a string, b string")
+    fps = [r.fp for r in df.select(
+        _content_fp(["a", "b"]).alias("fp")).collect()]
+    assert len(set(fps)) == len(fps)
