@@ -140,8 +140,17 @@ def main() -> None:
         "x69_cdc_chunking__xx":
             _fast(lambda: cdc_chunk_stats(docs, hasher="xx")),
     }
+    # Variants get the SAME stable-probe discipline as headline queries
+    # (VERDICT r6 #7): min over 2 sweep runs + STABLE_RUNS isolated
+    # re-probes. The old single-position min-of-2 at sweep end sat
+    # exactly where host noise concentrates and produced a phantom
+    # "xxhash 2x slower than md5" finding two rounds running — isolated
+    # interleaved runs show xx FASTER than md5 (SCALING.md r7).
     fast = {name: round(min(run() for _ in range(2)), 3)
             for name, run in sorted(fast_specs.items())}
+    for name, run in sorted(fast_specs.items()):
+        fast[name] = round(min(fast[name],
+                               min(run() for _ in range(STABLE_RUNS))), 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
