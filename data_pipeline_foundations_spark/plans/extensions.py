@@ -1353,24 +1353,37 @@ def x64_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rational 17/20, and every edge contribution is one positive-int floor
 # division — so five unrolled iterations produce bit-identical ranks in
 # any engine and any reduction order. The link graph is synthesized
-# deterministically from doc_ids (the corpus carries no links): page
-# p(doc) = doc_id % P links to (31·doc_id + 7) % P and
-# (17·doc_id + 11) % P.
+# deterministically from doc_ids (the corpus carries no links) and
+# SCALES WITH THE CORPUS (r7, the x62 amendment's template — a fixed
+# 97-node space made the 10× row a pure scheduling-floor reading): the
+# page space is P = max(doc_id) div 8 + 1 (~8 captured docs per page,
+# pages ∝ docs), each page carries 8 deterministic outlinks — two
+# hierarchy links (pg div 2, pg div 3: authority concentrates toward
+# low ids, the hub structure real web graphs have) and six LCG
+# cross-links ((a·pg + b) % P). Edges ∝ docs, so the oracle's
+# per-iteration work grows with data and pagerank_topk's adaptive
+# threshold crosses to the distributed Pregel path around 30× sf0.1.
 
-_PR_P = 97            # page-id space (prime)
+_PR_DIV = 8           # docs per page: page space ∝ docs
 _PR_SCALE = 10 ** 9   # rank grid
 _PR_ITERS = 5
 _PR_TOP = 20
+# 8 outlinks per page: ("div", k) → pg div k; (a, b) → (a·pg + b) % P
+_PR_GENS: list[tuple] = [("div", 2), ("div", 3), (31, 7), (17, 11),
+                         (53, 5), (67, 29), (41, 3), (13, 19)]
 
 
 def _pr_edges_sql() -> str:
+    gens = ", ".join(
+        f"pg // {g[1]}" if g[0] == "div" else f"({g[0]} * pg + {g[1]}) % p"
+        for g in _PR_GENS)
     return f"""
         SELECT DISTINCT src, dst FROM (
-            SELECT doc_id % {_PR_P} AS src,
-                   (31 * doc_id + 7) % {_PR_P} AS dst FROM documents
-            UNION ALL
-            SELECT doc_id % {_PR_P} AS src,
-                   (17 * doc_id + 11) % {_PR_P} AS dst FROM documents
+            SELECT pg AS src, unnest([{gens}]) AS dst
+            FROM (SELECT DISTINCT doc_id % p AS pg, p
+                  FROM documents,
+                       (SELECT MAX(doc_id) // {_PR_DIV} + 1 AS p
+                        FROM documents) nd)
         ) WHERE src <> dst
     """
 
@@ -1432,12 +1445,17 @@ def x65_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank_topk
 
     docs = scale_out(load(spark, sf_dir, "documents"))
-    e1 = docs.select((F.col("doc_id") % _PR_P).alias("src"),
-                     ((31 * F.col("doc_id") + 7) % _PR_P).alias("dst"))
-    e2 = docs.select((F.col("doc_id") % _PR_P).alias("src"),
-                     ((17 * F.col("doc_id") + 11) % _PR_P).alias("dst"))
-    edges = (e1.unionByName(e2).filter(F.col("src") != F.col("dst"))
+    nd = docs.agg(F.expr(f"max(doc_id) div {_PR_DIV} + 1").alias("p"))
+    pages = (docs.crossJoin(F.broadcast(nd))
+             .select((F.col("doc_id") % F.col("p")).alias("pg"), "p")
              .distinct())
+    gens = F.array(*[
+        F.expr(f"pg div {g[1]}") if g[0] == "div"
+        else F.expr(f"({g[0]} * pg + {g[1]}) % p")
+        for g in _PR_GENS])
+    edges = (pages.select(F.col("pg").alias("src"),
+                          F.explode(gens).alias("dst"))
+             .filter(F.col("src") != F.col("dst")).distinct())
     return pagerank_topk(edges, iters=_PR_ITERS, scale=_PR_SCALE,
                          k=_PR_TOP)
 

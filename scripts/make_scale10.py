@@ -24,6 +24,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/scale10")
+    ap.add_argument("--factor", type=int, default=10,
+                    help="total scale multiple (replicas k=1..factor-1)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
@@ -40,7 +42,7 @@ def main() -> None:
                    string_split(d.text, ' '),
                    t -> 'r' || k.k || '_' || t), ' ') AS text,
                d.lang, d.source, d.n_chars
-        FROM '{docs}' d, (SELECT unnest(range(1, 10)) AS k) k
+        FROM '{docs}' d, (SELECT unnest(range(1, {args.factor})) AS k) k
     ) TO '{args.out}/documents.parquet' (FORMAT PARQUET)
     """)
 
@@ -59,7 +61,7 @@ def main() -> None:
                        (hash(e.vec_id || ':' || k.k || ':' || p[2])
                         % 1000001) / 1e6 - 0.5) AS FLOAT)) AS embedding,
                e.label
-        FROM '{emb}' e, (SELECT unnest(range(1, 10)) AS k) k
+        FROM '{emb}' e, (SELECT unnest(range(1, {args.factor})) AS k) k
     ) TO '{args.out}/embeddings.parquet' (FORMAT PARQUET)
     """)
 
@@ -78,7 +80,7 @@ def main() -> None:
         SELECT e.event_id + k.k * {n_events},
                e.ts + to_hours(k.k), e.user_id + k.k * {n_users},
                e.event_type, e.value, e.props
-        FROM '{ev}' e, (SELECT unnest(range(1, 10)) AS k) k
+        FROM '{ev}' e, (SELECT unnest(range(1, {args.factor})) AS k) k
     ) TO '{args.out}/events.parquet' (FORMAT PARQUET)
     """)
 
@@ -108,7 +110,7 @@ def main() -> None:
         SELECT * FROM '{cust}'
         UNION ALL
         SELECT c.* REPLACE (c.c_custkey + k.k * {n_ck} AS c_custkey)
-        FROM '{cust}' c, (SELECT unnest(range(1, 10)) AS k) k
+        FROM '{cust}' c, (SELECT unnest(range(1, {args.factor})) AS k) k
     ) TO '{args.out}/customer.parquet' (FORMAT PARQUET)
     """)
     con.execute(f"""
@@ -117,7 +119,7 @@ def main() -> None:
         UNION ALL
         SELECT o.* REPLACE (o.o_orderkey + k.k * {n_ok} AS o_orderkey,
                             o.o_custkey + k.k * {n_ck} AS o_custkey)
-        FROM '{orders}' o, (SELECT unnest(range(1, 10)) AS k) k
+        FROM '{orders}' o, (SELECT unnest(range(1, {args.factor})) AS k) k
     ) TO '{args.out}/orders.parquet' (FORMAT PARQUET)
     """)
     con.execute(f"""
@@ -125,7 +127,7 @@ def main() -> None:
         SELECT * FROM '{li}'
         UNION ALL
         SELECT l.* REPLACE (l.l_orderkey + k.k * {n_ok} AS l_orderkey)
-        FROM '{li}' l, (SELECT unnest(range(1, 10)) AS k) k
+        FROM '{li}' l, (SELECT unnest(range(1, {args.factor})) AS k) k
     ) TO '{args.out}/lineitem.parquet' (FORMAT PARQUET)
     """)
 
@@ -135,8 +137,8 @@ def main() -> None:
         dst = f"{args.out}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{args.src}/{t}.parquet", dst)
-    print("wrote", args.out, "docs x10 =", n_docs * 10,
-          "vecs x10 =", n_vecs * 10)
+    print("wrote", args.out, f"docs x{args.factor} =", n_docs * args.factor,
+          f"vecs x{args.factor} =", n_vecs * args.factor)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,47 @@
+"""Documents-only scaled corpus for the id-derived scaling curves
+(x62 canonical-URL dedup, x65 PageRank — both read ONLY doc_id; the
+text column is pruned at the scan by both engines, so replicas reuse
+the source text unchanged instead of paying make_scale10's token
+prefixing, which exists for shingle-disjointness that these operators
+never observe).
+
+Usage: python scripts/make_scale_docs.py --factor 30 [--src ...]
+       [--out /tmp/scale{factor}docs]
+Every non-documents table is symlinked from --src so tables.load works.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import duckdb
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--factor", type=int, required=True)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    out = args.out or f"/tmp/scale{args.factor}docs"
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    docs = f"{args.src}/documents.parquet"
+    n = con.execute(f"SELECT MAX(doc_id) + 1 FROM '{docs}'").fetchone()[0]
+    con.execute(f"""
+    COPY (
+        SELECT d.doc_id + k.k * {n} AS doc_id, d.text, d.lang,
+               d.source, d.n_chars
+        FROM '{docs}' d, (SELECT unnest(range(0, {args.factor})) AS k) k
+    ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+    """)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{args.src}/{t}.parquet", dst)
+    print("wrote", out, "docs =", n * args.factor)
+
+
+if __name__ == "__main__":
+    main()
