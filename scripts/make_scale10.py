@@ -135,8 +135,11 @@ def main() -> None:
     # scaling study doesn't re-time — symlink them so tables.load works
     for t in ("region", "nation", "supplier", "part"):
         dst = f"{args.out}/{t}.parquet"
-        if not os.path.exists(dst):
-            os.symlink(f"{args.src}/{t}.parquet", dst)
+        # Re-point unconditionally (ADVICE r7): a stale symlink to an
+        # old --src would silently mix corpora on rerun.
+        if os.path.islink(dst) or os.path.exists(dst):
+            os.remove(dst)
+        os.symlink(f"{args.src}/{t}.parquet", dst)
     print("wrote", args.out, f"docs x{args.factor} =", n_docs * args.factor,
           f"vecs x{args.factor} =", n_vecs * args.factor)
 

@@ -38,8 +38,12 @@ def main() -> None:
     for t in ("region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "embeddings"):
         dst = f"{out}/{t}.parquet"
-        if not os.path.exists(dst):
-            os.symlink(f"{args.src}/{t}.parquet", dst)
+        # Re-point unconditionally (ADVICE r7): skipping existing links
+        # after a --src change would leave a silently mixed corpus —
+        # fresh documents.parquet next to stale old-source symlinks.
+        if os.path.islink(dst) or os.path.exists(dst):
+            os.remove(dst)
+        os.symlink(f"{args.src}/{t}.parquet", dst)
     print("wrote", out, "docs =", n * args.factor)
 
 

@@ -105,19 +105,52 @@ def test_pagerank_properties_random_graphs(spark):
     run()
 
 
-def test_pagerank_heterogeneous_id_types_fall_through(spark):
-    """ADVICE r6: src long + dst string must NOT take the driver fast
-    path (Python would crash sorting int against str). The distributed
-    path coerces the union to a common type and still ranks the same
-    graph shape as the homogeneous-long run."""
+def test_pagerank_heterogeneous_id_types_normalize_to_string(spark):
+    """ADVICE r6/r7: src long + dst string normalizes BOTH endpoints to
+    string up front — never Python-sorting int against str, never
+    joining string=bigint via double (ids > 2^53 would collide), and an
+    EMPTY het graph gets the same string-typed `page` schema as a
+    non-empty one. Ranks match the homogeneous-long run bit-exactly."""
     from data_pipeline_foundations_spark.operators.graph import (
         pagerank_topk,
     )
     edges = [(1, 2), (2, 3), (3, 1), (4, 1)]
     homo = pagerank_topk(spark.createDataFrame(
         edges, "src long, dst long"), k=10).collect()
+    het_df = pagerank_topk(spark.createDataFrame(
+        [(s, str(d)) for s, d in edges], "src long, dst string"), k=10)
+    het = het_df.collect()
+    assert het_df.schema["page"].dataType.typeName() == "string"
+    assert {(str(r.page), r.rank_q) for r in homo} == \
+        {(r.page, r.rank_q) for r in het}
+    # fast path and distributed path agree on the normalized ids too
+    het_dist = pagerank_topk(spark.createDataFrame(
+        [(s, str(d)) for s, d in edges], "src long, dst string"),
+        k=10, small_graph_edges=0).collect()
+    assert [(r.page, r.rank_q) for r in het] == \
+        [(r.page, r.rank_q) for r in het_dist]
+    # empty het graph: schema matches the non-empty het schema (string)
+    empty_het = pagerank_topk(spark.createDataFrame(
+        [], "src long, dst string"), k=5)
+    assert empty_het.schema["page"].dataType.typeName() == "string"
+    assert empty_het.count() == 0
+
+
+def test_pagerank_large_het_ids_join_exactly(spark):
+    """Ids above 2^53 (where double coercion loses precision) must not
+    collide: two adjacent huge ids stay distinct nodes with distinct
+    ranks through the het distributed path."""
+    from data_pipeline_foundations_spark.operators.graph import (
+        pagerank_topk,
+    )
+    big = 2 ** 60
+    edges = [(big, big + 1), (big + 1, big), (big + 2, big)]
     het = pagerank_topk(spark.createDataFrame(
         [(s, str(d)) for s, d in edges], "src long, dst string"),
-        k=10).collect()
+        k=10, small_graph_edges=0).collect()
+    pages = {r.page for r in het}
+    assert pages == {str(big), str(big + 1), str(big + 2)}
+    homo = pagerank_topk(spark.createDataFrame(
+        edges, "src long, dst long"), k=10).collect()
     assert {(str(r.page), r.rank_q) for r in homo} == \
-        {(str(r.page), r.rank_q) for r in het}
+        {(r.page, r.rank_q) for r in het}
