@@ -120,37 +120,49 @@ def main() -> None:
         return run
 
     docs = load(spark, sf_dir, "documents")
-    fast_specs = {
-        "x03_dedup_minhash_lsh__xx":
-            _fast(lambda: minhash_lsh_pairs(docs, hasher="xx")),
-        "x05_simhash_near_dups__xx":
-            _fast(lambda: simhash_pairs(docs, hasher="xx")),
-        "x06_ngram_jaccard__xx":
-            _fast(lambda: ngram_jaccard_pairs(docs, hasher="xx")),
-        "x25_decontamination__xx":
-            _fast(lambda: decontaminate(docs, F.col("doc_id") % 17 == 0,
-                                        hasher="xx")),
-        "x41_ngram_containment__xx":
-            _fast(lambda: ngram_containment_pairs(docs, hasher="xx")),
-        "x43_boilerplate_segments__xx":
-            _fast(lambda: remove_boilerplate_segments(
-                docs.withColumn("text", F.expr(
-                    "concat('nav menu home about contact rss login ', "
-                    "source, ' ', text)")), hasher="xx")),
-        "x69_cdc_chunking__xx":
-            _fast(lambda: cdc_chunk_stats(docs, hasher="xx")),
+    boiler_docs = docs.withColumn("text", F.expr(
+        "concat('nav menu home about contact rss login ', "
+        "source, ' ', text)"))
+    variant_builders = {
+        "x03_dedup_minhash_lsh":
+            lambda h: minhash_lsh_pairs(docs, hasher=h),
+        "x05_simhash_near_dups":
+            lambda h: simhash_pairs(docs, hasher=h),
+        "x06_ngram_jaccard":
+            lambda h: ngram_jaccard_pairs(docs, hasher=h),
+        "x25_decontamination":
+            lambda h: decontaminate(docs, F.col("doc_id") % 17 == 0,
+                                    hasher=h),
+        "x41_ngram_containment":
+            lambda h: ngram_containment_pairs(docs, hasher=h),
+        "x43_boilerplate_segments":
+            lambda h: remove_boilerplate_segments(boiler_docs, hasher=h),
+        "x69_cdc_chunking":
+            lambda h: cdc_chunk_stats(docs, hasher=h),
     }
-    # Variants get the SAME stable-probe discipline as headline queries
-    # (VERDICT r6 #7): min over 2 sweep runs + STABLE_RUNS isolated
-    # re-probes. The old single-position min-of-2 at sweep end sat
-    # exactly where host noise concentrates and produced a phantom
-    # "xxhash 2x slower than md5" finding two rounds running — isolated
-    # interleaved runs show xx FASTER than md5 (SCALING.md r7).
-    fast = {name: round(min(run() for _ in range(2)), 3)
-            for name, run in sorted(fast_specs.items())}
-    for name, run in sorted(fast_specs.items()):
-        fast[name] = round(min(fast[name],
-                               min(run() for _ in range(STABLE_RUNS))), 3)
+    # Each xx variant is measured INTERLEAVED with its md5 twin — the
+    # exact same operator call with hasher="md5" — alternating
+    # md5/xx/md5/xx inside ONE probe, min per side (VERDICT r7 #2). Two
+    # rounds of stable-but-separate probes still read xx 1.5-1.9x slower
+    # than the sweep's md5 numbers because host drift between probe
+    # positions dwarfs the hash-kernel delta; alternation puts both
+    # sides in the same noise environment, so the xx:md5 ratio in
+    # `fast_variant_ratio` is drift-free by construction. The twin's
+    # absolute time lands in `fast_md5_twins` so the ratio can be
+    # audited against the sweep's headline numbers.
+    fast: dict[str, float] = {}
+    twins: dict[str, float] = {}
+    ratio: dict[str, float] = {}
+    for base, build in sorted(variant_builders.items()):
+        md5_run = _fast(lambda b=build: b("md5"))
+        xx_run = _fast(lambda b=build: b("xx"))
+        md5_times, xx_times = [], []
+        for _ in range(STABLE_RUNS):
+            md5_times.append(md5_run())
+            xx_times.append(xx_run())
+        fast[f"{base}__xx"] = round(min(xx_times), 3)
+        twins[f"{base}__md5"] = round(min(md5_times), 3)
+        ratio[base] = round(min(xx_times) / max(min(md5_times), 1e-9), 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -160,6 +172,8 @@ def main() -> None:
         "queries": timings,
         "stable": stable,
         "fast_variants": fast,
+        "fast_md5_twins": twins,
+        "fast_variant_ratio": ratio,
         "sf": sf,
     }))
     # Compact twin of the line above: the full per-query dict can exceed
@@ -173,6 +187,8 @@ def main() -> None:
         "n_queries": len(timings),
         "stable": stable,
         "fast_variants": fast,
+        "fast_md5_twins": twins,
+        "fast_variant_ratio": ratio,
         "sf": sf,
     }))
 
