@@ -848,3 +848,161 @@ def j13_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_items"),
              sum_money("l_extendedprice").alias("revenue"))
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H multi-join classics (VERDICT r7 task #3): the 3-6-table join shapes
+# with selective dimension filters that exercise Catalyst's join ordering,
+# broadcast selection, and filter pushdown — the most common real-user
+# query family. Constants are adapted to TESTDATA's ranges (orders
+# 1995-2001; no o_shippriority/l_commitdate columns in this schema, so
+# o_orderpriority stands in for the priority output and q18's threshold is
+# sized to this data's ~20-item orders).
+# --------------------------------------------------------------------------
+@query(
+    "q03_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {oracle_sum_money('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-06-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-06-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-revenue top-10 for one market segment.
+
+    Scale plan (pinned in tests/test_plan_shapes.py): the BUILDING
+    filter prunes customer to ~1/5 BEFORE its join — Catalyst broadcasts
+    the filtered dim side, so the orders scan never shuffles for it; the
+    orders↔lineitem join keys on l_orderkey (sort-merge at 100 TB, AQE
+    may broadcast the date-filtered orders side at small scale); both
+    date predicates reach the parquet scans (PushedFilters). The final
+    top-10 is TakeOrderedAndProject — no global sort materializes.
+    Revenue is the exact integer-cents sum (functions/money.py), so the
+    3-key aggregate is reduction-order independent."""
+    cutoff = F.lit("1997-06-15 00:00:00").cast("timestamp")
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff)
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum_money_expr(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q05_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           {oracle_sum_money('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name ASC
+    """,
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where the customer and the
+    supplier share a nation inside one region — the 6-table join whose
+    non-key predicate (c_nationkey = s_nationkey) makes join ORDER
+    matter.
+
+    Scale plan: region('ASIA') → nation → supplier is a pure dim chain,
+    broadcast end-to-end (supplier is 10k rows/TB-of-fact in TPC-H
+    proportions; were it ever large, only this hop degrades to a keyed
+    shuffle). The fact flow is orders(date-pruned at the scan) ⋈
+    customer on custkey, then ⋈ lineitem on orderkey — the only two
+    big-side exchanges — and the supplier broadcast applies BOTH the
+    suppkey equi-key and the nation equality in one hash lookup. The
+    final aggregate is ~25 nations: map-side partials collapse it."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")))
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(sum_money_expr(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+@query(
+    "q18_large_volume_customer",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey, {oracle_sum_money('l_quantity')} AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING {oracle_sum_money('l_quantity')} > 200.0
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, big.sum_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderdate ASC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: top-100 largest-volume orders (HAVING over a
+    fact-side aggregate, then joined back up to orders + customer).
+
+    Scale plan: lineitem aggregates to (orderkey, sum_qty) with map-side
+    partials — the ONLY full-fact shuffle — and the HAVING filter cuts
+    it to the rare tail (~6% here) before any join, so Catalyst/AQE can
+    broadcast the survivors into orders; customer joins on custkey after
+    orders has already shrunk to the survivor set. The top-100 is
+    TakeOrderedAndProject. sum_qty uses the exact integer-cents grid so
+    the HAVING boundary is bit-stable across engines and partitionings."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(sum_money("l_quantity").alias("sum_qty"))
+           .filter(F.col("sum_qty") > 200.0))
+    return (
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate").asc(),
+                 F.col("o_orderkey").asc())
+        .limit(100)
+    )

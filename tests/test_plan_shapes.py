@@ -144,3 +144,54 @@ def test_boilerplate_exchange_budget(spark, sf_dir):
     import re
     n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_hash <= 3, f"expected <=3 hash exchanges, saw {n_hash}"
+
+
+def test_q03_broadcasts_selective_dim_and_pushes_dates(spark, sf_dir):
+    """TPC-H Q3 shape (VERDICT r7 #3): the BUILDING-filtered customer
+    side joins as a broadcast (never a fact-side shuffle for the dim),
+    both date predicates reach the parquet scans, and the top-10 is
+    TakeOrderedAndProject — no global sort, no cartesian."""
+    import re
+
+    from data_pipeline_foundations_spark.registry import all_queries
+    df = all_queries()["q03_shipping_priority"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    scans = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert any("c_mktsegment" in s for s in scans)
+    assert any("o_orderdate" in s for s in scans)
+    assert any("l_shipdate" in s for s in scans)
+
+
+def test_q05_dim_chain_is_broadcast_end_to_end(spark, sf_dir):
+    """TPC-H Q5 shape: region→nation→supplier is a broadcast chain (3+
+    BroadcastHashJoins), the date range reaches the orders scan, and no
+    cartesian product sneaks in despite the non-key c_nationkey =
+    s_nationkey predicate riding the supplier join."""
+    import re
+
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(all_queries()["q05_local_supplier_volume"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    scans = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert any("o_orderdate" in s for s in scans)
+    assert any("r_name" in s for s in scans)
+
+
+def test_q18_having_survivors_broadcast_into_orders(spark, sf_dir):
+    """TPC-H Q18 shape: lineitem's per-order aggregate is the ONLY
+    full-fact hash exchange before the joins; the HAVING-filtered
+    survivor set joins orders/customer via broadcast (AQE sees the
+    shrunken side), and the top-100 is TakeOrderedAndProject."""
+    import re
+
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(all_queries()["q18_large_volume_customer"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash <= 2, f"expected <=2 hash exchanges, saw {n_hash}"
