@@ -1936,3 +1936,156 @@ def x73_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                          vecs.vec_id == F.col("doc_id"), "left_anti")
                .agg(F.count(F.lit(1)).alias("n_orphan_vectors")))
     return cov.crossJoin(F.broadcast(orphans))
+
+
+# ---------------------------------------------------------------------------
+# x74 — TRAINED quality classifier (weights learned from labeled data)
+# ---------------------------------------------------------------------------
+# The x63 classifier's second half (VERDICT r6 task #4 / r7 #4): instead
+# of the implicit hash weights, the (bucket, weight) table is LEARNED
+# from labeled documents — Naive-Bayes-style count-ratio weights on an
+# integer grid (ln-free: log-odds need exp/ln, which are not
+# bit-portable across engines; the centered frequency ratio below is an
+# exact integer in [-1000, 1000] with the log-odds' sign and
+# monotonicity). Counts are CLASS-FREQUENCY NORMALIZED — raw-count
+# ratios let the class prior swamp every shared-vocabulary token (first
+# cut of this operator kept 0 of 500 docs); per-mille class frequencies
+# fp = (n_pos·10^6) div T_pos, fn likewise, weight =
+# (1000·(fp−fn)) div (fp+fn+1) make a token's weight about WHICH class
+# uses it more, not how big the classes are. All int64: n_pos·10^6
+# overflows only past ~9·10^12 tokens per class (lower freq_scale for a
+# corpus beyond that). The label is the corpus's own `lang = 'en'` flag
+# — a real, deterministic binary signal — so both engines train the
+# identical model. Scoring is one BROADCAST JOIN of the ≤n_buckets-row
+# weight table against the exploded token stream (the "swap in trained
+# weights = one broadcast join" path x63's docstring promised), then a
+# per-doc sum.
+
+_TRAINED_BUCKETS = 2001
+
+
+def classifier_score_with_weights(docs: DataFrame, weights: DataFrame, *,
+                                  buckets: int = _TRAINED_BUCKETS,
+                                  threshold: float = 0.0) -> DataFrame:
+    """Score documents with an explicit (bucket, weight) table: explode
+    tokens ONCE (explode_outer keeps zero-token docs alive), bucket each
+    token with the portable 60-bit md5, LEFT-broadcast-join the weight
+    table, sum per doc. Exactly one corpus scan, one broadcast, one
+    doc-keyed exchange — at 100 TB the weight table is KBs and the only
+    shuffle is the per-doc rollup. Output matches x63's shape:
+    (doc_id, n_tokens, score, mean_weight, keep)."""
+    from ..functions.hashing import md5_long
+
+    toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
+    ex = (docs
+          .select("doc_id", F.size(toks).cast("long").alias("n_tokens"),
+                  F.explode_outer(toks).alias("tok"))
+          .withColumn("bucket", md5_long("tok") % F.lit(buckets)))
+    scored = (ex.join(F.broadcast(weights), "bucket", "left")
+              .groupBy("doc_id", "n_tokens")
+              .agg(F.coalesce(F.sum("weight"), F.lit(0)).cast("long")
+                   .alias("score")))
+    mean_w = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        F.col("score").cast("double") / F.col("n_tokens").cast("double"))
+    return scored.select("doc_id", "n_tokens", "score",
+                         mean_w.alias("mean_weight"),
+                         (mean_w > F.lit(threshold)).cast("int")
+                         .alias("keep"))
+
+
+def train_token_weights(docs: DataFrame, pos_label,
+                        *, buckets: int = _TRAINED_BUCKETS,
+                        weight_scale: int = 1000,
+                        freq_scale: int = 1_000_000) -> DataFrame:
+    """Learn the (bucket, weight) table from labeled docs. Per hash
+    bucket, with T_pos/T_neg the global per-class token totals:
+
+        fp = (n_pos · freq_scale) div T_pos      (per-mille-ish class freq)
+        fn = (n_neg · freq_scale) div T_neg
+        weight = (weight_scale · (fp − fn)) div (fp + fn + 1)
+
+    — exact int64 everywhere, identical in any engine/order (both
+    Spark's div and DuckDB's // truncate toward zero), and prior-free:
+    normalizing by class totals keeps a shared-vocabulary token near 0
+    instead of inheriting the majority class's sign. Plan: one exploded
+    corpus pass feeding a ≤`buckets`-key map-combined aggregate plus a
+    2-long global total, joined back as a broadcast scalar; the output
+    is a KB-scale model table."""
+    from ..functions.hashing import md5_long
+
+    toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
+    pos = F.when(pos_label, F.lit(1)).otherwise(F.lit(0))
+    ex = (docs.select(pos.alias("pos"), F.explode(toks).alias("tok"))
+          .select("pos", (md5_long("tok") % F.lit(buckets)).alias("bucket")))
+    m = ex.groupBy("bucket").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("pos")).cast("long").alias("n_neg"))
+    tot = ex.agg(F.sum("pos").cast("long").alias("t_pos"),
+                 F.sum(1 - F.col("pos")).cast("long").alias("t_neg"))
+    return (m.crossJoin(F.broadcast(tot))
+            .select("bucket",
+                    F.expr(f"(n_pos * {freq_scale}) div t_pos").alias("fp"),
+                    F.expr(f"(n_neg * {freq_scale}) div t_neg").alias("fn"))
+            .select("bucket",
+                    F.expr(f"({weight_scale} * (fp - fn)) div (fp + fn + 1)")
+                    .alias("weight")))
+
+
+def _oracle_trained_classifier_sql() -> str:
+    from ..functions.hashing import oracle_md5_long
+    b = _TRAINED_BUCKETS
+    return f"""
+    WITH tk AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ), e AS (
+        SELECT doc_id, lang, ({oracle_md5_long('tok')} % {b}) AS bucket
+        FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM tk)
+    ), tot AS (
+        SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_pos,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS t_neg
+        FROM e
+    ), cnt AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+        FROM e GROUP BY bucket
+    ), w AS (
+        SELECT bucket,
+               CAST((1000 * (((n_pos * 1000000) // t_pos)
+                             - ((n_neg * 1000000) // t_neg)))
+                    // (((n_pos * 1000000) // t_pos)
+                        + ((n_neg * 1000000) // t_neg) + 1) AS BIGINT) AS weight
+        FROM cnt CROSS JOIN tot
+    ), sc AS (
+        SELECT e.doc_id, CAST(SUM(w.weight) AS BIGINT) AS score
+        FROM e JOIN w USING (bucket) GROUP BY e.doc_id
+    )
+    SELECT tk.doc_id, CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(sc.score, 0) AS BIGINT) AS score,
+           CASE WHEN len(tk.toks) = 0 THEN 0.0
+                ELSE CAST(coalesce(sc.score, 0) AS DOUBLE) / len(tk.toks)
+                END AS mean_weight,
+           CAST(CASE WHEN len(tk.toks) = 0 THEN 0.0
+                     ELSE CAST(coalesce(sc.score, 0) AS DOUBLE) / len(tk.toks)
+                     END > 0.0 AS INTEGER) AS keep
+    FROM tk LEFT JOIN sc ON tk.doc_id = sc.doc_id
+    """
+
+
+@query("x74_quality_classifier_trained",
+       oracle=_oracle_trained_classifier_sql())
+def x74_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end trained quality gate: learn integer count-ratio
+    weights from the corpus's own lang='en' labels (train_token_weights),
+    then score every document through the broadcast-join path
+    (classifier_score_with_weights). keep=1 means "scores en-like" —
+    on held-in data this is a real (if simple) trained language gate,
+    the fastText-pipeline shape with an actual learned model table
+    instead of x63's implicit hash weights. Cost at 100 TB: two corpus
+    scans (train + score), one ≤2001-key model aggregate, one broadcast,
+    one per-doc rollup exchange."""
+    docs = scale_out(load(spark, sf_dir, "documents"))
+    w = train_token_weights(docs, F.col("lang") == "en")
+    return classifier_score_with_weights(docs, w)

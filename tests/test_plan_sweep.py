@@ -30,6 +30,8 @@ BNLJ_WHITELIST = {
     "x72_feature_hash_topk": "broadcast of n_queries rows, non-equi "
                              "self-exclusion (x07's shape)",
     "x73_embedding_coverage": "single broadcast orphan-count row",
+    "x74_quality_classifier_trained": "single broadcast class-totals row "
+                                      "(training normalizer)",
     # x61_ann_recall left the list in r6: the fused kernel path scores
     # the ground truth in-map, so no broadcast non-equi join remains.
 }

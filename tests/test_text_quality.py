@@ -384,3 +384,72 @@ def test_canonical_url_scheme_optional(spark):
         .withColumn("h", url_host("c")).collect()
     assert {r.c for r in rows} == {"h3.example.com/p/1"}
     assert {r.h for r in rows} == {"h3.example.com"}
+
+
+def test_trained_classifier_table_path_equals_implicit_x63(spark, sf_dir):
+    """x74's scorer fed the IMPLICIT weight table (bucket, bucket-1000)
+    at x63's threshold must reproduce x63 row-for-row — pins that the
+    broadcast-join path and the HOF-aggregate path are the same
+    classifier, differing only in where the weights come from
+    (VERDICT r7 #4)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.plans.extensions import (
+        _CLF_THRESHOLD, _TRAINED_BUCKETS, classifier_score_with_weights,
+    )
+    from data_pipeline_foundations_spark.registry import all_queries
+    from data_pipeline_foundations_spark.tables import load, scale_out
+
+    implicit = spark.range(0, _TRAINED_BUCKETS).select(
+        F.col("id").alias("bucket"), (F.col("id") - 1000).alias("weight"))
+    docs = scale_out(load(spark, sf_dir, "documents"))
+    via_table = {r.doc_id: (r.n_tokens, r.score, r.mean_weight, r.keep)
+                 for r in classifier_score_with_weights(
+                     docs, implicit, threshold=_CLF_THRESHOLD).collect()}
+    x63 = {r.doc_id: (r.n_tokens, r.score, r.mean_weight, r.keep)
+           for r in all_queries()["x63_quality_classifier"]
+           .fn(spark, sf_dir).collect()}
+    assert via_table == x63
+
+
+def test_trained_classifier_learns_a_discriminating_gate(spark, sf_dir):
+    """The lang='en' model must actually separate the classes it was
+    trained on: the keep-rate among en docs exceeds the keep-rate among
+    non-en docs (a degenerate all-keep / no-keep gate fails), and the
+    weight table stays on the int grid within [-1000, 1000]."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.plans.extensions import (
+        train_token_weights,
+    )
+    from data_pipeline_foundations_spark.registry import all_queries
+    from data_pipeline_foundations_spark.tables import load
+
+    out = all_queries()["x74_quality_classifier_trained"] \
+        .fn(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    m = out.join(docs, "doc_id").groupBy(
+        (F.col("lang") == "en").alias("is_en")) \
+        .agg(F.avg("keep").alias("keep_rate")).collect()
+    rates = {r.is_en: r.keep_rate for r in m}
+    assert rates[True] > rates[False]
+    assert 0.0 < rates[True] < 1.0  # not degenerate
+
+    w = train_token_weights(load(spark, sf_dir, "documents"),
+                            F.col("lang") == "en")
+    stats = w.agg(F.min("weight"), F.max("weight")).collect()[0]
+    assert -1000 <= stats[0] <= stats[1] <= 1000
+
+
+def test_trained_classifier_weights_join_is_broadcast(spark, sf_dir):
+    """Plan pin: the model table rides a BroadcastHashJoin (never a
+    fact-side shuffle for a KB-scale weights dim)."""
+    from data_pipeline_foundations_spark.registry import all_queries
+
+    df = all_queries()["x74_quality_classifier_trained"].fn(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the only nested-loop is the whitelisted single-row class-totals
+    # attach (test_plan_sweep.BNLJ_WHITELIST); a cartesian is always wrong
+    assert "CartesianProduct" not in plan
