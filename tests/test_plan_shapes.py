@@ -195,3 +195,32 @@ def test_q18_having_survivors_broadcast_into_orders(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_hash <= 2, f"expected <=2 hash exchanges, saw {n_hash}"
+
+
+def test_q07_cross_leg_disjunction_stays_broadcast(spark, sf_dir):
+    """TPC-H Q7 shape: both nation legs + supplier broadcast; the
+    (n1,n2)-pair disjunction never degrades to a cartesian; the
+    ship-date range reaches the lineitem scan."""
+    import re
+
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(all_queries()["q07_volume_shipping"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    scans = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert any("l_shipdate" in s for s in scans)
+
+
+def test_q10_filters_prune_both_fact_scans(spark, sf_dir):
+    """TPC-H Q10 shape: the quarter filter reaches the orders scan AND
+    the returnflag filter reaches the lineitem scan; top-20 is
+    TakeOrderedAndProject."""
+    import re
+
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(all_queries()["q10_returned_items"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    scans = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert any("o_orderdate" in s for s in scans)
+    assert any("l_returnflag" in s for s in scans)
