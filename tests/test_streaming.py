@@ -561,3 +561,39 @@ def test_text_retrieval_stream_equals_batch(spark, sf_dir, tmp_path):
             for r in x72_feature_hash_topk(spark, sf_dir).collect()]
     assert sorted(got) == sorted(want)
     assert len(got) == 10 * 5
+
+
+def test_quality_gate_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Streamed trained-classifier gate == the registered x74 query
+    row-for-row: same learned weight table, same broadcast-join scorer,
+    only the arrival framing differs."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.plans.extensions import (
+        train_token_weights, x74_quality_classifier_trained,
+    )
+    from data_pipeline_foundations_spark.streaming.quality_gate import (
+        serve_quality_gate,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    w = train_token_weights(docs, F.col("lang") == "en").persist()
+    w.count()
+    ddir = str(tmp_path / "docs_arriving")
+    docs.select("doc_id", "text").coalesce(2).write.parquet(ddir)
+
+    got = []
+    stream = (spark.readStream
+              .schema("doc_id long, text string")
+              .format("parquet").load(ddir))
+    q = serve_quality_gate(
+        stream, w,
+        on_result=lambda df, bid: got.extend(
+            (r.doc_id, r.n_tokens, r.score, r.mean_weight, r.keep)
+            for r in df.collect()))
+    q.awaitTermination()
+    w.unpersist()
+
+    want = [(r.doc_id, r.n_tokens, r.score, r.mean_weight, r.keep)
+            for r in x74_quality_classifier_trained(spark, sf_dir).collect()]
+    assert sorted(got) == sorted(want)
