@@ -138,3 +138,53 @@ def test_salted_join_rejects_outer_joins(spark, skewed):
         salted_join(skewed, dim, "k", how="right")
     with pytest.raises(ValueError, match="inner.*left"):
         salted_join(skewed, dim, "k", how="full")
+
+
+def test_q18_bucketed_twin_fact_side_exchange_free(spark):
+    """The 100 TB layout answer for q18 (plans/relational.py): with
+    lineitem AND orders bucketed by order key, the per-order quantity
+    aggregate and the survivor⋈orders join need NO exchange — the
+    bucketed scans already satisfy both distributions. The only
+    shuffles left in the whole query key on the customer side. Result
+    must equal the registered q18 row-for-row."""
+    from data_pipeline_foundations_spark.registry import all_queries
+
+    build_bucketed(spark, f"{SF_DIR}/orders.parquet", "bq_orders",
+                   bucket_col="o_orderkey", n_buckets=8)
+    build_bucketed(spark, f"{SF_DIR}/lineitem.parquet", "bq_lineitem",
+                   bucket_col="l_orderkey", n_buckets=8)
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            from data_pipeline_foundations_spark.functions.money import (
+                sum_money,
+            )
+            from data_pipeline_foundations_spark.tables import load
+
+            li = spark.table("bq_lineitem")
+            o = spark.table("bq_orders")
+            c = load(spark, SF_DIR, "customer")
+            big = (li.groupBy("l_orderkey")
+                   .agg(sum_money("l_quantity").alias("sum_qty"))
+                   .filter(F.col("sum_qty") > 200.0))
+            twin = (big.join(o, o.o_orderkey == big.l_orderkey)
+                    .join(c, c.c_custkey == o.o_custkey)
+                    .select("c_name", "c_custkey", "o_orderkey",
+                            "o_orderdate", "o_totalprice", "sum_qty")
+                    .orderBy(F.col("o_totalprice").desc(),
+                             F.col("o_orderdate").asc(),
+                             F.col("o_orderkey").asc())
+                    .limit(100))
+            got = twin.collect()
+            plan = twin._jdf.queryExecution().executedPlan().toString()
+            assert "hashpartitioning(l_orderkey" not in plan, plan[:2000]
+            assert "hashpartitioning(o_orderkey" not in plan, plan[:2000]
+            want = all_queries()["q18_large_volume_customer"] \
+                .fn(spark, SF_DIR).collect()
+            assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bq_orders")
+        spark.sql("DROP TABLE IF EXISTS bq_lineitem")
