@@ -1361,8 +1361,11 @@ def x64_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hierarchy links (pg div 2, pg div 3: authority concentrates toward
 # low ids, the hub structure real web graphs have) and six LCG
 # cross-links ((a·pg + b) % P). Edges ∝ docs, so the oracle's
-# per-iteration work grows with data and pagerank_topk's adaptive
-# threshold crosses to the distributed Pregel path around 30× sf0.1.
+# per-iteration work grows with data; pagerank_topk's 1M-edge driver
+# fast path (raised from 100k in r8 — the 150k-edge graph at 30× sf0.1
+# paid a measured 5.1 s Pregel scheduling-floor cliff, SCALING.md r8)
+# covers this corpus family to ~200× sf0.1, with the distributed Pregel
+# path differential-pinned above it.
 
 _PR_DIV = 8           # docs per page: page space ∝ docs
 _PR_SCALE = 10 ** 9   # rank grid
