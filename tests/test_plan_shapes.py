@@ -224,3 +224,127 @@ def test_q10_filters_prune_both_fact_scans(spark, sf_dir):
     scans = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
     assert any("o_orderdate" in s for s in scans)
     assert any("l_returnflag" in s for s in scans)
+
+
+def test_q04_exists_plans_a_semi_join(spark, sf_dir):
+    """TPC-H Q4 shape: the EXISTS gate is a LEFT SEMI hash join (never a
+    distinct-then-inner rewrite), the quarter reaches the orders scan
+    and the returnflag reaches the lineitem scan."""
+    import re
+
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(all_queries()["q04_order_priority"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    scans = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert any("o_orderdate" in s for s in scans)
+    assert any("l_returnflag" in s for s in scans)
+
+
+def test_q13_outer_join_keeps_zero_order_customers(spark, sf_dir):
+    """TPC-H Q13 shape: the priority exclusion rides the LEFT OUTER join
+    (an inner join would drop the zero bucket), and the histogram plans
+    at most three hash exchanges (join, per-customer count, tiny
+    histogram)."""
+    import re
+
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(
+        all_queries()["q13_customer_distribution"].fn(spark, sf_dir))
+    assert "LeftOuter" in plan or "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash <= 3, f"expected <=3 hash exchanges, saw {n_hash}"
+
+
+def test_q14_single_pass_two_sums(spark, sf_dir):
+    """TPC-H Q14 shape: both conditional sums ride ONE aggregate over
+    the broadcast part join — a single scan of the month's lineitem, no
+    second exchange beyond the scalar collapse."""
+    import re
+
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(all_queries()["q14_promo_revenue"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    scans = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert any("l_shipdate" in s for s in scans)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0
+
+
+def test_q15_scalar_max_joins_hash_not_loop(spark, sf_dir):
+    """TPC-H Q15 shape: the MAX-revenue scalar attaches via an EQUALITY
+    hash join (a non-equi attach would be a nested loop) and supplier
+    broadcasts."""
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(all_queries()["q15_top_supplier"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_q16_blacklist_is_broadcast_anti_join(spark, sf_dir):
+    """TPC-H Q16 shape: the NOT IN supplier blacklist decorrelates to a
+    broadcast LEFT ANTI join; the part slice prunes at its scan; the
+    distinct-supplier count is the two-phase partial aggregate, never a
+    global distinct."""
+    import re
+
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(
+        all_queries()["q16_supplier_part_count"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    scans = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert any("p_brand" in s or "p_size" in s for s in scans)
+
+
+def test_q17_avg_subquery_restricted_before_aggregate(spark, sf_dir):
+    """TPC-H Q17 shape: the brand's partkeys broadcast into lineitem
+    BEFORE the per-part average (the literal decorrelation would
+    aggregate the whole fact), and the join-back stays on the l_partkey
+    exchange."""
+    import re
+
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(
+        all_queries()["q17_small_qty_revenue"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash <= 2, f"expected <=2 hash exchanges, saw {n_hash}"
+
+
+def test_q19_disjunction_derives_per_side_scan_filters(spark, sf_dir):
+    """TPC-H Q19 shape: despite the cross-side OR, the join stays a hash
+    join on the partkey equi-key and Catalyst derives implied per-side
+    filters that reach BOTH parquet scans."""
+    import re
+
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(
+        all_queries()["q19_disjunctive_revenue"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    # line-bounded, not bracket-bounded: q19's OR-of-ANDs filter list is
+    # long enough that the plan printer truncates it with "..." before
+    # the closing bracket
+    scans = re.findall(r"PushedFilters: \[[^\n]*", plan)
+    assert any("p_brand" in s for s in scans)
+    assert any("l_quantity" in s for s in scans)
+
+
+def test_q22_anti_join_and_scalar_threshold(spark, sf_dir):
+    """TPC-H Q22 shape: the dormancy NOT EXISTS is a keyed LEFT ANTI
+    join with the date bound pushed to the orders scan; the scalar
+    average attaches as the whitelisted single-row broadcast; the pool
+    membership prunes at the customer scan."""
+    import re
+
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(
+        all_queries()["q22_global_sales_opportunity"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan
+    scans = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert any("o_orderdate" in s for s in scans)
+    assert any("c_nationkey" in s for s in scans)

@@ -32,6 +32,8 @@ BNLJ_WHITELIST = {
     "x73_embedding_coverage": "single broadcast orphan-count row",
     "x74_quality_classifier_trained": "single broadcast class-totals row "
                                       "(training normalizer)",
+    "q22_global_sales_opportunity": "single broadcast avg-acctbal row "
+                                    "(TPC-H Q22 scalar subquery)",
     # x61_ann_recall left the list in r6: the fused kernel path scores
     # the ground truth in-map, so no broadcast non-equi join remains.
 }
