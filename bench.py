@@ -156,6 +156,12 @@ def main() -> None:
     for base, build in sorted(variant_builders.items()):
         md5_run = _fast(lambda b=build: b("md5"))
         xx_run = _fast(lambda b=build: b("xx"))
+        # one untimed warmup pair first: the opening run of a cold
+        # operator pays JIT/codegen-cache warmup that decays over ~2
+        # runs — with only STABLE_RUNS timed rounds, that warmup
+        # contaminated min() and read x03's xx at 1.31x in a window
+        # where 6 warm interleaved rounds read 0.88x
+        md5_run(), xx_run()
         md5_times, xx_times = [], []
         for _ in range(STABLE_RUNS):
             md5_times.append(md5_run())
