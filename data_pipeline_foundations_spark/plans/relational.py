@@ -1483,3 +1483,475 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum_money("c_acctbal").alias("totacctbal"))
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "q06_forecast_revenue",
+    oracle=f"""
+    SELECT {oracle_sum_money('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24.0
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the revenue-increase forecast — a pure
+    filter-and-aggregate with NO join, the canonical predicate-pushdown
+    / column-pruning probe.
+
+    Scale plan: all three predicates (ship year, discount band, quantity
+    cap) reach the parquet scan as PushedFilters, the scan reads only
+    the four referenced columns, and the sum is one map-combined
+    exact-cents partial per partition collapsing to a single row — the
+    whole query is one WholeStageCodegen span over the pruned scan. At
+    100 TB this is bounded by scan bandwidth alone, which is exactly
+    what the shape is for."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24.0))
+    return li.agg(sum_money_expr(
+        F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+
+
+@query(
+    "q02_min_cost_supplier",
+    oracle=f"""
+    WITH offer AS (
+        SELECT l_partkey, l_suppkey,
+               MIN({oracle_scaled_long('l_extendedprice / l_quantity', 100.0)})
+                   AS cost_c
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    euro AS (
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    eligible AS (
+        SELECT o.l_partkey, o.l_suppkey, o.cost_c
+        FROM offer o
+        JOIN euro e ON o.l_suppkey = e.s_suppkey
+        JOIN part p ON p.p_partkey = o.l_partkey
+        WHERE p.p_type = 'LARGE'
+    ),
+    best AS (
+        SELECT l_partkey, MIN(cost_c) AS min_c FROM eligible
+        GROUP BY l_partkey
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name,
+           el.l_partkey AS p_partkey, el.cost_c / 100.0 AS supply_cost
+    FROM eligible el
+    JOIN best b ON el.l_partkey = b.l_partkey AND el.cost_c = b.min_c
+    JOIN euro e ON e.s_suppkey = el.l_suppkey
+    ORDER BY e.s_acctbal DESC, e.n_name ASC, e.s_name ASC, p_partkey ASC
+    LIMIT 100
+    """,
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for every LARGE-type part, the EUROPE supplier(s)
+    offering the minimum supply cost — the correlated scalar-MIN
+    subquery, decorrelated into aggregate + equality join-back. (No
+    partsupp table here: the observed best unit price per (part,
+    supplier) from lineitem — MIN(extendedprice/quantity), on the exact
+    cents grid — stands in for ps_supplycost; region/nation/part
+    filters keep the reference's dimension legs.)
+
+    Scale plan: the ONLY full-fact exchange is the (partkey, suppkey)
+    offer aggregate, map-combined before the shuffle; the euro supplier
+    leg (region→nation→supplier) and the LARGE part slice broadcast
+    into it, and the per-part MIN reuses the partkey side of the
+    aggregate's partitioning. The min-cost join-back is an equality
+    hash join on (partkey, exact-cents cost) — bit-stable, no
+    tie-drift — and the top-100 is TakeOrderedAndProject."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_type") == "LARGE").select("p_partkey")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro = (load(spark, sf_dir, "supplier")
+            .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+            .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+            .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    offer = (li.groupBy("l_partkey", "l_suppkey")
+             .agg(F.min(scaled_long(
+                 F.col("l_extendedprice") / F.col("l_quantity"), 100.0))
+                 .alias("cost_c")))
+    eligible = (offer
+                .join(F.broadcast(euro.select("s_suppkey")),
+                      F.col("l_suppkey") == F.col("s_suppkey"), "leftsemi")
+                .join(F.broadcast(p),
+                      F.col("l_partkey") == F.col("p_partkey"), "leftsemi"))
+    best = eligible.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("cost_c").alias("min_c"))
+    return (
+        eligible
+        .join(best, (F.col("l_partkey") == F.col("b_partkey"))
+              & (F.col("cost_c") == F.col("min_c")))
+        .join(F.broadcast(euro), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "n_name",
+                F.col("l_partkey").alias("p_partkey"),
+                (F.col("cost_c") / F.lit(100.0)).alias("supply_cost"))
+        .orderBy(F.col("s_acctbal").desc(), F.col("n_name").asc(),
+                 F.col("s_name").asc(), F.col("p_partkey").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "q08_market_share",
+    oracle=f"""
+    SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+           ({oracle_sum_money(
+               "CASE WHEN n2.n_name = 'NATION_5' "
+               "THEN l.l_extendedprice * (1 - l.l_discount) "
+               "ELSE 0.0 END")})
+         / ({oracle_sum_money('l.l_extendedprice * (1 - l.l_discount)')})
+           AS mkt_share
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n1.n_regionkey
+    JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT)
+    ORDER BY o_year
+    """,
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of ECONOMY-part revenue sold
+    into AMERICA, by order year — the 8-table join whose numerator is a
+    conditional slice of its own denominator.
+
+    Scale plan: part (type-filtered), supplier+n2 (the market-share
+    nation rides the broadcast as a dim column), and the n1→region
+    customer leg all broadcast; the two big-side exchanges are
+    lineitem⋈orders on orderkey and the custkey hop. The order-date
+    window reaches the orders scan. Numerator and denominator ride ONE
+    exact-cents aggregate pass (two bigint partials per year), so the
+    share division happens on two exact sums — bit-stable across
+    engines and partition orders."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY").select("p_partkey")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"))
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    sup = (load(spark, sf_dir, "supplier")
+           .join(F.broadcast(load(spark, sf_dir, "nation").select(
+               F.col("n_nationkey").alias("n2_key"),
+               F.col("n_name").alias("supp_nation"))),
+               F.col("s_nationkey") == F.col("n2_key"))
+           .select("s_suppkey", "supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(sup), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg((sum_money_expr(nat) / sum_money_expr(vol)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q09_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+           {oracle_sum_money(
+               'l.l_extendedprice * (1 - l.l_discount) '
+               '- 0.5 * p.p_retailprice * l.l_quantity')} AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY n.n_name, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT)
+    ORDER BY nation ASC, o_year DESC
+    """,
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on one product line by supplier nation
+    and order year — the unfiltered-fact join fan whose only selective
+    predicate is a LIKE on a dimension attribute. (No ps_supplycost
+    here: unit cost is proxied as half the part's retail price, so
+    profit = revenue − 0.5·retailprice·quantity, same fact⋈dim
+    arithmetic as the reference's supplycost term.)
+
+    Scale plan: the bolt slice (LIKE-filtered part) broadcasts into the
+    fact scan FIRST, cutting lineitem to the product line before the
+    only big-side exchange (orderkey, for the order year); supplier and
+    nation broadcast. Profit sums on the exact cents grid — the
+    negative-margin rows floor identically in both engines
+    (floor(x+0.5) is the same IEEE sequence for either sign). The
+    ~nation×year group count is tiny, collapsing map-side."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%bolt%")).select("p_partkey", "p_retailprice")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(sum_money_expr(profit).alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle=f"""
+    WITH pool AS (
+        SELECT l.l_partkey,
+               {oracle_scaled_long(
+                   'l.l_extendedprice * (1 - l.l_discount)', 100.0)} AS v
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE s.s_nationkey = 9
+    ),
+    per_part AS (
+        SELECT l_partkey, SUM(v) AS val_c FROM pool GROUP BY l_partkey
+    )
+    SELECT p.l_partkey, p.val_c / 100.0 AS part_value
+    FROM per_part p, (SELECT SUM(v) AS tot_c FROM pool) t
+    WHERE p.val_c > 0.001 * t.tot_c
+    ORDER BY part_value DESC, p.l_partkey ASC
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: the parts representing a significant share of
+    one nation's traded value — a per-key aggregate HAVING-compared
+    against a scalar fraction of the SAME aggregate's grand total. (No
+    partsupp: value is the nation's suppliers' traded lineitem revenue
+    per part, exact cents, instead of supplycost·availqty.)
+
+    Scale plan: the nation's supplier slice broadcasts into the fact
+    scan (4% of suppliers — lineitem prunes before any exchange); the
+    per-part sum is the only keyed exchange, map-combined; the grand
+    total collapses the SAME pooled pass to one row that attaches by
+    the whitelisted single-row broadcast. Both CTE references recompute
+    the pruned scan, exactly like the oracle's un-materialized CTE —
+    at 100 TB the broadcast-pruned second pass is cheap and holds no
+    driver state. The fraction compare runs on exact-cents values, so
+    the threshold boundary is bit-stable."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") == 9).select("s_suppkey")
+    pool = (li.join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"),
+                    "leftsemi")
+            .select("l_partkey",
+                    scaled_long(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount")), 100.0)
+                    .alias("v")))
+    per_part = pool.groupBy("l_partkey").agg(F.sum("v").alias("val_c"))
+    tot = pool.agg(F.sum("v").alias("tot_c"))
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(F.col("val_c") > F.lit(0.001) * F.col("tot_c"))
+        .select("l_partkey",
+                (F.col("val_c") / F.lit(100.0)).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+@query(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late-shipment counts split by order priority —
+    the two-conditional-count aggregate whose WHERE mixes a scan-local
+    predicate with a CROSS-TABLE one that can only evaluate post-join.
+    (No l_shipmode/commitdate/receiptdate columns: l_linestatus stands
+    in for the mode group, and "shipped ≥90 days after the order date"
+    is the lateness predicate, keeping the cross-table comparison.)
+
+    Scale plan: the ship-year window reaches the lineitem scan; the
+    orderkey hash join is the only exchange, with the 90-day lag
+    evaluated as a post-join filter on already-colocated rows; both
+    CASE counts ride ONE aggregate pass into a 2-row result. Counts
+    are bigints — no float discipline needed."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate")
+                >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q20_excess_quantity_suppliers",
+    oracle=f"""
+    WITH heavy AS (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_type = 'SMALL')
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING {oracle_sum_money('l_quantity')} > 30.0
+    )
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_4'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+    ORDER BY s.s_name
+    """,
+)
+def q20_excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: one nation's suppliers who moved excess volume
+    of a part class in one year — the NESTED IN-subquery chain
+    (part slice → per-(supplier,part) quantity aggregate → supplier
+    membership), each level decorrelating to a semi join. (No
+    partsupp/availqty: "shipped >30 units of one SMALL part in the
+    year" stands in for the half-of-available-stock test.)
+
+    Scale plan: the SMALL part slice broadcasts as a LEFT SEMI into the
+    date-pruned lineitem scan — the fact never carries non-qualifying
+    rows into the one keyed exchange, the (suppkey, partkey) aggregate
+    (map-combined, exact-cents quantity); the HAVING survivors project
+    to suppkey and broadcast-semi into the 25×-pruned supplier dim.
+    Every membership test is a hash semi join; nothing materializes a
+    distinct list."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+    sml = load(spark, sf_dir, "part").filter(
+        F.col("p_type") == "SMALL").select("p_partkey")
+    heavy = (li.join(F.broadcast(sml),
+                     li.l_partkey == F.col("p_partkey"), "leftsemi")
+             .groupBy("l_suppkey", "l_partkey")
+             .agg(sum_money("l_quantity").alias("qty"))
+             .filter(F.col("qty") > 30.0)
+             .select("l_suppkey"))
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(heavy),
+              F.col("s_suppkey") == F.col("l_suppkey"), "leftsemi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_2'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order — the double correlated self-join
+    (EXISTS another supplier's line, NOT EXISTS another supplier's LATE
+    line) against the same fact. (No commit/receipt dates: "shipped
+    more than 60 days after the order date" is the lateness predicate,
+    which correlates through the order exactly like the reference's
+    receipt>commit test.)
+
+    Scale plan: lateness computes once as a date-filtered orderkey hash
+    join (orders 'F' slice), and BOTH correlated quantifiers decorrelate
+    to orderkey-keyed joins with the supplier-inequality as a residual:
+    the EXISTS to a LEFT SEMI against the bare fact, the NOT EXISTS to
+    a LEFT ANTI against the late set — three keyed exchanges total, no
+    per-row subquery execution. The nation slice broadcasts into the
+    late set before either quantifier, so the expensive self-joins run
+    on the 4%-pruned side. Top-100 is TakeOrderedAndProject."""
+    o_f = (load(spark, sf_dir, "orders")
+           .filter(F.col("o_orderstatus") == "F")
+           .select("o_orderkey", "o_orderdate"))
+    li = load(spark, sf_dir, "lineitem")
+    late = (li.join(o_f, li.l_orderkey == F.col("o_orderkey"))
+            .filter(F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .select("l_orderkey", "l_suppkey"))
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    sup = (load(spark, sf_dir, "supplier")
+           .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+           .select("s_suppkey", "s_name"))
+    others = li.select(F.col("l_orderkey").alias("o2_orderkey"),
+                       F.col("l_suppkey").alias("o2_suppkey"))
+    late_others = late.select(F.col("l_orderkey").alias("o3_orderkey"),
+                              F.col("l_suppkey").alias("o3_suppkey"))
+    return (
+        late.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(others, (F.col("l_orderkey") == F.col("o2_orderkey"))
+              & (F.col("l_suppkey") != F.col("o2_suppkey")), "leftsemi")
+        .join(late_others, (F.col("l_orderkey") == F.col("o3_orderkey"))
+              & (F.col("l_suppkey") != F.col("o3_suppkey")), "leftanti")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )

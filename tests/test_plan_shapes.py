@@ -348,3 +348,119 @@ def test_q22_anti_join_and_scalar_threshold(spark, sf_dir):
     scans = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
     assert any("o_orderdate" in s for s in scans)
     assert any("c_nationkey" in s for s in scans)
+
+
+def test_q06_is_a_pure_pruned_scan_aggregate(spark, sf_dir):
+    """TPC-H Q6 shape: no join, ZERO exchanges beyond the scalar
+    collapse, all three predicates pushed to the scan, and the scan
+    reads only the four referenced columns."""
+    import re
+
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(all_queries()["q06_forecast_revenue"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0
+    scans = re.findall(r"PushedFilters: \[[^\n]*", plan)
+    assert any("l_shipdate" in s and "l_discount" in s for s in scans)
+    read = re.search(r"ReadSchema: struct<([^>]*)", plan).group(1)
+    assert read.count(":") <= 4, f"scan reads too many columns: {read}"
+
+
+def test_q02_min_cost_joins_back_by_equality_hash(spark, sf_dir):
+    """TPC-H Q2 shape: the decorrelated MIN joins back via equality
+    hash join on (partkey, exact-cents cost) — never a sort or loop —
+    with the euro/part legs broadcast and top-100 as
+    TakeOrderedAndProject."""
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(all_queries()["q02_min_cost_supplier"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+
+
+def test_q08_share_rides_one_aggregate_pass(spark, sf_dir):
+    """TPC-H Q8 shape: numerator and denominator are two exact-cents
+    partials in ONE aggregate; all dimension legs broadcast; the
+    order-date window reaches the orders scan."""
+    import re
+
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(all_queries()["q08_market_share"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    scans = re.findall(r"PushedFilters: \[[^\n]*", plan)
+    assert any("o_orderdate" in s for s in scans)
+    assert any("p_type" in s for s in scans)
+
+
+def test_q09_product_slice_broadcasts_before_fact_exchange(spark, sf_dir):
+    """TPC-H Q9 shape: the LIKE-filtered part slice broadcasts into the
+    fact before the orderkey exchange; supplier and nation broadcast;
+    no cartesian despite the unfiltered fact."""
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(all_queries()["q09_product_profit"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_q11_nation_slice_prunes_fact_before_exchange(spark, sf_dir):
+    """TPC-H Q11 shape: the nation's supplier slice is a broadcast
+    LEFT SEMI into the lineitem scan (the fact never shuffles
+    non-qualifying rows), and the grand total attaches as the
+    whitelisted single-row broadcast."""
+    import re
+
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(all_queries()["q11_important_parts"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "Cartesian" not in plan
+    scans = re.findall(r"PushedFilters: \[[^\n]*", plan)
+    assert any("s_nationkey" in s for s in scans)
+
+
+def test_q12_lag_predicate_evaluates_post_join_only(spark, sf_dir):
+    """TPC-H Q12 shape: the ship-year window reaches the lineitem scan,
+    the cross-table 90-day lag stays a post-join filter (it cannot
+    push), and both CASE counts ride one aggregate pass."""
+    import re
+
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(all_queries()["q12_priority_shipping"].fn(spark, sf_dir))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    scans = re.findall(r"PushedFilters: \[[^\n]*", plan)
+    assert any("l_shipdate" in s for s in scans)
+
+
+def test_q20_membership_chain_is_all_semi_joins(spark, sf_dir):
+    """TPC-H Q20 shape: both IN-subqueries decorrelate to hash semi
+    joins (part slice into the fact, heavy suppliers into the dim);
+    the ship year and part type reach their scans; nothing
+    materializes a distinct list."""
+    import re
+
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(
+        all_queries()["q20_excess_quantity_suppliers"].fn(spark, sf_dir))
+    assert plan.count("LeftSemi") >= 2
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    scans = re.findall(r"PushedFilters: \[[^\n]*", plan)
+    assert any("l_shipdate" in s for s in scans)
+    assert any("p_type" in s for s in scans)
+
+
+def test_q21_quantifiers_decorrelate_to_semi_and_anti(spark, sf_dir):
+    """TPC-H Q21 shape: the EXISTS is a LEFT SEMI against the fact and
+    the NOT EXISTS a LEFT ANTI against the late set — both keyed hash
+    joins with the supplier-inequality as residual, never a per-row
+    subquery or loop join; the order-status and nation filters reach
+    their scans."""
+    import re
+
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(all_queries()["q21_waiting_suppliers"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "TakeOrderedAndProject" in plan
+    scans = re.findall(r"PushedFilters: \[[^\n]*", plan)
+    assert any("o_orderstatus" in s for s in scans)
+    assert any("n_name" in s for s in scans)

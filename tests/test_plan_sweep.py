@@ -34,6 +34,8 @@ BNLJ_WHITELIST = {
                                       "(training normalizer)",
     "q22_global_sales_opportunity": "single broadcast avg-acctbal row "
                                     "(TPC-H Q22 scalar subquery)",
+    "q11_important_parts": "single broadcast grand-total row "
+                           "(TPC-H Q11 scalar fraction threshold)",
     # x61_ann_recall left the list in r6: the fused kernel path scores
     # the ground truth in-map, so no broadcast non-equi join remains.
 }
