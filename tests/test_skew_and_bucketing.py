@@ -188,3 +188,73 @@ def test_q18_bucketed_twin_fact_side_exchange_free(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bq_orders")
         spark.sql("DROP TABLE IF EXISTS bq_lineitem")
+
+
+def test_q21_bucketed_twin_fact_side_exchange_free(spark):
+    """The 100 TB layout answer for q21 (plans/relational.py): with
+    lineitem AND orders bucketed by order key, ALL THREE of q21's
+    fact-side joins — the late-set build (lineitem⋈orders), the EXISTS
+    semi (late⋈lineitem), and the NOT EXISTS anti (late⋈late) — are
+    satisfied by the bucketed scans' distribution, leaving no orderkey
+    exchange anywhere in the plan; the only shuffle left is the
+    dimension-sized s_name aggregate. Result must equal the registered
+    q21 row-for-row."""
+    from data_pipeline_foundations_spark.registry import all_queries
+
+    build_bucketed(spark, f"{SF_DIR}/orders.parquet", "bq21_orders",
+                   bucket_col="o_orderkey", n_buckets=8)
+    build_bucketed(spark, f"{SF_DIR}/lineitem.parquet", "bq21_lineitem",
+                   bucket_col="l_orderkey", n_buckets=8)
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            from data_pipeline_foundations_spark.tables import load
+
+            li = spark.table("bq21_lineitem")
+            o_f = (spark.table("bq21_orders")
+                   .filter(F.col("o_orderstatus") == "F")
+                   .select("o_orderkey", "o_orderdate"))
+            late = (li.join(o_f, li.l_orderkey == F.col("o_orderkey"))
+                    .filter(F.col("l_shipdate") > F.col("o_orderdate")
+                            + F.expr("INTERVAL 60 DAYS"))
+                    .select("l_orderkey", "l_suppkey"))
+            n = load(spark, SF_DIR, "nation").filter(
+                F.col("n_name") == "NATION_2")
+            sup = (load(spark, SF_DIR, "supplier")
+                   .join(F.broadcast(n),
+                         F.col("s_nationkey") == n.n_nationkey)
+                   .select("s_suppkey", "s_name"))
+            others = li.select(F.col("l_orderkey").alias("o2_orderkey"),
+                               F.col("l_suppkey").alias("o2_suppkey"))
+            late_others = late.select(
+                F.col("l_orderkey").alias("o3_orderkey"),
+                F.col("l_suppkey").alias("o3_suppkey"))
+            twin = (
+                late.join(F.broadcast(sup),
+                          F.col("l_suppkey") == F.col("s_suppkey"))
+                .join(others, (F.col("l_orderkey") == F.col("o2_orderkey"))
+                      & (F.col("l_suppkey") != F.col("o2_suppkey")),
+                      "leftsemi")
+                .join(late_others,
+                      (F.col("l_orderkey") == F.col("o3_orderkey"))
+                      & (F.col("l_suppkey") != F.col("o3_suppkey")),
+                      "leftanti")
+                .groupBy("s_name")
+                .agg(F.count(F.lit(1)).alias("numwait"))
+                .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+                .limit(100))
+            got = twin.collect()
+            plan = twin._jdf.queryExecution().executedPlan().toString()
+            assert "hashpartitioning(l_orderkey" not in plan, plan[:2000]
+            assert "hashpartitioning(o_orderkey" not in plan, plan[:2000]
+            assert "hashpartitioning(o2_orderkey" not in plan, plan[:2000]
+            assert "hashpartitioning(o3_orderkey" not in plan, plan[:2000]
+            want = all_queries()["q21_waiting_suppliers"] \
+                .fn(spark, SF_DIR).collect()
+            assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bq21_orders")
+        spark.sql("DROP TABLE IF EXISTS bq21_lineitem")
