@@ -826,10 +826,13 @@ def remove_boilerplate_segments(docs: DataFrame, *, id_col: str = "doc_id",
     (id, group, n_segments, n_boilerplate, clean_text).
 
     Scale shape: one shuffle of (group, fp, id) longs for the
-    document-frequency aggregate, one shuffle back on (group, fp) to
-    flag segments, one shuffle on id to reassemble — all long-keyed, no
-    text moves except each segment once. The segment explode is
-    scan-local (split once, slice per segment — x31's chunking
+    document-frequency aggregate; the flag step LEFT-joins only the
+    fingerprints that cleared ``min_df`` — the chrome set, bounded by
+    sites × chrome segments, not the corpus — so AQE broadcasts it and
+    the segment text does NOT shuffle to be flagged (falls back to a
+    shuffle join only if the chrome set is genuinely huge); one shuffle
+    on id to reassemble, the only time text moves. The segment explode
+    is scan-local (split once, slice per segment — x31's chunking
     discipline). At 100 TB the df aggregate is map-side combined and
     bounded by distinct segments, and reassembly state per document is
     its own segments only.
@@ -853,15 +856,19 @@ def remove_boilerplate_segments(docs: DataFrame, *, id_col: str = "doc_id",
                  F.posexplode("_segs").alias("seg_id", "seg_text"))
         .withColumn("fp", h(F.col("seg_text"))),
         eager=False)
-    seg_df = (segs.select(group_col, "fp", id_col).distinct()
+    boiler = (segs.select(group_col, "fp", id_col).distinct()
               .groupBy(group_col, "fp")
-              .agg(F.count(F.lit(1)).alias("seg_df")))
-    flagged = segs.join(seg_df, [group_col, "fp"])
-    keep = F.when(F.col("seg_df") < min_df,
-                  F.struct("seg_id", "seg_text"))
+              .agg(F.count(F.lit(1)).alias("seg_df"))
+              .filter(F.col("seg_df") >= min_df)
+              .select(group_col, "fp"))
+    flagged = (segs.join(boiler.withColumn("_boiler", F.lit(True)),
+                         [group_col, "fp"], "left")
+               .withColumn("_boiler",
+                           F.coalesce(F.col("_boiler"), F.lit(False))))
+    keep = F.when(~F.col("_boiler"), F.struct("seg_id", "seg_text"))
     return (flagged.groupBy(id_col, group_col)
             .agg(F.count(F.lit(1)).alias("n_segments"),
-                 F.sum((F.col("seg_df") >= min_df).cast("long"))
+                 F.sum(F.col("_boiler").cast("long"))
                  .alias("n_boilerplate"),
                  F.array_join(
                      F.transform(F.array_sort(F.collect_list(keep)),

@@ -715,25 +715,46 @@ def x54_conversion_funnel(spark, sf_dir):
     first qualifying purchase — the greedy-first semantics every
     product-analytics funnel uses (identical to a per-user
     sorted-event fold, because "first qualifying event after step k"
-    IS the min over qualifying events). Scale shape: three conditional
-    min-aggregates and two joins, ALL keyed on user_id, so one hash
-    partitioning serves every exchange; no per-user event list is ever
-    materialized, which is what keeps a power-user key from blowing
-    memory (the fold formulation would collect it)."""
-    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (ev.filter(F.col("event_type") == "view")
-         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
-    c = (ev.filter(F.col("event_type") == "click").join(v, "user_id")
-         .filter((F.col("ts") > F.col("t_view"))
-                 & (F.col("ts")
-                    <= F.col("t_view") + F.expr("INTERVAL 7 DAYS")))
-         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
-    p = (ev.filter(F.col("event_type") == "purchase").join(c, "user_id")
-         .filter((F.col("ts") > F.col("t_click"))
-                 & (F.col("ts")
-                    <= F.col("t_click") + F.expr("INTERVAL 7 DAYS")))
-         .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
-    return (v.join(c, "user_id", "left").join(p, "user_id", "left")
+    IS the min over qualifying events). Scale shape: ONE hash exchange
+    on user_id serves the whole query — the three step times are
+    chained whole-partition window minimums over the same partitioning
+    (t_click's candidate predicate references the t_view window result,
+    so Catalyst stacks three WindowExec nodes behind a single
+    Exchange+Sort), and the final one-row-per-user collapse reuses that
+    partitioning exchange-free. A power-user key is safe: WindowExec
+    buffers one user's events in a spillable row array, never a
+    driver-side list. (The equivalent 3-aggregate/2-join formulation
+    shuffles the same bytes across seven exchanges.)"""
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id")
+    ev = (load(spark, sf_dir, "events")
+          .select("user_id", "event_type", "ts")
+          .filter(F.col("event_type").isin("view", "click", "purchase")))
+    step = (ev.withColumn(
+                "t_view",
+                F.min(F.when(F.col("event_type") == "view",
+                             F.col("ts"))).over(w))
+            .withColumn(
+                "t_click",
+                F.min(F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view"))
+                    & (F.col("ts") <= F.col("t_view")
+                       + F.expr("INTERVAL 7 DAYS")),
+                    F.col("ts"))).over(w))
+            .withColumn(
+                "t_purchase",
+                F.min(F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click"))
+                    & (F.col("ts") <= F.col("t_click")
+                       + F.expr("INTERVAL 7 DAYS")),
+                    F.col("ts"))).over(w)))
+    return (step.filter(F.col("t_view").isNotNull())
+            .groupBy("user_id")
+            .agg(F.first("t_view").alias("t_view"),
+                 F.first("t_click").alias("t_click"),
+                 F.first("t_purchase").alias("t_purchase"))
             .select("user_id", "t_view", "t_click", "t_purchase",
                     F.when(F.col("t_purchase").isNotNull(), 3)
                     .when(F.col("t_click").isNotNull(), 2)
@@ -1565,8 +1586,11 @@ def x67_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     and one example doc — the classes where metadata alone risks
     re-identification. ONE map-side-combined aggregate + a HAVING
     filter; at 100 TB the output stays bounded by the quasi-identifier
-    cardinality, never the corpus."""
-    return (scale_out(load(spark, sf_dir, "documents"))
+    cardinality, never the corpus. No scale_out: the per-row work is
+    three column reads and an integer div — scan-bound, so a
+    round-robin repartition would only add an exchange (parallelism at
+    real scale comes from the file splits themselves)."""
+    return (load(spark, sf_dir, "documents")
             .groupBy("lang", "source",
                      F.expr(f"n_chars div {_KANON_BUCKET}")
                      .alias("len_bucket"))
@@ -1967,23 +1991,44 @@ def x73_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRAINED_BUCKETS = 2001
 
 
+def bucketed_token_stream(docs: DataFrame, *,
+                          buckets: int = _TRAINED_BUCKETS,
+                          label=None) -> DataFrame:
+    """One exploded (doc_id[, pos], n_tokens, bucket) token stream —
+    the shared input of training AND scoring, so a caller running both
+    can tokenize+hash the corpus ONCE (persist this) instead of once
+    per consumer. explode_outer keeps zero-token docs alive as a
+    null-bucket row (dropped by training, null-joined by scoring)."""
+    from ..functions.hashing import md5_long
+
+    toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
+    cols = [F.col("doc_id")]
+    if label is not None:
+        cols.append(F.when(label, F.lit(1)).otherwise(F.lit(0))
+                    .alias("pos"))
+    cols += [F.size(toks).cast("long").alias("n_tokens"),
+             F.explode_outer(toks).alias("tok")]
+    return (docs.select(*cols)
+            .withColumn("bucket", md5_long("tok") % F.lit(buckets))
+            .drop("tok"))
+
+
 def classifier_score_with_weights(docs: DataFrame, weights: DataFrame, *,
                                   buckets: int = _TRAINED_BUCKETS,
-                                  threshold: float = 0.0) -> DataFrame:
+                                  threshold: float = 0.0,
+                                  bucketed: DataFrame | None = None,
+                                  ) -> DataFrame:
     """Score documents with an explicit (bucket, weight) table: explode
     tokens ONCE (explode_outer keeps zero-token docs alive), bucket each
     token with the portable 60-bit md5, LEFT-broadcast-join the weight
     table, sum per doc. Exactly one corpus scan, one broadcast, one
     doc-keyed exchange — at 100 TB the weight table is KBs and the only
     shuffle is the per-doc rollup. Output matches x63's shape:
-    (doc_id, n_tokens, score, mean_weight, keep)."""
-    from ..functions.hashing import md5_long
-
-    toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
-    ex = (docs
-          .select("doc_id", F.size(toks).cast("long").alias("n_tokens"),
-                  F.explode_outer(toks).alias("tok"))
-          .withColumn("bucket", md5_long("tok") % F.lit(buckets)))
+    (doc_id, n_tokens, score, mean_weight, keep). Pass ``bucketed`` (a
+    bucketed_token_stream, usually persisted) to reuse a stream the
+    trainer already paid for instead of re-scanning ``docs``."""
+    ex = (bucketed if bucketed is not None
+          else bucketed_token_stream(docs, buckets=buckets))
     scored = (ex.join(F.broadcast(weights), "bucket", "left")
               .groupBy("doc_id", "n_tokens")
               .agg(F.coalesce(F.sum("weight"), F.lit(0)).cast("long")
@@ -1999,7 +2044,8 @@ def classifier_score_with_weights(docs: DataFrame, weights: DataFrame, *,
 def train_token_weights(docs: DataFrame, pos_label,
                         *, buckets: int = _TRAINED_BUCKETS,
                         weight_scale: int = 1000,
-                        freq_scale: int = 1_000_000) -> DataFrame:
+                        freq_scale: int = 1_000_000,
+                        bucketed: DataFrame | None = None) -> DataFrame:
     """Learn the (bucket, weight) table from labeled docs. Per hash
     bucket, with T_pos/T_neg the global per-class token totals:
 
@@ -2010,21 +2056,23 @@ def train_token_weights(docs: DataFrame, pos_label,
     — exact int64 everywhere, identical in any engine/order (both
     Spark's div and DuckDB's // truncate toward zero), and prior-free:
     normalizing by class totals keeps a shared-vocabulary token near 0
-    instead of inheriting the majority class's sign. Plan: one exploded
-    corpus pass feeding a ≤`buckets`-key map-combined aggregate plus a
-    2-long global total, joined back as a broadcast scalar; the output
-    is a KB-scale model table."""
-    from ..functions.hashing import md5_long
-
-    toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
-    pos = F.when(pos_label, F.lit(1)).otherwise(F.lit(0))
-    ex = (docs.select(pos.alias("pos"), F.explode(toks).alias("tok"))
-          .select("pos", (md5_long("tok") % F.lit(buckets)).alias("bucket")))
+    instead of inheriting the majority class's sign. Plan: ONE exploded
+    corpus pass feeding a ≤`buckets`-key map-combined aggregate; the
+    global class totals are derived by summing that model-sized
+    aggregate (not a second corpus pass — Σ_bucket n_pos IS t_pos) and
+    joined back as a broadcast scalar; the output is a KB-scale model
+    table. Pass ``bucketed`` (a bucketed_token_stream built with
+    ``label=``, usually persisted) to train from a stream the scorer
+    will reuse."""
+    ex = (bucketed if bucketed is not None
+          else bucketed_token_stream(docs, buckets=buckets,
+                                     label=pos_label)
+          ).filter(F.col("bucket").isNotNull())
     m = ex.groupBy("bucket").agg(
         F.sum("pos").cast("long").alias("n_pos"),
         F.sum(1 - F.col("pos")).cast("long").alias("n_neg"))
-    tot = ex.agg(F.sum("pos").cast("long").alias("t_pos"),
-                 F.sum(1 - F.col("pos")).cast("long").alias("t_neg"))
+    tot = m.agg(F.sum("n_pos").alias("t_pos"),
+                F.sum("n_neg").alias("t_neg"))
     return (m.crossJoin(F.broadcast(tot))
             .select("bucket",
                     F.expr(f"(n_pos * {freq_scale}) div t_pos").alias("fp"),
@@ -2087,8 +2135,14 @@ def x74_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFram
     on held-in data this is a real (if simple) trained language gate,
     the fastText-pipeline shape with an actual learned model table
     instead of x63's implicit hash weights. Cost at 100 TB: two corpus
-    scans (train + score), one ≤2001-key model aggregate, one broadcast,
-    one per-doc rollup exchange."""
+    tokenize+hash passes (train + score — deliberately NOT persisted:
+    caching a corpus-sized exploded token stream to save one scan is a
+    bad trade at scale), one ≤2001-key model aggregate whose global
+    class totals are derived from the aggregate itself (Σ_bucket n_pos
+    IS t_pos — no third pass), one broadcast, one per-doc rollup
+    exchange."""
     docs = scale_out(load(spark, sf_dir, "documents"))
-    w = train_token_weights(docs, F.col("lang") == "en")
-    return classifier_score_with_weights(docs, w)
+    stream = bucketed_token_stream(docs, label=F.col("lang") == "en")
+    w = train_token_weights(None, None, bucketed=stream)
+    return classifier_score_with_weights(
+        None, w, bucketed=stream.drop("pos"))

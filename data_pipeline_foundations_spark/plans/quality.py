@@ -969,23 +969,30 @@ def x53_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id",
                 (F.col("doc_id") % _BLOOM_BENCH_MOD == 0).alias("_is_bench"),
                 F.array_distinct("_sh").alias("sh")))
-    bench = (marked.filter(F.col("_is_bench"))
-             .select(F.explode_outer("sh").alias("s"))
-             .filter(F.col("s").isNotNull()).distinct())
+    # bench is KB-scale (1/17th slice's distinct shingles) but feeds
+    # TWO consumers with distinct broadcast plans (the bitset build and
+    # the exact-membership join) — lazy persist so the slice scan +
+    # distinct exchange run once, not once per broadcast
+    bench = tracked_persist(
+        marked.filter(F.col("_is_bench"))
+        .select(F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull()).distinct(),
+        eager=False)
     corpus = (marked.filter(~F.col("_is_bench"))
               .select("doc_id",
                       F.size("sh").cast("long").alias("n_shingles"),
                       F.explode_outer("sh").alias("s"))
               .filter(F.col("s").isNotNull()))
     bloom = bloom_build(bench, "s")
-    survivors = tracked_persist(
-        bloom_hits(corpus, "s", bloom), eager=False)
-    exact = (survivors.join(F.broadcast(bench), "s")
-             .groupBy("doc_id")
-             .agg(F.count(F.lit(1)).alias("n_exact_hits")))
-    return (survivors.groupBy("doc_id", "n_shingles")
-            .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
-            .join(exact, "doc_id", "left")
-            .select("doc_id", "n_shingles", "n_bloom_hits",
-                    F.coalesce("n_exact_hits", F.lit(0)).cast("long")
-                    .alias("n_exact_hits")))
+    survivors = bloom_hits(corpus, "s", bloom)
+    # ONE broadcast left join marks exact membership on the survivor
+    # stream, and ONE aggregate produces both counts — the two-agg +
+    # doc_id-join formulation paid a second survivor pass plus a third
+    # exchange to stitch the counts back together
+    return (survivors
+            .join(F.broadcast(bench.withColumn("_exact", F.lit(1))),
+                  "s", "left")
+            .groupBy("doc_id", "n_shingles")
+            .agg(F.count(F.lit(1)).alias("n_bloom_hits"),
+                 F.coalesce(F.sum("_exact"), F.lit(0)).cast("long")
+                 .alias("n_exact_hits")))

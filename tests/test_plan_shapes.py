@@ -464,3 +464,52 @@ def test_q21_quantifiers_decorrelate_to_semi_and_anti(spark, sf_dir):
     scans = re.findall(r"PushedFilters: \[[^\n]*", plan)
     assert any("o_orderstatus" in s for s in scans)
     assert any("n_name" in s for s in scans)
+
+
+def test_x54_funnel_is_one_exchange_three_windows(spark, sf_dir):
+    """x54's round-8 contract: the whole funnel — three chained
+    conditional step-minimums AND the per-user collapse — rides ONE
+    hash exchange on user_id (three stacked WindowExec nodes behind a
+    single Exchange+Sort; the old 3-aggregate/2-join shape paid seven).
+    A power user spills inside WindowExec, never on the driver."""
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(all_queries()["x54_conversion_funnel"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window [min(") == 3
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+def test_x53_survivor_stream_aggregates_once(spark, sf_dir):
+    """x53's round-8 contract: exact membership is marked on the bloom
+    survivor stream by ONE broadcast left join on the shingle, and one
+    aggregate emits both counts — no second survivor pass, no doc_id
+    join to stitch counts back (the old shape paid both)."""
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(
+        all_queries()["x53_bloom_decontamination"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+def test_x67_has_no_roundrobin_repartition(spark, sf_dir):
+    """x67's round-8 contract: the k-anonymity histogram is scan-bound
+    (three column reads + an integer div per row), so it must NOT pay a
+    round-robin redistribution exchange — parallelism at real scale
+    comes from the file splits; the only exchange is the aggregate's."""
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(all_queries()["x67_k_anonymity"].fn(spark, sf_dir))
+    assert "RoundRobinPartitioning" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_x43_chrome_set_broadcasts_to_flag_segments(spark, docs):
+    """x43's round-8 contract: only fingerprints that cleared min_df
+    (the chrome set — bounded by sites x chrome segments) move to flag
+    segments, as the build side of a broadcast LEFT join; the segment
+    TEXT shuffles exactly once, for per-document reassembly."""
+    from data_pipeline_foundations_spark.operators.dedup import (
+        remove_boilerplate_segments,
+    )
+    plan = _executed(remove_boilerplate_segments(docs))
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "SortMergeJoin" not in plan
