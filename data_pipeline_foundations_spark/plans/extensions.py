@@ -2146,3 +2146,113 @@ def x74_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFram
     w = train_token_weights(None, None, bucketed=stream)
     return classifier_score_with_weights(
         None, w, bucketed=stream.drop("pos"))
+
+
+# -- x75: SCD Type-2 customer-profile history ---------------------------
+
+_SCD_T0 = "1998-01-01"
+_SCD_T1 = "1999-06-01"
+_SCD_T2 = "2001-01-01"
+
+
+def _scd_latest_sql(lo: str | None, hi: str) -> str:
+    pred = f"o_orderdate < TIMESTAMP '{hi}'"
+    if lo is not None:
+        pred = f"o_orderdate >= TIMESTAMP '{lo}' AND {pred}"
+    return f"""
+    SELECT o_custkey AS custkey, o_orderstatus AS st,
+           o_orderpriority AS pr, o_orderdate AS t
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders WHERE {pred})
+    WHERE rn = 1"""
+
+
+def _scd_merge_sql(dim: str, upd: str) -> str:
+    """One SCD2 batch merge as pure SQL over CTEs ``dim`` (custkey, st,
+    pr, vf, vt) and ``upd`` (custkey, st, pr, t) — the DuckDB twin of
+    operators/scd.py's join + conditional-explode plan."""
+    chg = ("d.st IS DISTINCT FROM u.st"
+           " OR d.pr IS DISTINCT FROM u.pr")
+    return f"""
+    SELECT custkey, st, pr, vf, vt FROM {dim} WHERE vt IS NOT NULL
+    UNION ALL
+    SELECT d.custkey, d.st, d.pr, d.vf, u.t
+    FROM {dim} d JOIN {upd} u USING (custkey)
+    WHERE d.vt IS NULL AND ({chg})
+    UNION ALL
+    SELECT u.custkey, u.st, u.pr, u.t, NULL
+    FROM {upd} u LEFT JOIN (SELECT * FROM {dim} WHERE vt IS NULL) d
+         USING (custkey)
+    WHERE d.custkey IS NULL OR ({chg})
+    UNION ALL
+    SELECT d.custkey, d.st, d.pr, d.vf, NULL
+    FROM (SELECT * FROM {dim} WHERE vt IS NULL) d
+         LEFT JOIN {upd} u USING (custkey)
+    WHERE u.custkey IS NULL OR NOT ({chg})"""
+
+
+def _oracle_scd2_sql() -> str:
+    return f"""
+    WITH dim0 AS (SELECT custkey, st, pr, t AS vf, CAST(NULL AS TIMESTAMP)
+                         AS vt
+                  FROM ({_scd_latest_sql(None, _SCD_T0)})),
+    u1 AS ({_scd_latest_sql(_SCD_T0, _SCD_T1)}),
+    u2 AS ({_scd_latest_sql(_SCD_T1, _SCD_T2)}),
+    m1 AS ({_scd_merge_sql('dim0', 'u1')}),
+    m2 AS ({_scd_merge_sql('m1', 'u2')})
+    SELECT custkey, st AS order_status, pr AS order_priority,
+           valid_from, valid_to
+    FROM (SELECT custkey, st, pr, CAST(vf AS TIMESTAMP) AS valid_from,
+                 CAST(vt AS TIMESTAMP) AS valid_to FROM m2)
+    ORDER BY custkey, valid_from
+    """
+
+
+@query("x75_scd2_customer_history", oracle=_oracle_scd2_sql())
+def x75_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history of a customer profile dimension (latest order
+    status/priority per customer), built from scratch and advanced by
+    TWO batch merges (operators/scd.py) so every merge path is
+    exercised on real data: the second merge sees closed rows from the
+    first, no-op updates (unchanged status+priority), changed rows, and
+    first-seen keys. The reference's sinks full-refresh dimensions
+    (load_loan_detail.py to_sql replace); this is the history-keeping
+    upgrade a warehouse needs once "what was this customer's status in
+    March" is a real query. Scale shape per merge: one full-outer key
+    join of the open slice vs the batch + a scan-local 0-2 row explode
+    (operators/scd.py docstring); the batch prep here is one window per
+    slice, all on the same custkey partitioning."""
+    from pyspark.sql import Window as W
+
+    from ..operators.scd import scd2_merge
+
+    o = (load(spark, sf_dir, "orders")
+         .select(F.col("o_custkey").alias("custkey"),
+                 F.col("o_orderstatus").alias("order_status"),
+                 F.col("o_orderpriority").alias("order_priority"),
+                 F.col("o_orderdate").cast("timestamp").alias("t"),
+                 "o_orderkey"))
+    w = (W.partitionBy("custkey")
+         .orderBy(F.desc("t"), F.desc("o_orderkey")))
+
+    def latest(df):
+        return (df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "o_orderkey"))
+
+    dim0 = (latest(o.filter(F.col("t") < _SCD_T0))
+            .select("custkey", "order_status", "order_priority",
+                    F.col("t").alias("valid_from"),
+                    F.lit(None).cast("timestamp").alias("valid_to")))
+    u1 = (latest(o.filter((F.col("t") >= _SCD_T0)
+                          & (F.col("t") < _SCD_T1)))
+          .withColumnRenamed("t", "eff"))
+    u2 = (latest(o.filter((F.col("t") >= _SCD_T1)
+                          & (F.col("t") < _SCD_T2)))
+          .withColumnRenamed("t", "eff"))
+    tracked = ["order_status", "order_priority"]
+    d1 = scd2_merge(dim0, u1, key="custkey", tracked=tracked)
+    d2 = scd2_merge(d1, u2, key="custkey", tracked=tracked)
+    return d2.orderBy("custkey", "valid_from")
