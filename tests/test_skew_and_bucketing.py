@@ -258,3 +258,44 @@ def test_q21_bucketed_twin_fact_side_exchange_free(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bq21_orders")
         spark.sql("DROP TABLE IF EXISTS bq21_lineitem")
+
+
+def test_partitioned_layout_gets_dynamic_partition_pruning(spark):
+    """The third 100 TB layout lever next to bucketing and compaction:
+    a fact written with partitionBy(month) (build_warehouse's
+    partition_by option) must let Catalyst prune partitions at RUNTIME
+    from a selective dim filter — the dim's surviving join keys become
+    a dynamicpruningexpression partition filter on the fact scan, so a
+    two-month query reads two directories of a 100 TB table instead of
+    all of them. Result pinned equal to the unpartitioned join."""
+    li = (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+          .withColumn("ship_month",
+                      F.date_format("l_shipdate", "yyyy-MM")))
+    (li.write.mode("overwrite").format("parquet")
+     .partitionBy("ship_month").saveAsTable("dpp_lineitem"))
+    months = (li.select("ship_month").distinct()
+              .withColumn("quarter",
+                          F.concat(F.substring("ship_month", 1, 4),
+                                   F.lit("-Q"),
+                                   ((F.substring("ship_month", 6, 2)
+                                     .cast("int") - 1) / 3 + 1)
+                                   .cast("int"))))
+    pick = months.orderBy("ship_month").limit(1).collect()[0]["quarter"]
+    try:
+        dim = spark.table("dpp_lineitem").sparkSession.createDataFrame(
+            months.collect(), months.schema).filter(F.col("quarter") == pick)
+        fact = spark.table("dpp_lineitem")
+        res = (fact.join(dim, "ship_month")
+               .groupBy("quarter")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("l_quantity").alias("qty")))
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:3000]
+        got = sorted(map(tuple, res.collect()))
+        want = sorted(map(tuple,
+                          (li.join(dim, "ship_month").groupBy("quarter")
+                           .agg(F.count(F.lit(1)).alias("n"),
+                                F.sum("l_quantity").alias("qty"))).collect()))
+        assert got == want and len(got) == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dpp_lineitem")
