@@ -40,7 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["scd2_merge"]
+__all__ = ["scd2_merge", "scd2_from_events", "scd2_apply_log"]
 
 
 def scd2_merge(dim: DataFrame, updates: DataFrame, *, key: str,
@@ -90,3 +90,85 @@ def scd2_merge(dim: DataFrame, updates: DataFrame, *, key: str,
               .select(key, "_r.*"))
     return closed.select(key, *tracked, "valid_from", "valid_to") \
                  .unionByName(merged)
+
+
+def scd2_from_events(events: DataFrame, *, key: str, tracked: list[str],
+                     eff_col: str = "eff",
+                     seq_col: str = "seq") -> DataFrame:
+    """Build an SCD2 history table directly from a change-event log —
+    the event-sourced twin of :func:`scd2_merge` (which applies one
+    snapshot batch at a time).
+
+    ``events``: (key, *tracked, eff_col, seq_col) — the full attribute
+    observation log, any number of rows per key; ``seq_col`` breaks
+    same-timestamp ties deterministically (e.g. the order key).
+
+    Per key, ordered by (eff, seq): events equal to their immediate
+    predecessor (null-safe on every tracked column) are dropped — run
+    compression, which leaves exactly the change boundaries — and each
+    surviving row becomes a history interval [its eff, next survivor's
+    eff), the last one open.
+
+    Scale shape: ONE hash exchange on the key serving two stacked
+    window passes (the lag-compression and the lead that closes
+    intervals — same partitioning AND sort key, so Catalyst reuses the
+    exchange and the sort; the filter between them preserves order).
+    Per-key state inside WindowExec is one spillable run, never a
+    collected list.
+
+    Run compression is associative: compressing a concatenation of
+    batches (each batch stitched after the previous open row) equals
+    compressing the whole log — which is what makes the streaming twin
+    (streaming/scd_apply.py, per-batch :func:`scd2_apply_log`)
+    bit-equal to this batch build under ANY batching. Pinned in
+    tests/test_scd.py and tests/test_streaming.py.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key).orderBy(eff_col, seq_col)
+    first = F.lag(F.lit(1)).over(w).isNull()
+    changed = F.lit(False)
+    for c in tracked:
+        changed = changed | ~F.lag(F.col(c)).over(w).eqNullSafe(F.col(c))
+    kept = (events.withColumn("_keep", first | changed)
+            .filter(F.col("_keep")))
+    return (kept.select(
+        key, *tracked,
+        F.col(eff_col).cast("timestamp").alias("valid_from"),
+        F.lead(F.col(eff_col).cast("timestamp"))
+        .over(W.partitionBy(key).orderBy(eff_col, seq_col))
+        .alias("valid_to")))
+
+
+def scd2_apply_log(dim: DataFrame, events: DataFrame, *, key: str,
+                   tracked: list[str], eff_col: str = "eff",
+                   seq_col: str = "seq") -> DataFrame:
+    """Apply a batch of change events (any number per key) to an
+    existing SCD2 history: closed rows pass through; each key's open
+    row is re-emitted as a synthetic first event (its attributes at its
+    ``valid_from``, ordered before every batch event) and the combined
+    sequence goes through :func:`scd2_from_events`' run compression —
+    so a batch event equal to the open row's attributes is a no-op, and
+    consecutive equal events inside the batch collapse.
+
+    Precondition as :func:`scd2_merge`: event times are >= the open
+    rows' ``valid_from`` (monotone batches; late events are a
+    bitemporal problem). Scale shape: the union is scan-local, then
+    :func:`scd2_from_events`' single key exchange.
+    """
+    closed = dim.filter(F.col("valid_to").isNotNull()) \
+                .select(key, *tracked, "valid_from", "valid_to")
+    open_ev = (dim.filter(F.col("valid_to").isNull())
+               .select(key, *tracked,
+                       F.col("valid_from").alias(eff_col),
+                       F.lit(0).alias("_tier"),
+                       F.lit(None).cast("long").alias("_seq")))
+    batch_ev = events.select(key, *tracked, F.col(eff_col),
+                             F.lit(1).alias("_tier"),
+                             F.col(seq_col).cast("long").alias("_seq"))
+    seq = open_ev.unionByName(batch_ev).withColumn(
+        "_ord", F.struct("_tier", "_seq"))
+    hist = scd2_from_events(seq, key=key, tracked=tracked,
+                            eff_col=eff_col, seq_col="_ord")
+    return closed.unionByName(hist.select(key, *tracked,
+                                          "valid_from", "valid_to"))

@@ -2256,3 +2256,53 @@ def x75_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     d1 = scd2_merge(dim0, u1, key="custkey", tracked=tracked)
     d2 = scd2_merge(d1, u2, key="custkey", tracked=tracked)
     return d2.orderBy("custkey", "valid_from")
+
+
+def _oracle_scd2_events_sql() -> str:
+    return """
+    WITH lagged AS (
+      SELECT o_custkey AS custkey, o_orderstatus AS st,
+             o_orderpriority AS pr, o_orderdate AS t, o_orderkey AS seq,
+             row_number() OVER w AS rn,
+             lag(o_orderstatus) OVER w AS lst,
+             lag(o_orderpriority) OVER w AS lpr
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)
+    ),
+    kept AS (
+      SELECT * FROM lagged
+      WHERE rn = 1 OR st IS DISTINCT FROM lst OR pr IS DISTINCT FROM lpr
+    )
+    SELECT custkey, st AS order_status, pr AS order_priority,
+           CAST(t AS TIMESTAMP) AS valid_from,
+           CAST(lead(t) OVER (PARTITION BY custkey ORDER BY t, seq)
+                AS TIMESTAMP) AS valid_to
+    FROM kept
+    ORDER BY custkey, valid_from, seq
+    """
+
+
+@query("x76_scd2_event_log", oracle=_oracle_scd2_events_sql())
+def x76_scd2_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sourced SCD2: the customer-profile history built in ONE
+    pass from the full order log (operators/scd.py scd2_from_events) —
+    run compression keeps exactly the change boundaries, lead() closes
+    each interval. The same history x75 reaches via batch merges, but
+    as a single two-window plan on one custkey exchange: the shape for
+    backfilling a dimension's history from an event archive at 100 TB
+    (no per-batch iteration, per-key state is one spillable WindowExec
+    run). Streaming twin: streaming/scd_apply.py applies the same log
+    in micro-batches (scd2_apply_log) and lands bit-equal under any
+    batching — run compression is associative."""
+    from ..operators.scd import scd2_from_events
+
+    ev = (load(spark, sf_dir, "orders")
+          .select(F.col("o_custkey").alias("custkey"),
+                  F.col("o_orderstatus").alias("order_status"),
+                  F.col("o_orderpriority").alias("order_priority"),
+                  F.col("o_orderdate").cast("timestamp").alias("eff"),
+                  F.col("o_orderkey").alias("seq")))
+    hist = scd2_from_events(ev, key="custkey",
+                            tracked=["order_status", "order_priority"])
+    return hist.orderBy("custkey", "valid_from")

@@ -115,3 +115,56 @@ def test_merge_plan_is_one_key_join(spark):
     plan = _merge(dim, upd)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join FullOuter") == 1
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "k long, a string, b long, "
+                                       "eff timestamp, seq long")
+
+
+def test_event_log_build_equals_iterated_apply(spark):
+    """Associativity pin: scd2_from_events over the whole log ==
+    folding scd2_apply_log over ANY time-ordered batching — including
+    batches with several events per key, no-op events, and keys born
+    mid-stream."""
+    from data_pipeline_foundations_spark.operators.scd import (
+        scd2_apply_log, scd2_from_events,
+    )
+    rows = [
+        (1, "a", 1, TS(2020, 1, 1), 1),
+        (1, "a", 1, TS(2020, 2, 1), 2),   # no-op event
+        (1, "b", 1, TS(2020, 3, 1), 3),
+        (1, "b", 2, TS(2020, 3, 1), 4),   # same-ts change, seq-ordered
+        (2, "x", 9, TS(2020, 6, 1), 5),
+        (1, "a", 1, TS(2021, 1, 1), 6),   # back to an earlier value
+        (2, "x", 9, TS(2021, 2, 1), 7),   # no-op
+        (3, "n", 0, TS(2021, 3, 1), 8),   # key born in the last batch
+    ]
+    whole = scd2_from_events(_ev(spark, rows), key="k",
+                             tracked=["a", "b"])
+    for cut1, cut2 in [(4, 5), (1, 5), (4, 7), (2, 4)]:
+        acc = scd2_from_events(_ev(spark, rows[:cut1]), key="k",
+                               tracked=["a", "b"])
+        for lo, hi in [(cut1, cut2), (cut2, len(rows))]:
+            acc = scd2_apply_log(acc, _ev(spark, rows[lo:hi]),
+                                 key="k", tracked=["a", "b"])
+        key = lambda r: (r.k, r.valid_from, r.a, r.b,  # noqa: E731
+                         r.valid_to)
+        assert sorted(map(key, acc.collect())) == \
+               sorted(map(key, whole.collect())), (cut1, cut2)
+
+
+def test_event_log_plan_is_one_exchange(spark):
+    """x76's scale contract: compression lag and interval-closing lead
+    share ONE key exchange and one sort (same partitioning + sort key,
+    filter preserves order)."""
+    from data_pipeline_foundations_spark.operators.scd import (
+        scd2_from_events,
+    )
+    ev = _ev(spark, [(1, "a", 1, TS(2020, 1, 1), 1)])
+    df = scd2_from_events(ev, key="k", tracked=["a", "b"])
+    df.collect()
+    plan = (df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])  # AQE echoes the pre-plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort [") == 1, plan

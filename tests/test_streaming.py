@@ -597,3 +597,62 @@ def test_quality_gate_stream_equals_batch(spark, sf_dir, tmp_path):
     want = [(r.doc_id, r.n_tokens, r.score, r.mean_weight, r.keep)
             for r in x74_quality_classifier_trained(spark, sf_dir).collect()]
     assert sorted(got) == sorted(want)
+
+
+def test_scd2_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming SCD2 maintenance lands BIT-EQUAL to the one-pass batch
+    build (x76) under multi-batch arrival: run compression is
+    associative, so per-batch scd2_apply_log over time-ordered
+    micro-batches == scd2_from_events over the whole log. Also pins the
+    versioned-store surface: one committed snapshot per non-empty batch,
+    time-travel readable."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.plans.extensions import (
+        x76_scd2_event_log,
+    )
+    from data_pipeline_foundations_spark.sources.warehouse import (
+        list_versions, read_versioned,
+    )
+    from data_pipeline_foundations_spark.streaming.scd_apply import (
+        apply_scd2_stream,
+    )
+
+    ev = (load(spark, sf_dir, "orders")
+          .select(F.col("o_custkey").alias("custkey"),
+                  F.col("o_orderstatus").alias("order_status"),
+                  F.col("o_orderpriority").alias("order_priority"),
+                  F.col("o_orderdate").cast("timestamp").alias("eff"),
+                  F.col("o_orderkey").alias("seq")))
+    ev_dir = str(tmp_path / "scd_events")
+    years = [r.y for r in
+             ev.select(F.year("eff").alias("y")).distinct().collect()]
+    # one file per year, written oldest-first: maxFilesPerTrigger=1
+    # turns each into its own micro-batch, in time order (the monotone
+    # precondition scd2_apply_log documents)
+    for y in sorted(years):
+        (ev.filter(F.year("eff") == y).coalesce(1)
+         .write.mode("append").parquet(ev_dir))
+
+    dim_root = str(tmp_path / "scd_dim")
+    commits: list[int] = []
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(ev_dir))
+    q = apply_scd2_stream(
+        stream, dim_root, key="custkey",
+        tracked=["order_status", "order_priority"],
+        on_commit=lambda d, b: commits.append(b))
+    q.awaitTermination(300)
+
+    key = lambda r: (r.custkey, r.valid_from, r.order_status,  # noqa: E731
+                     r.order_priority, r.valid_to)
+    got = sorted(map(key, read_versioned(spark, dim_root).collect()))
+    want = sorted(map(key, x76_scd2_event_log(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0
+    assert len(commits) == len(years) > 1
+    assert len(list_versions(spark, dim_root)) == len(years)
+    # time travel: the first committed snapshot has no second-year rows
+    v0 = read_versioned(spark, dim_root,
+                        version=list_versions(spark, dim_root)[0][0])
+    assert (v0.agg(F.max(F.year("valid_from"))).collect()[0][0]
+            == sorted(years)[0])
