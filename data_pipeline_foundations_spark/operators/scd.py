@@ -172,3 +172,36 @@ def scd2_apply_log(dim: DataFrame, events: DataFrame, *, key: str,
                             eff_col=eff_col, seq_col="_ord")
     return closed.unionByName(hist.select(key, *tracked,
                                           "valid_from", "valid_to"))
+
+
+def scd2_as_of(dim: DataFrame, at, *, key: str | None = None) -> DataFrame:
+    """Point-in-time read of an SCD2 history: the one row per key whose
+    interval covers ``at`` (``valid_from <= at < valid_to``, open rows
+    unbounded above). Scan-local filter — no shuffle; with the history
+    stored partitioned or bucketed by key, downstream joins inherit
+    that layout. ``at`` may be a Python datetime or a Column."""
+    t = F.lit(at).cast("timestamp") if not hasattr(at, "over") else at
+    return dim.filter((F.col("valid_from") <= t)
+                      & (F.col("valid_to").isNull()
+                         | (t < F.col("valid_to"))))
+
+
+def scd2_point_in_time_join(facts: DataFrame, dim: DataFrame, *,
+                            key: str, ts_col: str,
+                            how: str = "left") -> DataFrame:
+    """Join each fact row to the dimension attributes that were valid
+    AT THE FACT'S OWN TIMESTAMP — the leakage-free feature-store join
+    (a training example must never see attributes from its future).
+
+    Equi-join on the business key with the interval predicate as a
+    residual: per key a history holds one row per attribute CHANGE, so
+    the join fan-out is bounded by change counts, never |facts|x|dim|.
+    One key exchange per side (broadcast if the dim is small); the
+    plan stays a hash join — pinned in tests (no cartesian, no BNLJ).
+    For histories with millions of intervals per key, bin the time
+    axis first (operators/temporal.py range_join's bin-and-verify)."""
+    t = F.col(ts_col)
+    cond = ((facts[key] == dim[key])
+            & (dim["valid_from"] <= t)
+            & (dim["valid_to"].isNull() | (t < dim["valid_to"])))
+    return facts.join(dim, cond, how).drop(dim[key])

@@ -2306,3 +2306,69 @@ def x76_scd2_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = scd2_from_events(ev, key="custkey",
                             tracked=["order_status", "order_priority"])
     return hist.orderBy("custkey", "valid_from")
+
+
+def _oracle_pit_join_sql() -> str:
+    return """
+    WITH lagged AS (
+      SELECT o_custkey AS custkey, o_orderstatus AS st,
+             o_orderpriority AS pr, o_orderdate AS t, o_orderkey AS seq,
+             row_number() OVER w AS rn,
+             lag(o_orderstatus) OVER w AS lst,
+             lag(o_orderpriority) OVER w AS lpr
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)
+    ),
+    kept AS (
+      SELECT * FROM lagged
+      WHERE rn = 1 OR st IS DISTINCT FROM lst OR pr IS DISTINCT FROM lpr
+    ),
+    hist AS (
+      SELECT custkey, st, pr, t AS vf,
+             lead(t) OVER (PARTITION BY custkey ORDER BY t, seq) AS vt
+      FROM kept
+    )
+    SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey,
+           CAST(o.o_orderdate AS TIMESTAMP) AS order_ts,
+           h.st AS status_asof, h.pr AS priority_asof
+    FROM orders o JOIN hist h
+      ON h.custkey = o.o_custkey
+     AND h.vf <= o.o_orderdate
+     AND (h.vt IS NULL OR o.o_orderdate < h.vt)
+    ORDER BY orderkey
+    """
+
+
+@query("x77_point_in_time_join", oracle=_oracle_pit_join_sql())
+def x77_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free feature join: every order joined to the customer
+    profile that was valid AT THE ORDER'S OWN TIMESTAMP (x76's SCD2
+    history; operators/scd.py scd2_point_in_time_join) — the
+    point-in-time-correct join a feature store runs so a training
+    example never sees attributes from its future. Exactly one interval
+    covers each fact, so the output is |orders| rows (the invariant the
+    test pins). Scale shape: the history build is x76's single-exchange
+    two-window pass; the join is an equi hash join on custkey with the
+    interval predicate as residual — fan-out bounded by per-key change
+    counts, never a cross product (no-BNLJ pinned)."""
+    from ..operators.scd import scd2_from_events, scd2_point_in_time_join
+
+    ev = (load(spark, sf_dir, "orders")
+          .select(F.col("o_custkey").alias("custkey"),
+                  F.col("o_orderstatus").alias("status_asof"),
+                  F.col("o_orderpriority").alias("priority_asof"),
+                  F.col("o_orderdate").cast("timestamp").alias("eff"),
+                  F.col("o_orderkey").alias("seq")))
+    hist = scd2_from_events(ev, key="custkey",
+                            tracked=["status_asof", "priority_asof"])
+    facts = (load(spark, sf_dir, "orders")
+             .select(F.col("o_orderkey").alias("orderkey"),
+                     F.col("o_custkey").alias("custkey"),
+                     F.col("o_orderdate").cast("timestamp")
+                     .alias("order_ts")))
+    joined = scd2_point_in_time_join(facts, hist, key="custkey",
+                                     ts_col="order_ts", how="inner")
+    return (joined.select("orderkey", "custkey", "order_ts",
+                          "status_asof", "priority_asof")
+            .orderBy("orderkey"))

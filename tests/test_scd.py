@@ -168,3 +168,34 @@ def test_event_log_plan_is_one_exchange(spark):
             .split("== Initial Plan ==")[0])  # AQE echoes the pre-plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Sort [") == 1, plan
+
+
+def test_as_of_read_picks_covering_interval(spark):
+    from data_pipeline_foundations_spark.operators.scd import scd2_as_of
+    dim = _dim(spark, [
+        (1, "a", 1, TS(2020, 1, 1), TS(2021, 1, 1)),
+        (1, "b", 1, TS(2021, 1, 1), None),
+        (2, "x", 2, TS(2022, 1, 1), None),
+    ])
+    got = {(r.k, r.a) for r in scd2_as_of(dim, TS(2020, 6, 1)).collect()}
+    assert got == {(1, "a")}  # k=2 not born yet
+    got = {(r.k, r.a) for r in scd2_as_of(dim, TS(2022, 6, 1)).collect()}
+    assert got == {(1, "b"), (2, "x")}
+    # boundary: at exactly valid_to the NEXT interval owns the instant
+    got = {(r.k, r.a) for r in scd2_as_of(dim, TS(2021, 1, 1)).collect()}
+    assert got == {(1, "b")}
+
+
+def test_point_in_time_join_exactly_one_interval_per_fact(spark, sf_dir):
+    """x77's invariant: an inner PIT join returns exactly |facts| rows
+    (every fact covered by exactly one interval) and the plan is a hash
+    join, never a nested loop."""
+    from data_pipeline_foundations_spark.registry import all_queries
+    from data_pipeline_foundations_spark.tables import load
+
+    df = all_queries()["x77_point_in_time_join"].fn(spark, sf_dir)
+    n_orders = load(spark, sf_dir, "orders").count()
+    assert df.count() == n_orders
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan
