@@ -324,3 +324,105 @@ def oracle_bloom_ctes(key_sql: str, src_sql: str) -> str:
     return f"""bloom_bits AS (
         {selects}
     )"""
+
+
+# -- Mergeable quantile sketch (log2-octave bins, quartile sub-bins) ----
+#
+# The fourth sketch beside HLL (distincts), CMS (counts) and Bloom
+# (membership): approximate quantiles with a FIXED footprint — at most
+# 63 octaves x 8 sub-cells = 504 cells per stratum regardless of corpus
+# size or value cardinality (x26/x57's exact histograms are bounded by
+# DISTINCT VALUES, which telemetry-style longs can blow). Cells are
+# (bit_length(v), top-3-bits(v)): exact for v<=7, at most 25% relative
+# width above — so a quantile estimate's bin bounds the true value
+# within +25%. Everything is integer bit arithmetic (length(bin(v)),
+# shifts) — identical in Spark and DuckDB by construction; float log2's
+# libm edge behavior never enters (the HLL lowbit-rank lesson).
+
+QS_MAX_CELLS = 63 * 8
+
+
+def _qs_cell(col):
+    # SQL expr: the Python-API shiftright only takes a LITERAL count
+    b = F.length(F.bin(col))
+    sub = F.expr(
+        "shiftright(_qs_v, greatest(length(bin(_qs_v)) - 3, 0))")
+    return (b * 8 + sub).alias("cell")
+
+
+def qsketch_build(values: DataFrame, value_col: str, *,
+                  strata_col: str = "lang") -> DataFrame:
+    """Values (positive longs) → sketch (stratum, cell, n): one
+    map-side-combined aggregate whose shuffle carries at most
+    |strata|·504 rows. Non-positive values are excluded (a cell for
+    them would break the monotone cell<->value order; count them
+    separately if they matter)."""
+    return (values
+            .filter(F.col(value_col) >= 1)
+            .select(F.col(strata_col).alias("stratum"),
+                    F.col(value_col).cast("long").alias("_qs_v"))
+            .select("stratum", _qs_cell(F.col("_qs_v")))
+            .groupBy("stratum", "cell")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def qsketch_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum: sketches from shards/days/engines combine
+    associatively (shard≡whole pinned in tests)."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), sketches)
+    return u.groupBy("stratum", "cell").agg(F.sum("n").alias("n"))
+
+
+def qsketch_quantiles(sketch: DataFrame,
+                      quantiles: list[tuple[str, int, int]],
+                      ) -> DataFrame:
+    """Per stratum, for each (name, num, den) quantile q=num/den: the
+    LOWER BOUND of the first cell whose cumulative count reaches
+    ceil(q·total) — true value in [lo, lo + 25%). Exact integer test
+    (den·cum >= num·total, no float q); one window + one aggregate over
+    the |strata|·<=504-row sketch — dimension-sized, never the corpus."""
+    from pyspark.sql import Window as W
+
+    lo = F.expr("cast(shiftleft(cell % 8, greatest(cast(cell div 8 "
+                "as int) - 3, 0)) as long)")
+    w = W.partitionBy("stratum").orderBy("cell")
+    cum = (sketch
+           .withColumn("lo", lo)
+           .withColumn("cum", F.sum("n").over(w))
+           .withColumn("total",
+                       F.sum("n").over(W.partitionBy("stratum"))))
+    aggs = [F.min(F.when(F.col("cum") * den >= F.col("total") * num,
+                         F.col("lo"))).alias(name)
+            for name, num, den in quantiles]
+    return (cum.groupBy("stratum")
+            .agg(F.max("total").alias("total"), *aggs))
+
+
+def oracle_qsketch_sql(value_sql: str, strata_sql: str, src_sql: str,
+                       quantiles: list[tuple[str, int, int]]) -> str:
+    """The DuckDB twin: same cells, same exact-integer threshold."""
+    qcols = ",\n           ".join(
+        f"MIN(CASE WHEN cum * {den} >= total * {num} THEN lo END)"
+        f" AS {name}" for name, num, den in quantiles)
+    return f"""
+    WITH qs_cells AS (
+        SELECT {strata_sql} AS stratum,
+               length(bin({value_sql})) * 8
+               + ({value_sql} >> greatest(length(bin({value_sql})) - 3,
+                                          0)) AS cell,
+               COUNT(*) AS n
+        FROM {src_sql} WHERE {value_sql} >= 1
+        GROUP BY 1, 2
+    ),
+    qs_cum AS (
+        SELECT stratum, cell,
+               ((cell % 8) << greatest((cell // 8) - 3, 0)) AS lo,
+               SUM(n) OVER (PARTITION BY stratum ORDER BY cell) AS cum,
+               SUM(n) OVER (PARTITION BY stratum) AS total
+        FROM qs_cells
+    )
+    SELECT stratum, CAST(MAX(total) AS BIGINT) AS total,
+           {qcols}
+    FROM qs_cum GROUP BY stratum"""

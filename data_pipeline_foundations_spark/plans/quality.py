@@ -996,3 +996,40 @@ def x53_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_bloom_hits"),
                  F.coalesce(F.sum("_exact"), F.lit(0)).cast("long")
                  .alias("n_exact_hits")))
+
+
+_QS_QUANTILES = [("p50_lo", 1, 2), ("p90_lo", 9, 10), ("p99_lo", 99, 100)]
+
+
+from ..operators.sketches import oracle_qsketch_sql as _oqs
+
+
+@query("x78_quantile_sketch",
+       oracle=_oqs("n_chars", "lang", "documents",
+                   [("p50_lo", 1, 2), ("p90_lo", 9, 10),
+                    ("p99_lo", 99, 100)]) + " ORDER BY stratum")
+def x78_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length quantiles (p50/p90/p99) from the
+    mergeable log2-octave quantile sketch (operators/sketches.py) —
+    the fourth sketch beside HLL/CMS/Bloom: fixed <=504-cell footprint
+    per stratum regardless of corpus size or value cardinality (the
+    exact histograms of x26/x57 are bounded by distinct values, which
+    telemetry longs can blow). Answers are cell LOWER BOUNDS — true
+    value within +25% (exact below 8) — computed with exact-integer
+    thresholds (den*cum >= num*total) so both engines agree bit-for-bit.
+    Scale shape: one map-side-combined aggregate shuffling <=|strata|*504
+    rows, then dimension-sized windows. Built SHARDED here (even/odd
+    doc_id halves, merged cell-wise) to exercise the mergeable contract
+    on the registered path; shard≡whole pinned in tests."""
+    from ..operators.sketches import (
+        qsketch_build, qsketch_merge, qsketch_quantiles,
+    )
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("lang", "n_chars")
+    even = qsketch_build(docs.filter(F.col("n_chars") % 2 == 0),
+                         "n_chars")
+    odd = qsketch_build(docs.filter(F.col("n_chars") % 2 == 1),
+                        "n_chars")
+    return (qsketch_quantiles(qsketch_merge(even, odd), _QS_QUANTILES)
+            .orderBy("stratum"))

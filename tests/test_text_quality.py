@@ -453,3 +453,51 @@ def test_trained_classifier_weights_join_is_broadcast(spark, sf_dir):
     # the only nested-loop is the whitelisted single-row class-totals
     # attach (test_plan_sweep.BNLJ_WHITELIST); a cartesian is always wrong
     assert "CartesianProduct" not in plan
+
+
+def test_qsketch_merge_equals_whole(spark):
+    """Quantile-sketch mergeable contract: cell counts from disjoint
+    shards sum to the whole-corpus sketch bit-for-bit, so day
+    partitions sketch independently at 100 TB."""
+    from data_pipeline_foundations_spark.operators.sketches import (
+        qsketch_build, qsketch_merge,
+    )
+    d = spark.range(1, 4_000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'es' END AS lang",
+        "(id * 37) % 9001 + 1 AS v")
+    merged = qsketch_merge(qsketch_build(d.filter("id < 1500"), "v"),
+                           qsketch_build(d.filter("id >= 1500"), "v"))
+    whole = qsketch_build(d, "v")
+    key = lambda r: (r.stratum, r.cell)  # noqa: E731
+    assert sorted(map(lambda r: (r.stratum, r.cell, r.n),
+                      merged.collect())) == \
+           sorted(map(lambda r: (r.stratum, r.cell, r.n),
+                      whole.collect()))
+
+
+def test_qsketch_quantile_error_bound(spark):
+    """The estimate is the covering cell's LOWER bound: for every
+    stratum and quantile, lo <= exact quantile <= lo * 1.25 (cells are
+    quartile sub-octaves; exact below 8). Footprint <= 504 cells."""
+    from data_pipeline_foundations_spark.operators.sketches import (
+        QS_MAX_CELLS, qsketch_build, qsketch_quantiles,
+    )
+    d = spark.range(1, 5_000).selectExpr(
+        "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS lang",
+        "CAST(1 + (id * id) % 100000 AS LONG) AS v")
+    sk = qsketch_build(d, "v")
+    assert sk.groupBy("stratum").count().agg(
+        {"count": "max"}).collect()[0][0] <= QS_MAX_CELLS
+    got = {r.stratum: r for r in qsketch_quantiles(
+        sk, [("p50", 1, 2), ("p90", 9, 10)]).collect()}
+    vals: dict[str, list[int]] = {}
+    for r in d.collect():
+        vals.setdefault(r.lang, []).append(r.v)
+    import math
+    for s, xs in vals.items():
+        xs.sort()
+        for name, num, den in [("p50", 1, 2), ("p90", 9, 10)]:
+            exact = xs[math.ceil(num * len(xs) / den) - 1]
+            lo = getattr(got[s], name)
+            width = max(lo // 4, 1)   # sub-octave cell width
+            assert lo <= exact <= lo + width, (s, name, lo, exact)
