@@ -199,3 +199,31 @@ def test_point_in_time_join_exactly_one_interval_per_fact(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "HashJoin" in plan
+
+
+def test_merge_equals_apply_log_on_single_update_batches(spark):
+    """Consistency across the two merge formulations: for a batch with
+    at most one update per key (scd2_merge's contract), the full-outer
+    join + explode path and the event-stitch + run-compression path
+    produce the same history — so a caller can switch from daily-batch
+    merging to event-log application without a backfill."""
+    from data_pipeline_foundations_spark.operators.scd import (
+        scd2_apply_log,
+    )
+    dim = _dim(spark, [
+        (1, "old", 1, TS(2020, 1, 1), TS(2021, 1, 1)),  # closed
+        (1, "cur", 1, TS(2021, 1, 1), None),            # will change
+        (2, "same", 2, TS(2020, 6, 1), None),           # no-op update
+        (3, "idle", 3, TS(2019, 1, 1), None),           # no update
+    ])
+    upd = _upd(spark, [(1, "new", 1, TS(2022, 3, 1)),
+                       (2, "same", 2, TS(2022, 3, 1)),
+                       (4, "born", 4, TS(2022, 3, 1))])
+    via_merge = _merge(dim, upd)
+    via_log = scd2_apply_log(
+        dim, upd.withColumn("seq", F.lit(0)), key="k",
+        tracked=["a", "b"])
+    key = lambda r: (r.k, r.valid_from, r.a, r.b,  # noqa: E731
+                     r.valid_to)
+    assert sorted(map(key, via_merge.collect())) == \
+           sorted(map(key, via_log.collect()))
