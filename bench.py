@@ -150,6 +150,12 @@ def main() -> None:
     # `fast_variant_ratio` is drift-free by construction. The twin's
     # absolute time lands in `fast_md5_twins` so the ratio can be
     # audited against the sweep's headline numbers.
+    # x03's xx side keeps the JVM HOF pipeline while its md5 side runs the
+    # fused Arrow kernel (no bit-exact Python xxhash64 exists in this env
+    # to port the kernel — SCALING.md's adjudication), so its ratio
+    # measures PATH choice + noise, not hash cost. Marked in the output so
+    # downstream readers don't re-adjudicate it as a hash-kernel signal.
+    PATH_MIXED = {"x03_dedup_minhash_lsh"}
     fast: dict[str, float] = {}
     twins: dict[str, float] = {}
     ratio: dict[str, float] = {}
@@ -184,17 +190,28 @@ def main() -> None:
     }))
     # Compact twin of the line above: the full per-query dict can exceed
     # the driver's tail-capture window (BENCH_r02 recorded "parsed": null),
-    # so a short line with the headline number and the trustworthy stable
-    # re-probes is printed LAST — the tail always ends with parseable JSON.
+    # so a shorter line with the stable re-probes comes next.
     print(json.dumps({
         "metric": "total_runtime_all_registered_queries",
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
         "stable": stable,
-        "fast_variants": fast,
-        "fast_md5_twins": twins,
         "fast_variant_ratio": ratio,
+        "path_mixed_ratios": sorted(PATH_MIXED),
+        "sf": sf,
+    }))
+    # Minimal headline line, printed LAST (VERDICT r8 #1): the compact
+    # line above itself outgrew the driver's 2,000-char tail window once
+    # `stable` reached 44 entries (BENCH_r08 recorded "parsed": null and
+    # the round's headline was lost). This line is bounded ~120 chars
+    # regardless of registry size, so the tail ALWAYS ends with the
+    # parseable headline.
+    print(json.dumps({
+        "metric": "total_runtime_all_registered_queries",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
         "sf": sf,
     }))
 

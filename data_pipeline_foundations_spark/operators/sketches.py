@@ -342,9 +342,12 @@ def oracle_bloom_ctes(key_sql: str, src_sql: str) -> str:
 QS_MAX_CELLS = 63 * 8
 
 
-def _qs_cell(col):
-    # SQL expr: the Python-API shiftright only takes a LITERAL count
-    b = F.length(F.bin(col))
+def _qs_cell():
+    # Operates on the column aliased `_qs_v` by qsketch_build — no
+    # parameter, so it can't silently mix two columns' bits into one
+    # cell id (the sub-bin shift must be F.expr: the Python-API
+    # shiftright only takes a LITERAL count).
+    b = F.length(F.bin(F.col("_qs_v")))
     sub = F.expr(
         "shiftright(_qs_v, greatest(length(bin(_qs_v)) - 3, 0))")
     return (b * 8 + sub).alias("cell")
@@ -361,7 +364,7 @@ def qsketch_build(values: DataFrame, value_col: str, *,
             .filter(F.col(value_col) >= 1)
             .select(F.col(strata_col).alias("stratum"),
                     F.col(value_col).cast("long").alias("_qs_v"))
-            .select("stratum", _qs_cell(F.col("_qs_v")))
+            .select("stratum", _qs_cell())
             .groupBy("stratum", "cell")
             .agg(F.count(F.lit(1)).alias("n")))
 

@@ -2013,7 +2013,8 @@ def bucketed_token_stream(docs: DataFrame, *,
             .drop("tok"))
 
 
-def classifier_score_with_weights(docs: DataFrame, weights: DataFrame, *,
+def classifier_score_with_weights(docs: DataFrame | None,
+                                  weights: DataFrame, *,
                                   buckets: int = _TRAINED_BUCKETS,
                                   threshold: float = 0.0,
                                   bucketed: DataFrame | None = None,
@@ -2026,7 +2027,12 @@ def classifier_score_with_weights(docs: DataFrame, weights: DataFrame, *,
     shuffle is the per-doc rollup. Output matches x63's shape:
     (doc_id, n_tokens, score, mean_weight, keep). Pass ``bucketed`` (a
     bucketed_token_stream, usually persisted) to reuse a stream the
-    trainer already paid for instead of re-scanning ``docs``."""
+    trainer already paid for instead of re-scanning ``docs`` — in that
+    mode ``docs`` may be None."""
+    if bucketed is None and docs is None:
+        raise ValueError(
+            "classifier_score_with_weights needs either `docs` (a raw "
+            "document table) or `bucketed` (a bucketed_token_stream)")
     ex = (bucketed if bucketed is not None
           else bucketed_token_stream(docs, buckets=buckets))
     scored = (ex.join(F.broadcast(weights), "bucket", "left")
@@ -2041,7 +2047,7 @@ def classifier_score_with_weights(docs: DataFrame, weights: DataFrame, *,
                          .alias("keep"))
 
 
-def train_token_weights(docs: DataFrame, pos_label,
+def train_token_weights(docs: DataFrame | None = None, pos_label=None,
                         *, buckets: int = _TRAINED_BUCKETS,
                         weight_scale: int = 1000,
                         freq_scale: int = 1_000_000,
@@ -2063,7 +2069,16 @@ def train_token_weights(docs: DataFrame, pos_label,
     joined back as a broadcast scalar; the output is a KB-scale model
     table. Pass ``bucketed`` (a bucketed_token_stream built with
     ``label=``, usually persisted) to train from a stream the scorer
-    will reuse."""
+    will reuse — in that mode ``docs``/``pos_label`` may be None, but
+    the stream must carry the 0/1 ``pos`` label column."""
+    if bucketed is None and (docs is None or pos_label is None):
+        raise ValueError(
+            "train_token_weights needs either (`docs`, `pos_label`) or "
+            "a labeled `bucketed` stream")
+    if bucketed is not None and "pos" not in bucketed.columns:
+        raise ValueError(
+            "train_token_weights: the `bucketed` stream has no `pos` "
+            "column — build it with bucketed_token_stream(..., label=...)")
     ex = (bucketed if bucketed is not None
           else bucketed_token_stream(docs, buckets=buckets,
                                      label=pos_label)
@@ -2143,7 +2158,7 @@ def x74_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFram
     exchange."""
     docs = scale_out(load(spark, sf_dir, "documents"))
     stream = bucketed_token_stream(docs, label=F.col("lang") == "en")
-    w = train_token_weights(None, None, bucketed=stream)
+    w = train_token_weights(bucketed=stream)
     return classifier_score_with_weights(
         None, w, bucketed=stream.drop("pos"))
 

@@ -1006,8 +1006,7 @@ from ..operators.sketches import oracle_qsketch_sql as _oqs
 
 @query("x78_quantile_sketch",
        oracle=_oqs("n_chars", "lang", "documents",
-                   [("p50_lo", 1, 2), ("p90_lo", 9, 10),
-                    ("p99_lo", 99, 100)]) + " ORDER BY stratum")
+                   _QS_QUANTILES) + " ORDER BY stratum")
 def x78_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language document-length quantiles (p50/p90/p99) from the
     mergeable log2-octave quantile sketch (operators/sketches.py) —
@@ -1019,8 +1018,9 @@ def x78_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds (den*cum >= num*total) so both engines agree bit-for-bit.
     Scale shape: one map-side-combined aggregate shuffling <=|strata|*504
     rows, then dimension-sized windows. Built SHARDED here (even/odd
-    doc_id halves, merged cell-wise) to exercise the mergeable contract
-    on the registered path; shard≡whole pinned in tests."""
+    n_chars value-parity halves — a disjoint row split — merged
+    cell-wise) to exercise the mergeable contract on the registered
+    path; shard≡whole pinned in tests."""
     from ..operators.sketches import (
         qsketch_build, qsketch_merge, qsketch_quantiles,
     )

@@ -418,6 +418,47 @@ def test_q11_nation_slice_prunes_fact_before_exchange(spark, sf_dir):
     assert any("s_nationkey" in s for s in scans)
 
 
+def test_q11_grand_total_reuses_perpart_exchange(spark, sf_dir):
+    """VERDICT r8 #3: the grand total is SUM over the per-part aggregate
+    sharing the per-part branch's partkey exchange, so AQE's stage reuse
+    serves the total from ONE fact scan at runtime (the old formulation
+    recomputed the pruned-fact CTE twice, 2.98x growth per decade). The
+    reuse only materializes in the FINAL adaptive plan, so this pin
+    executes the query first — at sf0.01, because at sf0.001 the
+    nation-9 slice yields zero qualifying rows and AQE's empty-relation
+    propagation erases every exchange (vacuous pin)."""
+    import os
+
+    from data_pipeline_foundations_spark.registry import all_queries
+    sf01 = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.01 test data unavailable")
+    df = all_queries()["q11_important_parts"].fn(spark, sf01)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 1
+
+
+def test_q13_histogram_exchange_is_partial_agg_compressed(spark, sf_dir):
+    """VERDICT r8 #6 audit pin: q13's second (tiny-key) aggregate must
+    not re-shuffle the per-customer output wholesale. ReusedExchange
+    can't apply (custkey vs c_count are different hash keys); the
+    correct mechanism is a map-side PARTIAL count keyed on c_count
+    sitting BELOW the c_count exchange, compressing the shuffle to
+    ~|partitions|x|distinct c_count| rows."""
+    import re
+
+    from data_pipeline_foundations_spark.registry import all_queries
+    plan = _executed(all_queries()["q13_customer_distribution"]
+                     .fn(spark, sf_dir))
+    m = re.search(
+        r"Exchange hashpartitioning\(c_count[^\n]*\n"
+        r"[^\n]*HashAggregate\(keys=\[c_count[^\n]*partial_count",
+        plan)
+    assert m, "c_count exchange must be fed by a partial aggregate"
+
+
 def test_q12_lag_predicate_evaluates_post_join_only(spark, sf_dir):
     """TPC-H Q12 shape: the ship-year window reaches the lineitem scan,
     the cross-table 90-day lag stays a post-join filter (it cannot
