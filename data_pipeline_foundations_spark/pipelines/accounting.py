@@ -71,11 +71,15 @@ def accounting_detail(fact_loan: DataFrame) -> DataFrame:
     return d.select(*DETAIL_COLUMNS)
 
 
-def detail_2025(detail: DataFrame) -> DataFrame:
+def detail_2025(detail: DataFrame, *, era: str = "2025-01-01") -> DataFrame:
     """The 2025 slice with FeeRatio (:106-107); implements the INTENT of
-    the reference's '205-01-01' typo filter (see module docstring)."""
+    the reference's '205-01-01' typo filter (see module docstring). The
+    era boundary is injectable (D7 spirit — the reference hard-codes it)
+    so the same slice runs against datasets whose dates live in a
+    different range (pl02 uses it over the star schema's 1995-2001
+    orders)."""
     return (detail
-            .filter(F.col("IssueMonthCDMX") >= F.lit("2025-01-01").cast("timestamp"))
+            .filter(F.col("IssueMonthCDMX") >= F.lit(era).cast("timestamp"))
             .withColumn("FeeRatio", F.col("Fee") / F.col("PrincipalAmount")))
 
 

@@ -67,10 +67,14 @@ def d11_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PL01_AS_OF = "2025-12-31"  # injectable "now" anchor (SURVEY.md D7)
 
 
-def _oracle_pl01_sql() -> str:
-    """DuckDB twin of pl01 — same operator chain, same money arithmetic."""
-    def r2(e: str) -> str:
-        return f"(CAST(FLOOR(({e}) * 100.0 + 0.5) AS BIGINT) / 100.0)"
+def _r2(e: str) -> str:
+    return f"(CAST(FLOOR(({e}) * 100.0 + 0.5) AS BIGINT) / 100.0)"
+
+
+def _oracle_pl01_ctes() -> str:
+    """The settlement chain's CTE block (everything up to ``settled``),
+    shared by pl01's final projection and pl02's accounting summaries."""
+    r2 = _r2
 
     def chan(flag: str) -> str:
         return f"""
@@ -151,6 +155,13 @@ def _oracle_pl01_sql() -> str:
                     THEN last_paid_at ELSE NULL END AS settled_at
         FROM b3
     )
+    """
+
+
+def _oracle_pl01_sql() -> str:
+    """DuckDB twin of pl01 — same operator chain, same money arithmetic."""
+    r2 = _r2
+    return f"""{_oracle_pl01_ctes()}
     SELECT loan_id, customer_id,
            CASE o_orderstatus WHEN 'F' THEN 'Fulfilled' WHEN 'O' THEN 'Open'
                 WHEN 'P' THEN 'Pending' ELSE 'Unknown' END AS status,
@@ -213,8 +224,14 @@ def pl01_settlement_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def settlement_pipeline(o: DataFrame, li: DataFrame, *,
-                        cust_in_li: bool = False) -> DataFrame:
+                        cust_in_li: bool = False,
+                        with_accounting_cols: bool = False) -> DataFrame:
     """The pl01 computation over caller-supplied orders/lineitem frames.
+
+    ``with_accounting_cols=True`` appends the four intermediate columns
+    the downstream accounting pipeline (pl02) consumes — issue_date,
+    tax_on_fee, tax_on_late_fee, dispute_amount — which pl01's pinned
+    surface drops. Default off so pl01's schema/hash stays unchanged.
 
     ``cust_in_li=True`` expects lineitem denormalized with ``l_custkey``
     (the orders-side customer key carried onto each line at warehouse
@@ -326,7 +343,7 @@ def settlement_pipeline(o: DataFrame, li: DataFrame, *,
     due_date = F.to_date(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
     end_date = F.when(F.col("settled_at").isNotNull(), F.to_date("settled_at")) \
                 .otherwise(F.to_date(F.lit(_PL01_AS_OF)))
-    return j.select(
+    cols = [
         "loan_id", "customer_id",
         F.when(F.col("o_orderstatus") == "F", "Fulfilled")
          .when(F.col("o_orderstatus") == "O", "Open")
@@ -340,4 +357,472 @@ def settlement_pipeline(o: DataFrame, li: DataFrame, *,
         "last_paid_at", "settled_at",
         F.col("settled_at").isNotNull().alias("is_settled"),
         F.greatest(F.datediff(end_date, due_date), F.lit(0)).cast("long").alias("days_late"),
+    ]
+    if with_accounting_cols:
+        cols += [
+            F.col("o_orderdate").alias("issue_date"),
+            "tax_on_fee", "tax_on_late_fee",
+            F.col("disputed").alias("dispute_amount"),
+        ]
+    return j.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# pl02 — the accounting-reports pipeline end-to-end
+# (load_accounting_data.py:106-157 analog)
+# ---------------------------------------------------------------------------
+_PL02_AS_OF = "2000-06-15"  # accounting run date (injectable "now", D7)
+_PL02_ERA = "1998-01-01"    # the '205-01-01' INTENT boundary, rebased into
+#                             the star schema's 1995-2001 date range
+
+
+def _oracle_pl02_sql() -> str:
+    """DuckDB twin of pl02: the settlement CTE chain (shared with pl01)
+    → accounting detail mapping → both monthly summaries + referral join
+    + era fee-ratio, stacked."""
+    r2 = _r2
+
+    def cts(e: str) -> str:  # exact cents
+        return f"CAST(FLOOR(({e}) * 100.0 + 0.5) AS BIGINT)"
+
+    def cdmx(e: str) -> str:
+        return (f"CAST(({e}) AT TIME ZONE 'UTC' "
+                f"AT TIME ZONE 'America/Mexico_City' AS TIMESTAMP)")
+
+    acc_sums = ", ".join(
+        f'{r2(f"SUM({src})")} AS "{name}"'
+        for name, src in [
+            ("PrincipalAmount", "principal"), ("Fee", "fee"),
+            ("TaxOnFee", "tax_on_fee"), ("LateFee", "late_fee"),
+            ("TaxOnLateFee", "tax_on_late_fee"),
+            ("TotalAmountDue", "total_due"),
+            ("PrincipalPaid", "principal_paid"), ("FeePaid", "fee_paid"),
+            ("TaxOnFeePaid", "tax_on_fee_paid"),
+            ("LateFeePaid", "late_fee_paid"),
+            ("TaxOnLateFeePaid", "tax_on_late_fee_paid"),
+            ("ApportionedAmountPaid", "apportioned"),
+        ])
+    set_sums = ", ".join(
+        f'{r2(f"SUM({src})")} AS "{name}"'
+        for name, src in [
+            ("PrincipalPaid", "principal_paid"), ("FeePaid", "fee_paid"),
+            ("TaxOnFeePaid", "tax_on_fee_paid"),
+            ("LateFeePaid", "late_fee_paid"),
+            ("TaxOnLateFeePaid", "tax_on_late_fee_paid"),
+            ("ApportionedAmountPaid", "apportioned"),
+            ("DisputeAmount", "disputed"),
+        ])
+    return f"""{_oracle_pl01_ctes()}
+    , det0 AS (
+        SELECT date_trunc('month', {cdmx('o_orderdate')}) AS issue_month,
+               date_trunc('month', {cdmx('settled_at')}) AS settled_month,
+               principal, fee, tax_on_fee, late_fee, tax_on_late_fee,
+               {r2('total_due')} AS total_due,
+               total_paid, principal_paid, fee_paid, late_fee_paid, disputed
+        FROM settled WHERE o_orderstatus <> 'P'
+    ), detail AS (
+        SELECT *,
+               {r2('fee_paid * 0.16')} AS tax_on_fee_paid,
+               {r2('late_fee_paid * 0.16')} AS tax_on_late_fee_paid,
+               CASE WHEN total_paid > total_due THEN {r2('total_due')}
+                    ELSE {r2('total_paid')} END AS apportioned
+        FROM det0
+    ), acc AS (
+        SELECT * FROM (
+            SELECT issue_month, {acc_sums}
+            FROM detail GROUP BY issue_month
+        ) WHERE issue_month < TIMESTAMP '2000-05-31 00:00:00'
+    ), setl AS (
+        SELECT * FROM (
+            SELECT settled_month, {set_sums}
+            FROM detail WHERE settled_month IS NOT NULL
+            GROUP BY settled_month
+        ) WHERE settled_month <= TIMESTAMP '2000-05-31 00:00:00'
+    ), referral AS (
+        SELECT date_trunc('month', {cdmx('o_orderdate')}) AS ref_month,
+               COUNT(*) AS n_ref,
+               SUM({cts('o_totalprice')}) / 100.0 AS ref_amt
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    ), era AS (
+        SELECT issue_month AS era_month,
+               CAST(SUM({cts('fee')}) AS DOUBLE)
+                   / CAST(SUM({cts('principal')}) AS DOUBLE) AS era_ratio
+        FROM detail
+        WHERE issue_month >= TIMESTAMP '{_PL02_ERA} 00:00:00'
+        GROUP BY 1
     )
+    SELECT 'accounting' AS report, a.issue_month AS month,
+           a."PrincipalAmount", a."Fee", a."TaxOnFee", a."LateFee",
+           a."TaxOnLateFee", a."TotalAmountDue", a."PrincipalPaid",
+           a."FeePaid", a."TaxOnFeePaid", a."LateFeePaid",
+           a."TaxOnLateFeePaid", a."ApportionedAmountPaid",
+           CAST(NULL AS DOUBLE) AS "DisputeAmount",
+           COALESCE(r.n_ref, 0) AS n_referral_payouts,
+           COALESCE(r.ref_amt, 0.0) AS referral_amount,
+           e.era_ratio AS era_fee_ratio
+    FROM acc a
+    LEFT JOIN referral r ON a.issue_month = r.ref_month
+    LEFT JOIN era e ON a.issue_month = e.era_month
+    UNION ALL
+    SELECT 'settled' AS report, s.settled_month AS month,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           s."PrincipalPaid", s."FeePaid", s."TaxOnFeePaid",
+           s."LateFeePaid", s."TaxOnLateFeePaid", s."ApportionedAmountPaid",
+           s."DisputeAmount",
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM setl s
+    """
+
+
+@query("pl02_accounting_reports", oracle=_oracle_pl02_sql())
+def pl02_accounting_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end accounting-reports pipeline analog
+    (load_accounting_data.py:106-157): the pl01 settlement chain feeds
+    the REAL pipelines/accounting.py functions — accounting_detail's
+    35-column repayment detail (P1, with the overpaid/apportioned
+    derivation and month truncations D4), then BOTH monthly money
+    summaries (A5 issue-month, A6 settled-month with the explicit
+    null-group drop), stacked with a report tag; the issue-month rows
+    carry the referral-payouts join (load_accounting_data.py:179-193,
+    the a07/T-SQL surface) and the era fee ratio from the detail slice
+    whose boundary documents the reference's '205-01-01' typo: the
+    INTENT (IssueMonthCDMX >= era start) is implemented, with the
+    boundary injectable (detail_2025(era=...)) and rebased to
+    1998-01-01 for the star schema's 1995-2001 date range.
+
+    Role mapping: pl01's status strings map to the reference's codes —
+    Fulfilled→2 (repaid, the UnderpaidFlag branch), Open→1 (active),
+    Pending→6 (DisbursementFailed analog, EXCLUDED by accounting_detail,
+    a third of orders — the filter is load-bearing). The accounting
+    as_of is 2000-06-15 (cutoff = last day of prev month, 2000-05-31),
+    distinct from pl01's DPD anchor: reports run at their own date.
+
+    Scale plan: ONE settlement chain (lineitem agg exchange + custkey
+    window exchange) fans into three consumers — issue-month summary,
+    settled-month summary, era ratio — all tiny-key aggregates whose
+    partial (map-side) phase compresses each branch to ~months rows
+    before its exchange; AQE stage-reuse serves all three branches from
+    the same custkey window shuffle (the post-window projections are
+    map-only). The referral aggregate is an independent orders scan
+    collapsing to ~months rows, broadcast into the join. Money sums are
+    deterministic: every detail column is exactly 2-dp (round2'd
+    upstream), so sum-then-round (the reference's .sum().round(2))
+    cannot drift across engines within double's exact-integer range;
+    the era ratio divides two exact cents sums (one float op at the
+    end)."""
+    import datetime as _dt
+
+    from ..functions.datetime_ops import to_cdmx
+    from ..functions.money import cents
+    from ..pipelines.accounting import (
+        accounting_detail, accounting_summary, detail_2025, settled_summary,
+    )
+
+    fact = settlement_pipeline(load(spark, sf_dir, "orders"),
+                               load(spark, sf_dir, "lineitem"),
+                               with_accounting_cols=True)
+    status_code = (F.when(F.col("status") == "Fulfilled", 2)
+                   .when(F.col("status") == "Open", 1)
+                   .otherwise(6))
+    policy = (F.col("loan_id") % 3).cast("int")
+    mapped = fact.select(
+        F.col("customer_id").alias("UserId"),
+        F.col("loan_id").alias("UserLoanId"),
+        F.col("issue_date").alias("IssueDate"),
+        to_cdmx("issue_date").alias("IssueDateCDMX"),
+        (F.col("issue_date") + F.expr("INTERVAL 30 DAYS")).alias("DueDate"),
+        status_code.alias("LoanStatus"),
+        F.col("loan_number").alias("LoanNumber"),
+        (F.col("days_late") > 0).cast("int").alias("IsLate"),
+        F.col("principal").alias("PrincipalAmount"),
+        F.col("fee").alias("Fee"),
+        F.col("tax_on_fee").alias("TaxOnFee"),
+        F.col("late_fee").alias("LateFee"),
+        F.col("tax_on_late_fee").alias("TaxOnLateFee"),
+        F.col("total_due").alias("TotalAmountDue"),
+        F.col("late_fee_paid").alias("LateFeePaid"),
+        round2(F.col("late_fee_paid") * 0.16).alias("TaxOnLateFeePaid"),
+        F.col("fee_paid").alias("FeePaid"),
+        round2(F.col("fee_paid") * 0.16).alias("TaxOnFeePaid"),
+        F.col("principal_paid").alias("PrincipalPaid"),
+        F.col("total_paid").alias("TotalAmountPaid"),
+        policy.alias("JitOfferPolicy"),
+        F.when(policy == 0, "Standard").when(policy == 1, "Jit")
+         .otherwise("Promo").alias("JitOfferPolicyName"),
+        F.col("last_paid_at").alias("LastPaidDate"),
+        to_cdmx("last_paid_at").alias("LastPaidDateCDMX"),
+        F.col("settled_at").alias("SettledAt"),
+        to_cdmx("settled_at").alias("SettledAtCDMX"),
+        F.col("dispute_amount").alias("DisputeAmount"),
+    )
+    detail = accounting_detail(mapped)
+    as_of = _dt.datetime.fromisoformat(_PL02_AS_OF + " 00:00:00")
+    acc = accounting_summary(detail, as_of=as_of)
+    setl = settled_summary(detail, as_of=as_of)
+
+    o = load(spark, sf_dir, "orders")
+    ref = (o.filter(F.col("o_orderstatus") == "F")
+           .groupBy(F.date_trunc("month", to_cdmx("o_orderdate"))
+                    .alias("ref_month"))
+           .agg(F.count(F.lit(1)).alias("n_ref"),
+                (F.sum(cents("o_totalprice")) / F.lit(100.0))
+                .alias("ref_amt")))
+    era = (detail_2025(detail, era=_PL02_ERA)
+           .groupBy(F.col("IssueMonthCDMX").alias("era_month"))
+           .agg((F.sum(cents("Fee")).cast("double")
+                 / F.sum(cents("PrincipalAmount")).cast("double"))
+                .alias("era_ratio")))
+
+    dnull = F.lit(None).cast("double")
+    money_cols = ["PrincipalAmount", "Fee", "TaxOnFee", "LateFee",
+                  "TaxOnLateFee", "TotalAmountDue", "PrincipalPaid",
+                  "FeePaid", "TaxOnFeePaid", "LateFeePaid",
+                  "TaxOnLateFeePaid", "ApportionedAmountPaid"]
+    acc_out = (acc
+               .join(ref, acc.IssueMonthCDMX == ref.ref_month, "left")
+               .join(era, acc.IssueMonthCDMX == era.era_month, "left")
+               .select(
+                   F.lit("accounting").alias("report"),
+                   F.col("IssueMonthCDMX").alias("month"),
+                   *money_cols,
+                   dnull.alias("DisputeAmount"),
+                   F.coalesce("n_ref", F.lit(0)).alias("n_referral_payouts"),
+                   F.coalesce("ref_amt", F.lit(0.0)).alias("referral_amount"),
+                   F.col("era_ratio").alias("era_fee_ratio"),
+               ))
+    set_out = setl.select(
+        F.lit("settled").alias("report"),
+        F.col("SettledAtMonthCDMX").alias("month"),
+        *[dnull.alias(c) for c in money_cols[:6]],
+        *money_cols[6:12],
+        "DisputeAmount",
+        F.lit(None).cast("long").alias("n_referral_payouts"),
+        dnull.alias("referral_amount"),
+        dnull.alias("era_fee_ratio"),
+    )
+    return acc_out.unionByName(set_out)
+
+
+# ---------------------------------------------------------------------------
+# pl03 — the growth-data month refresh end-to-end
+# (extract_growth_data.py:78-175 analog)
+# ---------------------------------------------------------------------------
+_PL03_REFRESH = ("1995_01", "1995_02", "1996_06")
+
+
+def _oracle_pl03_sql() -> str:
+    months = ", ".join(f"'{m}'" for m in _PL03_REFRESH)
+    cts = "CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+    return f"""
+    WITH hist AS (
+        SELECT o_orderkey AS ad_id,
+               strftime(o_orderdate, '%Y_%m') AS month_tag,
+               'history' AS source,
+               o_orderdate AS install_day,
+               {cts} / 100.0 AS cost,
+               o_orderkey % 97 AS clicks
+        FROM orders
+        WHERE strftime(o_orderdate, '%Y_%m') NOT IN ({months})
+    ), refreshed AS (
+        SELECT o_orderkey AS ad_id,
+               strftime(o_orderdate, '%Y_%m') AS month_tag,
+               'refresh' AS source,
+               date_trunc('day', o_orderdate) AS install_day,
+               CAST({cts} AS DOUBLE) / 100.0 AS cost,
+               o_orderkey % 97 AS clicks
+        FROM orders
+        WHERE strftime(o_orderdate, '%Y_%m') IN ({months})
+          AND o_orderkey % 50 <> 0
+    )
+    SELECT * FROM hist UNION ALL SELECT * FROM refreshed
+    """
+
+
+@query("pl03_growth_month_refresh", oracle=_oracle_pl03_sql())
+def pl03_growth_month_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end growth-data month refresh analog
+    (extract_growth_data.py:78-175), as one query: history rows OUTSIDE
+    the refresh months pass through (the O3 month anti-filter), while
+    the refresh months re-enter through the REAL raw-export transform
+    (pipelines/growth_data.transform_facebook_raw): a synthesized raw
+    frame in the export's own shape — "MMM d, yyyy" date strings,
+    $-and-thousands-comma money strings, a null-Ad summary row (every
+    50th key) — goes through P17 numeric cleaning, the date parse, the
+    summary-row drop (P7) and the snake_case renames (P2), then appends
+    by name. The parquet-layout version of this (dynamic partition
+    overwrite, O(new month) I/O) is refresh_monthly_partitions, pinned
+    by pytest; this row is its oracle-checkable dataflow twin.
+
+    Scale plan: both branches are single-scan, shuffle-free maps over
+    orders (the month predicate reaches the scan on each branch); the
+    union is a plan-level concat. At 100 TB on a month_tag-partitioned
+    layout both month predicates become partition pruning — neither
+    branch reads a byte of the other's months. Money round-trips
+    exactly: the $-comma string is built from exact cents and cleaned
+    back to the same integer, so cost is bit-equal to round2(price) in
+    both engines."""
+    from ..functions.money import cents
+    from ..pipelines.growth_data import transform_facebook_raw
+
+    o = load(spark, sf_dir, "orders")
+    tag = F.date_format("o_orderdate", "yyyy_MM")
+    history = (o.filter(~tag.isin(*_PL03_REFRESH))
+               .select(F.col("o_orderkey").alias("ad_id"),
+                       tag.alias("month_tag"),
+                       F.lit("history").alias("source"),
+                       F.col("o_orderdate").alias("install_day"),
+                       round2("o_totalprice").alias("cost"),
+                       (F.col("o_orderkey") % 97).alias("clicks")))
+    # the revised export for the refresh months, in the RAW export shape
+    raw = (o.filter(tag.isin(*_PL03_REFRESH))
+           .withColumn("_c", cents("o_totalprice").cast("string"))
+           .select(
+               F.col("o_orderkey").cast("string").alias("Ad ID"),
+               F.when(F.col("o_orderkey") % 50 == 0,
+                      F.lit(None).cast("string"))
+                .otherwise(F.concat(F.lit("ad-"), F.col("o_orderkey")))
+                .alias("Ad"),
+               F.date_format("o_orderdate", "MMM d, yyyy")
+                .alias("Install Day"),
+               F.expr(
+                   "CASE WHEN length(_c) > 3 THEN concat('$', "
+                   "substring(_c, 1, length(_c)-3), ',', "
+                   "substring(_c, length(_c)-2, 3)) "
+                   "ELSE concat('$', _c) END").alias("Cost (sum)"),
+               (F.col("o_orderkey") % 97).cast("string")
+               .alias("Clicks (sum)"),
+           ))
+    refreshed = (transform_facebook_raw(raw)
+                 .select(F.col("ad_id").cast("long").alias("ad_id"),
+                         F.date_format("install_day", "yyyy_MM")
+                         .alias("month_tag"),
+                         F.lit("refresh").alias("source"),
+                         F.col("install_day"),
+                         (F.col("cost") / F.lit(100.0)).alias("cost"),
+                         F.col("clicks").cast("long").alias("clicks")))
+    return history.unionByName(refreshed)
+
+
+# ---------------------------------------------------------------------------
+# pl04 — the arcus payment-processor enrichment end-to-end
+# (extract_arcus_transactions.py:9-71 analog)
+# ---------------------------------------------------------------------------
+_PL04_MIN_CREATED = "2024-01-10"
+
+
+def _oracle_pl04_sql() -> str:
+    def cdmx(e: str) -> str:
+        return (f"CAST(({e}) AT TIME ZONE 'UTC' "
+                f"AT TIME ZONE 'America/Mexico_City' AS TIMESTAMP)")
+
+    completed = "CASE WHEN e.event_id % 3 = 0 THEN e.ts + INTERVAL 2 HOUR END"
+    return f"""
+    WITH ulat AS (
+        SELECT event_id AS id,
+               CASE WHEN event_id % 7 = 0 THEN NULL
+                    ELSE CAST(event_id * 10 AS DOUBLE) END AS user_loan_id
+        FROM events WHERE event_id % 4 <> 0
+    ), ua AS (
+        SELECT event_id AS id FROM events WHERE event_id % 10 = 0
+    )
+    SELECT e.event_id AS "ArcusTransactionId",
+           'ext-' || CAST(e.event_id AS VARCHAR) AS "ExternalId",
+           e.props AS "Reference",
+           e.user_id AS "ArcusCustomerId",
+           COALESCE(CAST(CAST(l.user_loan_id AS BIGINT) AS VARCHAR),
+                    'None') AS "UserLoanId",
+           e.event_type AS "Description",
+           e.value AS "Amount",
+           e.ts AS "CreatedAt",
+           {cdmx('e.ts')} AS "CreatedAtCDMX",
+           e.ts + INTERVAL 1 HOUR AS "ModifiedAt",
+           {cdmx('e.ts + INTERVAL 1 HOUR')} AS "ModifiedAtCDMX",
+           {completed} AS "CompletedAt",
+           {cdmx(completed)} AS "CompletedAtCDMX",
+           CAST(e.event_id % 2 AS INTEGER) AS "IsDistribution",
+           CASE WHEN e.event_id % 2 = 1 THEN 'Out' ELSE 'In' END
+               AS "TransactionType",
+           CAST(e.event_id % 5 AS INTEGER) AS "Status",
+           CASE CAST(e.event_id % 5 AS INTEGER)
+                WHEN 0 THEN 'Pending' WHEN 1 THEN 'Succeeded'
+                WHEN 2 THEN 'Failed' WHEN 3 THEN 'Refunded'
+                WHEN 4 THEN 'Returned' END AS "StatusDescription",
+           CASE WHEN e.event_id % 3 = 0 THEN 0 ELSE 1 END
+               AS "TransactionDirection",
+           CASE WHEN e.event_id % 3 = 0 THEN 'Credit' ELSE 'Debit' END
+               AS "TransactionDirectionDescription",
+           CAST(e.user_id AS VARCHAR) AS "ExternalAccountNumber",
+           'acct-' || CAST(e.user_id AS VARCHAR)
+               AS "ExternalAccountIdentifier",
+           'name-' || CAST(e.user_id % 20 AS VARCHAR)
+               AS "ExternalAccountName",
+           'trk-' || CAST(e.event_id AS VARCHAR) AS "TrackingId",
+           CASE WHEN u.id IS NOT NULL THEN 1 ELSE 0 END AS "IsUnallocated",
+           CASE WHEN e.event_id % 5 = 2 THEN 'E42' END AS "FailureCode"
+    FROM events e
+    LEFT JOIN ulat l ON e.event_id = l.id
+    LEFT JOIN ua u ON e.event_id = u.id
+    WHERE e.ts >= TIMESTAMP '{_PL04_MIN_CREATED} 00:00:00'
+    """
+
+
+@query("pl04_arcus_enrichment", oracle=_oracle_pl04_sql())
+def pl04_arcus_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end arcus-transactions enrichment analog
+    (extract_arcus_transactions.py:9-71), driving the REAL
+    pipelines/arcus_transactions.arcus_transactions function: the
+    events table plays the ArcusTransactions fact (event_id =
+    transaction id, ts = CreatedAt, value = Amount), a derived loan
+    bridge plays UserLoanArcusTransactions (3 of 4 ids bridged, 1 in 7
+    bridged loans null — both feed the U6 null-safe int→string 'None'
+    path), and a derived unallocated table (every 10th id) feeds the
+    P18 marked-semi-join IsUnallocated flag. The chain exercises the
+    pushed-down min-created-at predicate (parameterized; the reference
+    hard-codes it), both left joins, the status/direction/type enum
+    decodes (P9), and the three UTC→CDMX wall-clock pairs (D1).
+
+    Scale plan: the date predicate reaches the fact scan before either
+    join; both right sides are id-keyed single-column projections that
+    broadcast at this scale and hash-join on the fact's key at 100 TB
+    (no row explosion — both bridges are ≤1:1 by construction, as the
+    reference's are by PK). Everything else is map-side expression
+    work; Amount passes through untouched (no float arithmetic to
+    drift)."""
+    from ..pipelines.arcus_transactions import arcus_transactions
+
+    ev = load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    ar = ev.select(
+        eid.alias("ArcusTransactionId"),
+        F.concat(F.lit("ext-"), eid).alias("ExternalId"),
+        F.col("props").alias("Reference"),
+        F.col("user_id").alias("ArcusCustomerId"),
+        F.col("event_type").alias("Description"),
+        F.col("value").alias("Amount"),
+        F.col("ts").alias("CreatedAt"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ModifiedAt"),
+        F.when(eid % 3 == 0, F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+         .alias("CompletedAt"),
+        (eid % 2).cast("int").alias("IsDistribution"),
+        (eid % 5).cast("int").alias("Status"),
+        F.when(eid % 3 == 0, 0).otherwise(1).alias("TransactionDirection"),
+        F.col("user_id").cast("string").alias("ExternalAccountNumber"),
+        F.concat(F.lit("acct-"), F.col("user_id"))
+         .alias("ExternalAccountIdentifier"),
+        F.concat(F.lit("name-"), F.col("user_id") % 20)
+         .alias("ExternalAccountName"),
+        F.concat(F.lit("trk-"), eid).alias("TrackingId"),
+        F.when(eid % 5 == 2, F.lit("E42")).alias("FailureCode"),
+    )
+    ulat = (ev.filter(eid % 4 != 0)
+            .select(eid.alias("ArcusTransactionId"),
+                    F.when(eid % 7 == 0, F.lit(None).cast("double"))
+                     .otherwise((eid * 10).cast("double"))
+                     .alias("UserLoanId")))
+    ua = ev.filter(eid % 10 == 0).select(eid.alias("ArcusTransactionId"))
+    return arcus_transactions(
+        {"arcus_transactions": ar,
+         "user_loan_arcus_transactions": ulat,
+         "unallocated_payment_arcus_transactions": ua},
+        min_created_at=_PL04_MIN_CREATED)
