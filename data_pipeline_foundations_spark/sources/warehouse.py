@@ -124,8 +124,21 @@ def compact_parquet_dir(spark: SparkSession, path: str, *,
     versioned-snapshot layout (:func:`write_versioned` /
     :func:`compact_versioned`), whose commit is a metadata flip and
     whose readers never observe a partial directory.
+
+    Routing (VERDICT r8 #5): when ``path`` IS a versioned root (it has
+    committed ``v_*`` snapshots), compaction automatically goes through
+    the atomic versioned publish instead of the directory swap — a new
+    version dir is written, the _SUCCESS marker flips "current", and
+    old versions prune with the in-flight-reader retention contract.
+    Pinned by tests/test_sources.py::
+    test_concurrent_reader_survives_compaction.
     """
     import math
+
+    if list_versions(spark, path):
+        new_dir = compact_versioned(spark, path,
+                                    target_file_bytes=target_file_bytes)
+        return dir_stats(spark, new_dir)[0] if new_dir else 0
 
     parts = _hive_partition_subdirs(spark, path)
     if parts:
