@@ -556,7 +556,16 @@ def pl02_accounting_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_cdmx("settled_at").alias("SettledAtCDMX"),
         F.col("dispute_amount").alias("DisputeAmount"),
     )
-    detail = accounting_detail(mapped)
+    # The detail feeds THREE consumers (issue-month summary, settled
+    # summary, era slice) and exchange reuse does not fire across them
+    # (each branch's post-agg projection differs before the broadcast
+    # join, so the subtrees never canonicalize equal — measured: 2x
+    # lineitem + 4x orders scans unpersisted). tracked_persist
+    # materializes the settlement chain ONCE — O(orders) rows, the
+    # standard materialize-the-fact-once shape for a multi-report job;
+    # released by release_cached_intermediates after the action.
+    from ..operators.caching import tracked_persist
+    detail = tracked_persist(accounting_detail(mapped))
     as_of = _dt.datetime.fromisoformat(_PL02_AS_OF + " 00:00:00")
     acc = accounting_summary(detail, as_of=as_of)
     setl = settled_summary(detail, as_of=as_of)

@@ -1935,19 +1935,45 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     which correlates through the order exactly like the reference's
     receipt>commit test.)
 
-    Scale plan: lateness computes once as a date-filtered orderkey hash
-    join (orders 'F' slice), and BOTH correlated quantifiers decorrelate
-    to orderkey-keyed joins with the supplier-inequality as a residual:
-    the EXISTS to a LEFT SEMI against the bare fact, the NOT EXISTS to
-    a LEFT ANTI against the late set — three keyed exchanges total, no
-    per-row subquery execution. The nation slice broadcasts into the
-    late set before either quantifier, so the expensive self-joins run
-    on the 4%-pruned side. Top-100 is TakeOrderedAndProject."""
+    Scale plan (rewritten r9 after the 100x probe): BOTH correlated
+    quantifiers evaluate as per-order supplier-key EXTREMA instead of
+    literal semi/anti self-joins. Given the candidate's own late line,
+    "EXISTS another supplier's line" ⇔ min(l_suppkey) ≠ max(l_suppkey)
+    over the order's lines, and "NOT EXISTS another supplier's late
+    line" ⇔ min = max over the order's LATE lines — so the quantifiers
+    become two orderkey-keyed min/max aggregates (map-side combined to
+    one row per order per partition; NOT countDistinct, whose expand
+    plans a second exchange) joined back to the nation-pruned late
+    lines on the partitioning the late build already produced. The
+    semi/anti
+    formulation read well at sf0.1 but Spark's PushDownLeftSemiAntiJoin
+    rewrote it at every scale: both quantifiers were pushed below the
+    lateness join AND the nation broadcast, running LINE-level SMJs
+    against the FULL fact (3 fact scans, 6 fact exchanges, GC pressure
+    — 4x/decade growth at the 100x probe). The aggregate form is
+    immune to that rule and its quantifier state is ONE (min,max) row
+    per order — never a buffered same-key line group. Two regimes,
+    both pinned at the 100x probe: while the 'F' order slice fits the
+    broadcast threshold the late build is a broadcast join (zero fact
+    exchanges outside n_all); beyond it the late build SMJs once and
+    AQE stage-reuse serves the n_late aggregate from the SAME
+    lineitem+orders shuffles (ReusedExchange x2 — the shared late set
+    states isnotnull(l_suppkey) explicitly so both consumers' scan
+    subtrees canonicalize equal). Fact scanned twice, exchanged at
+    most twice. Counting late LINES per qualifying supplier (not
+    orders) matches the oracle's COUNT(*) over l1. Top-100 is
+    TakeOrderedAndProject."""
     o_f = (load(spark, sf_dir, "orders")
            .filter(F.col("o_orderstatus") == "F")
            .select("o_orderkey", "o_orderdate"))
     li = load(spark, sf_dir, "lineitem")
-    late = (li.join(o_f, li.l_orderkey == F.col("o_orderkey"))
+    # isnotnull(l_suppkey) is stated on the SHARED late set even though
+    # the supplier join would infer it on one branch: with it, the two
+    # consumers' lineitem/orders exchange subtrees canonicalize EQUAL,
+    # so AQE stage-reuse serves the n_late aggregate from the candidate
+    # branch's shuffles instead of re-scanning and re-shuffling the fact
+    late = (li.filter(F.col("l_suppkey").isNotNull())
+            .join(o_f, li.l_orderkey == F.col("o_orderkey"))
             .filter(F.col("l_shipdate")
                     > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
             .select("l_orderkey", "l_suppkey"))
@@ -1955,16 +1981,18 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = (load(spark, sf_dir, "supplier")
            .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
            .select("s_suppkey", "s_name"))
-    others = li.select(F.col("l_orderkey").alias("o2_orderkey"),
-                       F.col("l_suppkey").alias("o2_suppkey"))
-    late_others = late.select(F.col("l_orderkey").alias("o3_orderkey"),
-                              F.col("l_suppkey").alias("o3_suppkey"))
+    n_all = (li.groupBy(F.col("l_orderkey").alias("a_orderkey"))
+             .agg(F.min("l_suppkey").alias("a_min"),
+                  F.max("l_suppkey").alias("a_max")))
+    n_late = (late.groupBy(F.col("l_orderkey").alias("b_orderkey"))
+              .agg(F.min("l_suppkey").alias("b_min"),
+                   F.max("l_suppkey").alias("b_max")))
     return (
         late.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(others, (F.col("l_orderkey") == F.col("o2_orderkey"))
-              & (F.col("l_suppkey") != F.col("o2_suppkey")), "leftsemi")
-        .join(late_others, (F.col("l_orderkey") == F.col("o3_orderkey"))
-              & (F.col("l_suppkey") != F.col("o3_suppkey")), "leftanti")
+        .join(n_late, F.col("l_orderkey") == F.col("b_orderkey"))
+        .filter(F.col("b_min") == F.col("b_max"))
+        .join(n_all, F.col("l_orderkey") == F.col("a_orderkey"))
+        .filter(F.col("a_min") != F.col("a_max"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())

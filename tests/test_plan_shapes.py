@@ -489,17 +489,22 @@ def test_q20_membership_chain_is_all_semi_joins(spark, sf_dir):
     assert any("p_type" in s for s in scans)
 
 
-def test_q21_quantifiers_decorrelate_to_semi_and_anti(spark, sf_dir):
-    """TPC-H Q21 shape: the EXISTS is a LEFT SEMI against the fact and
-    the NOT EXISTS a LEFT ANTI against the late set — both keyed hash
-    joins with the supplier-inequality as residual, never a per-row
-    subquery or loop join; the order-status and nation filters reach
-    their scans."""
+def test_q21_quantifiers_evaluate_as_minmax_aggregates(spark, sf_dir):
+    """TPC-H Q21 shape (r9 rewrite after the 100x probe): both
+    correlated quantifiers are per-order min/max supplier-key
+    aggregates — NOT literal semi/anti joins, which Spark's
+    PushDownLeftSemiAntiJoin rewrote into line-level SMJs against the
+    FULL fact (3 fact scans, GC pressure at 100x) — and NOT
+    countDistinct, whose expand plans a second fact exchange. The
+    order-status and nation filters reach their scans; no per-row
+    subquery or loop join anywhere."""
     import re
 
     from data_pipeline_foundations_spark.registry import all_queries
     plan = _executed(all_queries()["q21_waiting_suppliers"].fn(spark, sf_dir))
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    assert re.search(r"HashAggregate\(keys=\[l_orderkey[^\n]*partial_min", plan)
+    assert "Expand" not in plan  # the countDistinct shape is banned
     assert "Cartesian" not in plan and "NestedLoop" not in plan
     assert "TakeOrderedAndProject" in plan
     scans = re.findall(r"PushedFilters: \[[^\n]*", plan)

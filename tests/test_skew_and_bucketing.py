@@ -192,13 +192,13 @@ def test_q18_bucketed_twin_fact_side_exchange_free(spark):
 
 def test_q21_bucketed_twin_fact_side_exchange_free(spark):
     """The 100 TB layout answer for q21 (plans/relational.py): with
-    lineitem AND orders bucketed by order key, ALL THREE of q21's
-    fact-side joins — the late-set build (lineitem⋈orders), the EXISTS
-    semi (late⋈lineitem), and the NOT EXISTS anti (late⋈late) — are
-    satisfied by the bucketed scans' distribution, leaving no orderkey
-    exchange anywhere in the plan; the only shuffle left is the
-    dimension-sized s_name aggregate. Result must equal the registered
-    q21 row-for-row."""
+    lineitem AND orders bucketed by order key, EVERY fact-side stage of
+    the min/max-aggregate formulation — the late-set build
+    (lineitem⋈orders), both per-order quantifier aggregates, and both
+    join-backs — is satisfied by the bucketed scans' distribution,
+    leaving no orderkey exchange anywhere in the plan; the only shuffle
+    left is the dimension-sized s_name aggregate. Result must equal
+    the registered q21 row-for-row."""
     from data_pipeline_foundations_spark.registry import all_queries
 
     build_bucketed(spark, f"{SF_DIR}/orders.parquet", "bq21_orders",
@@ -215,7 +215,8 @@ def test_q21_bucketed_twin_fact_side_exchange_free(spark):
             o_f = (spark.table("bq21_orders")
                    .filter(F.col("o_orderstatus") == "F")
                    .select("o_orderkey", "o_orderdate"))
-            late = (li.join(o_f, li.l_orderkey == F.col("o_orderkey"))
+            late = (li.filter(F.col("l_suppkey").isNotNull())
+                    .join(o_f, li.l_orderkey == F.col("o_orderkey"))
                     .filter(F.col("l_shipdate") > F.col("o_orderdate")
                             + F.expr("INTERVAL 60 DAYS"))
                     .select("l_orderkey", "l_suppkey"))
@@ -225,21 +226,19 @@ def test_q21_bucketed_twin_fact_side_exchange_free(spark):
                    .join(F.broadcast(n),
                          F.col("s_nationkey") == n.n_nationkey)
                    .select("s_suppkey", "s_name"))
-            others = li.select(F.col("l_orderkey").alias("o2_orderkey"),
-                               F.col("l_suppkey").alias("o2_suppkey"))
-            late_others = late.select(
-                F.col("l_orderkey").alias("o3_orderkey"),
-                F.col("l_suppkey").alias("o3_suppkey"))
+            n_all = (li.groupBy(F.col("l_orderkey").alias("a_orderkey"))
+                     .agg(F.min("l_suppkey").alias("a_min"),
+                          F.max("l_suppkey").alias("a_max")))
+            n_late = (late.groupBy(F.col("l_orderkey").alias("b_orderkey"))
+                      .agg(F.min("l_suppkey").alias("b_min"),
+                           F.max("l_suppkey").alias("b_max")))
             twin = (
                 late.join(F.broadcast(sup),
                           F.col("l_suppkey") == F.col("s_suppkey"))
-                .join(others, (F.col("l_orderkey") == F.col("o2_orderkey"))
-                      & (F.col("l_suppkey") != F.col("o2_suppkey")),
-                      "leftsemi")
-                .join(late_others,
-                      (F.col("l_orderkey") == F.col("o3_orderkey"))
-                      & (F.col("l_suppkey") != F.col("o3_suppkey")),
-                      "leftanti")
+                .join(n_late, F.col("l_orderkey") == F.col("b_orderkey"))
+                .filter(F.col("b_min") == F.col("b_max"))
+                .join(n_all, F.col("l_orderkey") == F.col("a_orderkey"))
+                .filter(F.col("a_min") != F.col("a_max"))
                 .groupBy("s_name")
                 .agg(F.count(F.lit(1)).alias("numwait"))
                 .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
@@ -248,8 +247,8 @@ def test_q21_bucketed_twin_fact_side_exchange_free(spark):
             plan = twin._jdf.queryExecution().executedPlan().toString()
             assert "hashpartitioning(l_orderkey" not in plan, plan[:2000]
             assert "hashpartitioning(o_orderkey" not in plan, plan[:2000]
-            assert "hashpartitioning(o2_orderkey" not in plan, plan[:2000]
-            assert "hashpartitioning(o3_orderkey" not in plan, plan[:2000]
+            assert "hashpartitioning(a_orderkey" not in plan, plan[:2000]
+            assert "hashpartitioning(b_orderkey" not in plan, plan[:2000]
             want = all_queries()["q21_waiting_suppliers"] \
                 .fn(spark, SF_DIR).collect()
             assert [tuple(r) for r in got] == [tuple(r) for r in want]
