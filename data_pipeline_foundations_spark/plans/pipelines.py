@@ -797,10 +797,26 @@ def pl04_arcus_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no row explosion — both bridges are ≤1:1 by construction, as the
     reference's are by PK). Everything else is map-side expression
     work; Amount passes through untouched (no float arithmetic to
-    drift)."""
+    drift). The chain is stateless map + two stream-static-joinable
+    left joins, so the SAME function runs unchanged on a transaction
+    STREAM (streaming/enrichment.py twin, batch≡stream pinned)."""
     from ..pipelines.arcus_transactions import arcus_transactions
 
     ev = load(spark, sf_dir, "events")
+    ar, ulat, ua = arcus_star_inputs(ev)
+    return arcus_transactions(
+        {"arcus_transactions": ar,
+         "user_loan_arcus_transactions": ulat,
+         "unallocated_payment_arcus_transactions": ua},
+        min_created_at=_PL04_MIN_CREATED)
+
+
+def arcus_star_inputs(ev: DataFrame) -> tuple[DataFrame, DataFrame,
+                                              DataFrame]:
+    """Derive the (ArcusTransactions, loan bridge, unallocated) role
+    frames from an events frame — shared by pl04 and its streaming twin
+    (the derivation is pure column expressions, so it applies to a
+    streaming events frame unchanged)."""
     eid = F.col("event_id")
     ar = ev.select(
         eid.alias("ArcusTransactionId"),
@@ -830,8 +846,4 @@ def pl04_arcus_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .otherwise((eid * 10).cast("double"))
                      .alias("UserLoanId")))
     ua = ev.filter(eid % 10 == 0).select(eid.alias("ArcusTransactionId"))
-    return arcus_transactions(
-        {"arcus_transactions": ar,
-         "user_loan_arcus_transactions": ulat,
-         "unallocated_payment_arcus_transactions": ua},
-        min_created_at=_PL04_MIN_CREATED)
+    return ar, ulat, ua

@@ -656,3 +656,42 @@ def test_scd2_stream_equals_batch(spark, sf_dir, tmp_path):
                         version=list_versions(spark, dim_root)[0][0])
     assert (v0.agg(F.max(F.year("valid_from"))).collect()[0][0]
             == sorted(years)[0])
+
+
+def test_enrichment_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Streamed arcus enrichment == the registered pl04 query
+    row-for-row — and unlike the foreachBatch twins this one runs the
+    UNCHANGED batch function as a native streaming query (stateless
+    projections + two stream-static left joins), under multi-batch
+    arrival (maxFilesPerTrigger=1 over two files)."""
+    from data_pipeline_foundations_spark.plans.pipelines import (
+        _PL04_MIN_CREATED, arcus_star_inputs, pl04_arcus_enrichment,
+    )
+    from data_pipeline_foundations_spark.streaming.enrichment import (
+        enrich_transaction_stream,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    ar, ulat, ua = arcus_star_inputs(ev)
+    ar_dir = str(tmp_path / "tx_arriving")
+    ar.coalesce(2).write.parquet(ar_dir)
+    ulat = ulat.persist()
+    ua = ua.persist()
+    ulat.count(), ua.count()
+
+    tx_stream = (spark.readStream.schema(ar.schema)
+                 .option("maxFilesPerTrigger", 1)
+                 .format("parquet").load(ar_dir))
+    result = enrich_transaction_stream(
+        tx_stream, ulat, ua, min_created_at=_PL04_MIN_CREATED)
+
+    got: list[tuple] = []
+    q = (result.writeStream
+         .foreachBatch(lambda df, bid: got.extend(
+             tuple(r) for r in df.collect()))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    ulat.unpersist(), ua.unpersist()
+
+    want = [tuple(r) for r in pl04_arcus_enrichment(spark, sf_dir).collect()]
+    assert sorted(got, key=str) == sorted(want, key=str)
