@@ -1355,7 +1355,8 @@ def oracle_ivfpq_rerank_sql(*, dim: int = 64, k_clusters: int = 16,
 def semantic_dedup(emb: DataFrame, *, id_col: str = "vec_id",
                    vec_col: str = "embedding", k_clusters: int = 16,
                    threshold: float = 0.5, seed: int = 3,
-                   dim: int = 64) -> DataFrame:
+                   dim: int = 64,
+                   route_groups: int | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
     Data-efficient learning at web-scale through semantic deduplication",
     2023): cluster the embedding space with the deterministic IVF coarse
@@ -1383,15 +1384,29 @@ def semantic_dedup(emb: DataFrame, *, id_col: str = "vec_id",
     the bucket pair kernel quantizes in-kernel too — every stage
     bit-identical to the previous formulation (same exact-int
     arithmetic; oracle unchanged and still green).
-    """
+
+    ``route_groups`` switches assignment to the two-level router
+    (ivf_assign_hier_udf): O(n·(g + k/g)·d) instead of O(n·k·d) — the
+    knob for corpora where constant occupancy forces k ∝ n
+    (SCALING.md round-9 part 3). Duplicates are then "same ROUTED
+    cluster + cosine ≥ t": a boundary pair routed apart is missed
+    exactly as an IVF probe miss — the recall trade the hierarchy
+    buys its 20× assignment cut with."""
     from .clustering import connected_components
-    from .vectorized import bucket_pair_cosines, ivf_assign_udf
+    from .vectorized import (
+        bucket_pair_cosines, ivf_assign_hier_udf, ivf_assign_udf,
+    )
 
     cents_rows, _ = _ivf_model_rows(emb, id_col, vec_col, k_clusters,
                                     seed, dim)
-    asg = (emb.select(F.col(id_col), F.col(vec_col).alias("_v"))
-           .withColumn("cid",
-                       ivf_assign_udf(cents_rows, EMB_SCALE)(F.col("_v"))))
+    if route_groups is not None:
+        hier = ivf_assign_hier_udf(cents_rows, route_groups, EMB_SCALE)
+        asg = (emb.select(F.col(id_col), F.col(vec_col).alias("_v"))
+               .withColumn("cid", hier(F.col("_v"))["cid"]))
+    else:
+        asg = (emb.select(F.col(id_col), F.col(vec_col).alias("_v"))
+               .withColumn("cid",
+                           ivf_assign_udf(cents_rows, EMB_SCALE)(F.col("_v"))))
     # one row per (vector, its single cluster) → the pair kernel sees
     # each vector exactly once; no cross-band dedup is needed
     buckets = asg.select(F.lit(0).alias("band_id"),
@@ -1413,6 +1428,106 @@ def semantic_dedup(emb: DataFrame, *, id_col: str = "vec_id",
             .select(id_col, "cluster_id", "cluster_size",
                     (F.col(id_col) == F.col("cluster_id"))
                     .cast("int").alias("is_canonical")))
+
+
+def hierarchical_assign(emb: DataFrame, *, id_col: str = "vec_id",
+                        vec_col: str = "embedding", k_clusters: int = 16,
+                        n_groups: int = 4, seed: int = 3,
+                        dim: int = 64) -> DataFrame:
+    """Two-level IVF assignment: (id, gid, cid) for every vector, with
+    centroids grouped by ``cid % n_groups`` into super-centroids
+    (integer-mean of member centroids — same two IEEE casts as the base
+    quantizer) and each vector routed super-group-first. Cuts flat
+    assignment's O(n·k·d) to O(n·(n_groups + k/n_groups)·d) — the term
+    SCALING.md round-9 part 3 named as the residual once constant
+    cluster occupancy forces k ∝ n; with n_groups ≈ √k that is O(n·√k·d)
+    (the two-level coarse quantizer of Jégou et al.'s IVFADC lineage).
+    Routing is approximate the way IVF probing is (a boundary vector
+    may route to a neighboring group's member centroid) and
+    deterministic end-to-end, so the DuckDB twin reproduces it
+    bit-for-bit (oracle_hierarchical_assign_sql)."""
+    from .vectorized import ivf_assign_hier_udf
+
+    cents_rows, _ = _ivf_model_rows(emb, id_col, vec_col, k_clusters,
+                                    seed, dim)
+    a = ivf_assign_hier_udf(cents_rows, n_groups, EMB_SCALE)
+    return (emb.select(F.col(id_col), a(F.col(vec_col)).alias("_a"))
+            .select(id_col, F.col("_a.gid").alias("gid"),
+                    F.col("_a.cid").alias("cid")))
+
+
+def oracle_hierarchical_assign_sql(*, dim: int = 64, k_clusters: int = 16,
+                                   n_groups: int = 4,
+                                   seed: int = 3) -> str:
+    """DuckDB twin of hierarchical_assign — same hash-partition
+    centroids, same init-by-``cid % g`` super-centroids, same single
+    Lloyd refinement of the centroid→super membership, same two-level
+    max-cosine routing with ties to the largest id."""
+    from ..functions.hashing import oracle_md5_long
+    bucket = (f"({oracle_md5_long('CAST(vec_id AS VARCHAR)', seed=seed)}"
+              f" % {k_clusters})")
+    c_to_s = (f"row_number() OVER (PARTITION BY c.cid ORDER BY "
+              f"{oracle_qcos(oracle_idot('c.cv', 's.gv'), 'c.cn2', 's.gn2')}"
+              f" DESC, s.gid DESC)")
+    g_near = (f"row_number() OVER (PARTITION BY b.vec_id ORDER BY "
+              f"{oracle_qcos(oracle_idot('b.sv', 's.gv'), 'b.n2', 's.gn2')}"
+              f" DESC, s.gid DESC)")
+    c_near = (f"row_number() OVER (PARTITION BY g.vec_id ORDER BY "
+              f"{oracle_qcos(oracle_idot('b.sv', 'c.cv'), 'b.n2', 'c.cn2')}"
+              f" DESC, c.cid DESC)")
+    return f"""
+    WITH b0 AS (
+        SELECT vec_id, {oracle_int_vec('embedding')} AS sv FROM embeddings
+    ), base AS (
+        SELECT vec_id, sv, {oracle_idot('sv', 'sv')} AS n2, {bucket} AS bucket
+        FROM b0
+    ), cent AS (
+        SELECT bucket, i AS pos,
+               CAST(FLOOR(CAST(SUM(sv[i]) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+        FROM base, range(1, {dim + 1}) t(i)
+        GROUP BY bucket, i
+    ), cents AS (
+        SELECT bucket AS cid, list(c ORDER BY pos) AS cv
+        FROM cent GROUP BY bucket
+    ), cents2 AS (
+        SELECT cid, cv, {oracle_idot('cv', 'cv')} AS cn2 FROM cents
+    ), sup0 AS (
+        SELECT cid % {n_groups} AS gid, i AS pos,
+               CAST(FLOOR(CAST(SUM(cv[i]) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS g
+        FROM cents2, range(1, {dim + 1}) t(i)
+        GROUP BY gid, i
+    ), sups0 AS (
+        SELECT gid, list(g ORDER BY pos) AS gv FROM sup0 GROUP BY gid
+    ), sups0n AS (
+        SELECT gid, gv, {oracle_idot('gv', 'gv')} AS gn2 FROM sups0
+    ), casg AS (
+        SELECT cid, gid FROM (
+            SELECT c.cid, s.gid, {c_to_s} AS rn
+            FROM cents2 c, sups0n s) WHERE rn = 1
+    ), rsup0 AS (
+        SELECT a.gid, i AS pos,
+               CAST(FLOOR(CAST(SUM(c.cv[i]) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS g
+        FROM cents2 c JOIN casg a USING (cid), range(1, {dim + 1}) t(i)
+        GROUP BY a.gid, i
+    ), rsups AS (
+        SELECT gid, list(g ORDER BY pos) AS gv FROM rsup0 GROUP BY gid
+    ), sups2 AS (
+        SELECT gid, gv, {oracle_idot('gv', 'gv')} AS gn2 FROM rsups
+    ), gasg AS (
+        SELECT vec_id, gid FROM (
+            SELECT b.vec_id, s.gid, {g_near} AS rn
+            FROM base b, sups2 s) WHERE rn = 1
+    )
+    SELECT vec_id, gid, cid FROM (
+        SELECT g.vec_id, g.gid, c.cid, {c_near} AS rn
+        FROM gasg g
+        JOIN base b ON b.vec_id = g.vec_id
+        JOIN casg m ON m.gid = g.gid
+        JOIN cents2 c ON c.cid = m.cid) WHERE rn = 1
+    """
 
 
 def oracle_semantic_dedup_sql(*, dim: int = 64, k_clusters: int = 16,

@@ -28,9 +28,9 @@ from ..operators.sampling import (
     temperature_resample,
 )
 from ..operators.similarity import (
-    ivf_topk, ivfpq_rerank_topk, oracle_ivf_topk_sql,
-    oracle_ivfpq_rerank_sql, oracle_pq_topk_sql, oracle_semantic_dedup_sql,
-    pq_topk, semantic_dedup,
+    ivf_topk, ivfpq_rerank_topk, oracle_hierarchical_assign_sql,
+    oracle_ivf_topk_sql, oracle_ivfpq_rerank_sql, oracle_pq_topk_sql,
+    oracle_semantic_dedup_sql, pq_topk, semantic_dedup,
 )
 from ..operators.temporal import asof_join, range_join
 from ..registry import query
@@ -690,3 +690,30 @@ def x68_span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("target_text"),
         F.size(F.filter("mask", lambda m: m)).cast("long")
         .alias("n_masked"))
+
+
+# ---------------------------------------------------------------------------
+# x79 — two-level (hierarchical) IVF assignment
+# ---------------------------------------------------------------------------
+
+
+@query("x79_hierarchical_ivf_assign",
+       oracle=oracle_hierarchical_assign_sql() + " ORDER BY vec_id")
+def x79_hierarchical_ivf_assign(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Two-level IVF routing over the embedding corpus: every vector's
+    (super-group, centroid) assignment with centroids grouped into
+    integer-mean super-centroids and max-cosine routing at both levels
+    (operators/similarity.py hierarchical_assign). This is the
+    O(n·√k·d) assignment tier SCALING.md round-9 named as the residual
+    once constant cluster occupancy forces k ∝ n — at 100 TB the
+    coarse quantizer has ~10^5-10^6 centroids and flat O(n·k·d)
+    assignment dominates everything else in the SemDeDup/IVF family.
+    Deterministic end-to-end (exact-int super-centroids, derived-float
+    cosines, ties to largest id), so the full two-level routing is
+    oracle-checked bit-for-bit."""
+    from ..operators.similarity import hierarchical_assign
+
+    return (hierarchical_assign(scale_out(load(spark, sf_dir,
+                                               "embeddings")))
+            .orderBy("vec_id"))

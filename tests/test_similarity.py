@@ -209,3 +209,45 @@ def test_ann_recall_fused_equals_composed(spark, sf_dir):
                 (F.col("n_hits").cast("double") / 5.0).alias("recall"))
     ).collect()}
     assert fused == composed
+
+
+def test_hierarchical_assignment_invariants(spark, sf_dir):
+    """Two-level routing invariants: every vector is assigned exactly
+    once, the centroid→group membership is consistent (a cid never
+    appears under two gids — the refined membership is a function),
+    and the routing is deterministic across runs. Bit-level semantics
+    are pinned by x79's oracle twin."""
+    from data_pipeline_foundations_spark.operators.similarity import (
+        hierarchical_assign,
+    )
+    from data_pipeline_foundations_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = hierarchical_assign(emb, n_groups=4).collect()
+    assert len(out) == emb.count()
+    cid_to_gid = {}
+    for r in out:
+        assert cid_to_gid.setdefault(r.cid, r.gid) == r.gid
+    again = hierarchical_assign(emb, n_groups=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_semantic_dedup_hierarchical_route_contract(spark, sf_dir):
+    """semantic_dedup(route_groups=...) keeps the output contract —
+    same schema, min-id canonical per component, cluster_size counts —
+    while assigning through the two-level router."""
+    from data_pipeline_foundations_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from data_pipeline_foundations_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, route_groups=4).collect()
+    assert len(out) == emb.count()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, rows in by_cluster.items():
+        assert min(r.vec_id for r in rows) == cid
+        assert all(r.cluster_size == len(rows) for r in rows)
+        assert sum(r.is_canonical for r in rows) == 1
