@@ -1613,16 +1613,28 @@ def load_ivfpq_model(spark, path: str) -> dict:
 
 
 def encode_corpus(emb: DataFrame, model: dict, *, id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
+                  vec_col: str = "embedding",
+                  route_groups: int | None = None) -> DataFrame:
     """(id, cid, codes): the PERSISTED form of the IVF-PQ index — the
     coarse list id plus m PQ codes per vector (8 ints here vs dim floats:
     the byte bound that makes a 100 TB corpus searchable from a table a
     fraction of its size). One map-only pass over the corpus with both
     assignment kernels; write the result bucketed by ``cid`` and every
-    later search scans codes, never embeddings."""
+    later search scans codes, never embeddings.
+
+    ``route_groups`` switches the coarse assignment to the two-level
+    router (ivf_assign_hier_udf) — the same O(n·√k·d) knob as
+    semantic_dedup's, and the one that matters most HERE: encoding is
+    the full-corpus pass of the index build, so at production list
+    counts (k ~ 10^5-10^6) flat assignment dominates the build."""
     p = model["params"]
     block = p["dim"] // p["m"]
-    from .vectorized import ivf_assign_udf, pq_codes_udf
+    from .vectorized import ivf_assign_hier_udf, ivf_assign_udf, pq_codes_udf
+    if route_groups is not None:
+        assign = lambda c: ivf_assign_hier_udf(  # noqa: E731
+            model["ivf_rows"], route_groups)(c)["cid"]
+    else:
+        assign = ivf_assign_udf(model["ivf_rows"])
     # Stamp the code column with the params of the model that produced
     # it (ADVICE r4): column metadata survives the parquet round trip,
     # so pq_search_from_codes can refuse a codes table encoded under a
@@ -1630,7 +1642,7 @@ def encode_corpus(emb: DataFrame, model: dict, *, id_col: str = "vec_id",
     # codebook rows.
     return (scale_out(emb, 8)
             .select(F.col(id_col), int_vec(vec_col).alias("sv"))
-            .withColumn("cid", ivf_assign_udf(model["ivf_rows"])(F.col("sv")))
+            .withColumn("cid", assign(F.col("sv")))
             .withColumn("codes",
                         pq_codes_udf(model["pq_rows"], p["m"], block)
                         (F.col("sv")))

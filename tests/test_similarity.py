@@ -251,3 +251,27 @@ def test_semantic_dedup_hierarchical_route_contract(spark, sf_dir):
         assert min(r.vec_id for r in rows) == cid
         assert all(r.cluster_size == len(rows) for r in rows)
         assert sum(r.is_canonical for r in rows) == 1
+
+
+def test_encode_corpus_hierarchical_route(spark, sf_dir):
+    """encode_corpus(route_groups=...) produces the same schema and a
+    consistent cid-per-vector as the flat encoder, with codes
+    IDENTICAL (PQ codes don't depend on the coarse route) — only the
+    list assignment may differ by the routing approximation."""
+    from data_pipeline_foundations_spark.operators.similarity import (
+        build_ivfpq_model, encode_corpus,
+    )
+    from data_pipeline_foundations_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    model = build_ivfpq_model(emb)
+    flat = {r.vec_id: (r.cid, tuple(r.codes))
+            for r in encode_corpus(emb, model).collect()}
+    hier = {r.vec_id: (r.cid, tuple(r.codes))
+            for r in encode_corpus(emb, model, route_groups=4).collect()}
+    assert flat.keys() == hier.keys()
+    for vid in flat:
+        assert flat[vid][1] == hier[vid][1]  # codes identical
+    again = {r.vec_id: (r.cid, tuple(r.codes))
+             for r in encode_corpus(emb, model, route_groups=4).collect()}
+    assert hier == again  # deterministic
