@@ -35,8 +35,9 @@ from data_pipeline_foundations_spark.tables import TABLES, load
 # query whose two sweep runs disagreed by >1.5x (mid-tail noise escaped
 # the old top-8 probe and produced four phantom regressions in r3).
 STABLE_RUNS = 3
-STABLE_TOP_N = 28  # widened r6 (registry 99 -> 108; keeps every query
-# >=~0.8 s inside the min-of-3 probe as the mid-tail grew)
+STABLE_TOP_N = 34  # widened r6 (99 -> 108) and r9 (137 -> 141, plus the
+# new pipeline rows joined the expensive tail); keeps every query
+# >=~0.8 s inside the min-of-3 probe as the mid-tail grew
 DISAGREE_RATIO = 1.5
 DISAGREE_MIN_SEC = 0.15  # below this, "disagreement" is scheduling jitter
 
