@@ -380,7 +380,14 @@ def _oracle_pl02_sql() -> str:
     """DuckDB twin of pl02: the settlement CTE chain (shared with pl01)
     → accounting detail mapping → both monthly summaries + referral join
     + era fee-ratio, stacked."""
+    import datetime as _dt
+
+    from ..pipelines.accounting import _last_day_prev_month
     r2 = _r2
+    # cutoff derived from the SAME anchor the Spark side uses, so a
+    # change to _PL02_AS_OF can never silently desynchronize the twins
+    cutoff = _last_day_prev_month(
+        _dt.datetime.fromisoformat(_PL02_AS_OF + " 00:00:00")).isoformat()
 
     def cts(e: str) -> str:  # exact cents
         return f"CAST(FLOOR(({e}) * 100.0 + 0.5) AS BIGINT)"
@@ -431,13 +438,13 @@ def _oracle_pl02_sql() -> str:
         SELECT * FROM (
             SELECT issue_month, {acc_sums}
             FROM detail GROUP BY issue_month
-        ) WHERE issue_month < TIMESTAMP '2000-05-31 00:00:00'
+        ) WHERE issue_month < TIMESTAMP '{cutoff} 00:00:00'
     ), setl AS (
         SELECT * FROM (
             SELECT settled_month, {set_sums}
             FROM detail WHERE settled_month IS NOT NULL
             GROUP BY settled_month
-        ) WHERE settled_month <= TIMESTAMP '2000-05-31 00:00:00'
+        ) WHERE settled_month <= TIMESTAMP '{cutoff} 00:00:00'
     ), referral AS (
         SELECT date_trunc('month', {cdmx('o_orderdate')}) AS ref_month,
                COUNT(*) AS n_ref,
