@@ -275,3 +275,60 @@ def test_encode_corpus_hierarchical_route(spark, sf_dir):
     again = {r.vec_id: (r.cid, tuple(r.codes))
              for r in encode_corpus(emb, model, route_groups=4).collect()}
     assert hier == again  # deterministic
+
+
+def test_hier_router_exact_when_centroids_separate(spark):
+    """The calibration claim pinned: with SEPARATED centroids (four
+    orthogonal direction families) the two-level router (a) agrees
+    with flat assignment on EVERY vector, and (b) its Lloyd refinement
+    repairs a PARTIALLY-wrong init — each init group starts with three
+    members of its own family plus one stray from the next family, and
+    the refinement moves every stray to its family's group. (A fully
+    scattered init — one member of every family per group — leaves all
+    init supers degenerate-identical and no one-step refinement can
+    recover; that is k-means init sensitivity, not router error.) The
+    ~57% flat/hier agreement on hash-init centroids is quantizer
+    noise; under separation the router is exact."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.operators.vectorized import (
+        ivf_assign_hier_udf, ivf_assign_udf,
+    )
+
+    dim, scale = 16, 1e6
+    rng = np.random.RandomState(7)
+
+    def family(cid: int) -> int:
+        # init group is cid % 4; cids 12-15 are the per-group strays
+        # whose TRUE family is the next group's
+        return cid % 4 if cid < 12 else (cid + 1) % 4
+
+    cents = []
+    for cid in range(16):
+        fam, sub = family(cid), cid // 4
+        v = np.zeros(dim)
+        v[fam * 4] = 1000.0          # family direction
+        v[fam * 4 + 1 + (sub % 3)] = 120.0 + 10 * sub  # in-family spread
+        cv = np.floor(v * scale + 0.5).astype(np.int64)
+        cents.append({"cid": cid, "cv": cv.tolist(),
+                      "cn2": int((cv * cv).sum())})
+    # vectors: jittered copies of each centroid (jitter << family gap)
+    rows = []
+    for i in range(320):
+        cid = i % 16
+        base = np.array(cents[cid]["cv"], dtype=np.float64) / scale
+        rows.append((i, (base + rng.uniform(-1, 1, dim)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    flat = ivf_assign_udf(cents, scale)
+    hier = ivf_assign_hier_udf(cents, 4, scale)
+    got = (df.select("vec_id", flat(F.col("embedding")).alias("fcid"),
+                     hier(F.col("embedding")).alias("h"))
+           .select("vec_id", "fcid", "h.gid", "h.cid").collect())
+    assert all(r.cid == r.fcid for r in got), "hier must equal flat here"
+    # refinement repaired the strays: every family is ONE group now
+    fam_groups = {}
+    for r in got:
+        assert fam_groups.setdefault(family(r.cid), r.gid) == r.gid
+    assert len(set(fam_groups.values())) == 4
