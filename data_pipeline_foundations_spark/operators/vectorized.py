@@ -35,6 +35,24 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 
+def _require_nonzero_norms(rt: np.ndarray, what: str) -> None:
+    """Cosine precondition: every norm strictly positive.
+
+    A zero-norm vector or centroid makes the cosine 0/0 = NaN, and
+    np.argmax over NaNs silently picks the first index while the SQL
+    twin's NULL/NaN ordering differs — the bit-for-bit contract breaks
+    without any error. Degenerate inputs therefore fail LOUDLY here
+    (ADVICE r9): the int-grid quantization ``floor(x*1e6 + 0.5)`` maps
+    only the near-zero ball (< 5e-7 per element) to the zero vector, so
+    any real embedding corpus satisfies this for free.
+    """
+    if rt.size and not np.all(rt > 0):
+        raise ValueError(
+            f"zero-norm {what}: cosine undefined (0/0=NaN) and NaN "
+            f"ordering diverges from the SQL twin — reject degenerate "
+            f"inputs upstream or drop all-zero vectors before assignment")
+
+
 def srp_sig_udf(signs, scale: float):
     """pandas_udf: embedding array<float> -> 64-bit SRP signature (long).
 
@@ -420,6 +438,8 @@ def ivf_cos_udf(cents: list, probe_sets: list, qsvs: list, scale: float):
     Q = (np.asarray(qsvs, dtype=np.int64) if qsvs
          else np.zeros((0, IC.shape[1]), dtype=np.int64))
     qrt = np.sqrt(np.einsum("qd,qd->q", Q, Q).astype(np.float64))
+    _require_nonzero_norms(icrt, "centroid")
+    _require_nonzero_norms(qrt, "query vector")
 
     @F.pandas_udf("array<double>")
     def cosines(col: pd.Series) -> pd.Series:
@@ -429,6 +449,7 @@ def ivf_cos_udf(cents: list, probe_sets: list, qsvs: list, scale: float):
         SV = np.floor(M * scale + 0.5).astype(np.int64)
         n2 = np.einsum("nd,nd->n", SV, SV)
         rt = np.sqrt(n2.astype(np.float64))
+        _require_nonzero_norms(rt, "input vector")
         Gc = (SV @ IC.T).astype(np.float64)    # exact: |idot| < 2^53
         ccos = Gc / (rt[:, None] * icrt[None, :])
         cid = icids[np.argmax(ccos, axis=1)]   # this row's IVF list
@@ -458,6 +479,7 @@ def ivf_assign_udf(cents: list, scale: float | None = None):
     cids = np.array([cid for cid, _, _ in rows], dtype=np.int64)
     C = np.vstack([cv for _, cv, _ in rows])
     crt = np.sqrt(np.array([cn2 for _, _, cn2 in rows], dtype=np.float64))
+    _require_nonzero_norms(crt, "centroid")
 
     @F.pandas_udf("long")
     def assign(col: pd.Series) -> pd.Series:
@@ -469,8 +491,10 @@ def ivf_assign_udf(cents: list, scale: float | None = None):
         else:
             SV = np.vstack(col.to_numpy()).astype(np.int64)
         n2 = np.einsum("nd,nd->n", SV, SV)
+        rt = np.sqrt(n2.astype(np.float64))
+        _require_nonzero_norms(rt, "input vector")
         G = (SV @ C.T).astype(np.float64)      # exact: |idot| < 2^53
-        cos = G / (np.sqrt(n2.astype(np.float64))[:, None] * crt[None, :])
+        cos = G / (rt[:, None] * crt[None, :])
         return pd.Series(cids[np.argmax(cos, axis=1)])
 
     return assign
@@ -513,6 +537,7 @@ def ivf_assign_hier_udf(cents: list, n_groups: int,
     C_all = np.vstack([cv for _, cv, _ in rows])
     crt_all = np.sqrt(np.array([cn2 for _, _, cn2 in rows],
                                dtype=np.float64))
+    _require_nonzero_norms(crt_all, "centroid")
 
     def _super_means(membership: dict[int, list]) -> tuple:
         g_ids = np.array(sorted(membership, reverse=True), dtype=np.int64)
@@ -524,8 +549,9 @@ def ivf_assign_hier_udf(cents: list, n_groups: int,
             g_vs.append(np.floor(s.astype(np.float64)
                                  / float(len(mem))).astype(np.int64))
         gv = np.vstack(g_vs)
-        return g_ids, gv, np.sqrt(
-            np.einsum("gd,gd->g", gv, gv).astype(np.float64))
+        grt = np.sqrt(np.einsum("gd,gd->g", gv, gv).astype(np.float64))
+        _require_nonzero_norms(grt, "super-centroid (integer mean)")
+        return g_ids, gv, grt
 
     # init: hash-arbitrary partition of centroid ids
     init: dict[int, list] = {}
@@ -560,6 +586,7 @@ def ivf_assign_hier_udf(cents: list, n_groups: int,
         else:
             SV = np.vstack(col.to_numpy()).astype(np.int64)
         rt = np.sqrt(np.einsum("nd,nd->n", SV, SV).astype(np.float64))
+        _require_nonzero_norms(rt, "input vector")
         gcos = (SV @ GV.T).astype(np.float64) / (rt[:, None] * grt[None, :])
         gsel = gids[np.argmax(gcos, axis=1)]
         cid_out = np.empty(len(SV), dtype=np.int64)

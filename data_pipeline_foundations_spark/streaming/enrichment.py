@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 def enrich_transaction_stream(tx_stream: DataFrame,
                               loan_bridge: DataFrame,
                               unallocated: DataFrame, *,
-                              min_created_at: str = "2025-06-01",
+                              min_created_at: str | None = None,
                               ) -> DataFrame:
     """The pl04 chain over a STREAMING ArcusTransactions frame.
 
@@ -34,8 +34,18 @@ def enrich_transaction_stream(tx_stream: DataFrame,
     shape (see plans/pipelines.arcus_star_inputs); ``loan_bridge`` and
     ``unallocated`` are STATIC frames. Returns the streaming result
     frame — the caller picks the sink and trigger (append mode works:
-    the chain is stateless)."""
+    the chain is stateless).
+
+    ``min_created_at`` defaults to the batch twin's shared anchor
+    ``plans.pipelines._PL04_MIN_CREATED`` (ADVICE r9): the batch≡stream
+    contract this module advertises only holds when both sides cut the
+    transaction feed at the SAME date, so a caller relying on the
+    default gets the pl04 slice, not a divergent one."""
     from ..pipelines.arcus_transactions import arcus_transactions
+    from ..plans.pipelines import _PL04_MIN_CREATED
+
+    if min_created_at is None:
+        min_created_at = _PL04_MIN_CREATED
 
     return arcus_transactions(
         {"arcus_transactions": tx_stream,

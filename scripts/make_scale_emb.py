@@ -59,7 +59,11 @@ def main() -> None:
         if os.path.islink(dst) or os.path.exists(dst):
             os.remove(dst)
         os.symlink(f"{args.src}/{t}.parquet", dst)
-    print("wrote", out, "vectors =", n * args.factor)
+    # actual row count, not MAX(vec_id)+1 * factor — with sparse vec_ids
+    # the derived figure overstates (ADVICE r9)
+    cnt = con.execute(
+        f"SELECT COUNT(*) FROM '{out}/embeddings.parquet'").fetchone()[0]
+    print("wrote", out, "vectors =", cnt)
 
 
 if __name__ == "__main__":
