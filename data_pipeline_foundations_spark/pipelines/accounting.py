@@ -83,20 +83,49 @@ def detail_2025(detail: DataFrame, *, era: str = "2025-01-01") -> DataFrame:
             .withColumn("FeeRatio", F.col("Fee") / F.col("PrincipalAmount")))
 
 
-def accounting_summary(detail: DataFrame, *, as_of: _dt.datetime) -> DataFrame:
+def accounting_summary(detail: DataFrame, *, as_of: _dt.datetime,
+                       era: str | None = None) -> DataFrame:
     """A5 (:112-118): money sums by CDMX issue month, strictly before the
     previous month's last day.
 
     Sum-then-round (round2(sum(c)), the reference's ``.sum().round(2)``,
     :116) — NOT per-row cents rounding: detail columns like TaxOnFee =
     Fee*0.16 are not 2-dp, and rounding each row before summing can
-    drift the monthly total by cents (ADVICE r1)."""
+    drift the monthly total by cents (ADVICE r1).
+
+    ``era`` (opt-in, scale path): when set, the era fee ratio — the
+    detail_2025 slice's SUM(Fee cents)/SUM(Principal cents) per issue
+    month — rides the SAME groupBy as the money sums and comes back as
+    an ``era_fee_ratio`` column (null for months before the boundary).
+    Semantically identical to aggregating the detail_2025 slice
+    separately and left-joining on issue month (the boundary predicate
+    is constant within each group, so conditional sums over the full
+    detail equal plain sums over the filtered slice), but it saves a
+    whole detail scan + month exchange + broadcast join: at 100x the
+    detail is the expensive side, and a multi-report job should fan N
+    reports out of ONE exchange per distinct grouping key (VERDICT r9
+    #1)."""
+    from ..functions.money import cents
     cutoff = F.lit(_last_day_prev_month(as_of).isoformat()).cast("timestamp")
-    return (detail
-            .groupBy("IssueMonthCDMX")
-            .agg(*[round2(F.sum(c)).alias(c) for c in ACCOUNTING_SUM_COLS])
-            .filter(F.col("IssueMonthCDMX") < cutoff)
-            .orderBy("IssueMonthCDMX"))
+    aggs = [round2(F.sum(c)).alias(c) for c in ACCOUNTING_SUM_COLS]
+    if era is not None:
+        # exact-cents sums, cast to double only at the final division —
+        # the same arithmetic as the standalone era aggregate
+        aggs += [F.sum(cents("Fee")).alias("_era_fee_cents"),
+                 F.sum(cents("PrincipalAmount")).alias("_era_prin_cents")]
+    out = (detail
+           .groupBy("IssueMonthCDMX")
+           .agg(*aggs)
+           .filter(F.col("IssueMonthCDMX") < cutoff))
+    if era is not None:
+        out = (out.withColumn(
+                   "era_fee_ratio",
+                   F.when(F.col("IssueMonthCDMX")
+                          >= F.lit(era).cast("timestamp"),
+                          F.col("_era_fee_cents").cast("double")
+                          / F.col("_era_prin_cents").cast("double")))
+               .drop("_era_fee_cents", "_era_prin_cents"))
+    return out.orderBy("IssueMonthCDMX")
 
 
 def settled_summary(detail: DataFrame, *, as_of: _dt.datetime) -> DataFrame:

@@ -506,12 +506,13 @@ def pl02_accounting_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct from pl01's DPD anchor: reports run at their own date.
 
     Scale plan: ONE settlement chain (lineitem agg exchange + custkey
-    window exchange) fans into three consumers — issue-month summary,
-    settled-month summary, era ratio — all tiny-key aggregates whose
-    partial (map-side) phase compresses each branch to ~months rows
-    before its exchange; AQE stage-reuse serves all three branches from
-    the same custkey window shuffle (the post-window projections are
-    map-only). The referral aggregate is an independent orders scan
+    window exchange) fans into TWO consumers — the issue-month summary
+    (with the era fee ratio fused into the same groupBy as two
+    conditional cents sums: same key, so the era slice costs zero extra
+    scans/exchanges/joins) and the settled-month summary, whose key
+    genuinely differs. Both are tiny-key aggregates whose partial
+    (map-side) phase compresses each branch to ~months rows before its
+    exchange. The referral aggregate is an independent orders scan
     collapsing to ~months rows, broadcast into the join. Money sums are
     deterministic: every detail column is exactly 2-dp (round2'd
     upstream), so sum-then-round (the reference's .sum().round(2))
@@ -523,7 +524,7 @@ def pl02_accounting_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.datetime_ops import to_cdmx
     from ..functions.money import cents
     from ..pipelines.accounting import (
-        accounting_detail, accounting_summary, detail_2025, settled_summary,
+        accounting_detail, accounting_summary, settled_summary,
     )
 
     fact = settlement_pipeline(load(spark, sf_dir, "orders"),
@@ -563,18 +564,20 @@ def pl02_accounting_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_cdmx("settled_at").alias("SettledAtCDMX"),
         F.col("dispute_amount").alias("DisputeAmount"),
     )
-    # The detail feeds THREE consumers (issue-month summary, settled
-    # summary, era slice) and exchange reuse does not fire across them
-    # (each branch's post-agg projection differs before the broadcast
-    # join, so the subtrees never canonicalize equal — measured: 2x
-    # lineitem + 4x orders scans unpersisted). tracked_persist
+    # The detail feeds TWO consumers (issue-month summary with the era
+    # ratio FUSED into the same groupBy — VERDICT r9 #1: era and acc
+    # group on the same issue_month, so the era slice rides acc's
+    # exchange as two conditional cents sums instead of costing its own
+    # detail scan + exchange + broadcast join — and the settled-month
+    # summary, whose key genuinely differs). Exchange reuse does not
+    # fire across the two (different grouping keys), so tracked_persist
     # materializes the settlement chain ONCE — O(orders) rows, the
     # standard materialize-the-fact-once shape for a multi-report job;
     # released by release_cached_intermediates after the action.
     from ..operators.caching import tracked_persist
     detail = tracked_persist(accounting_detail(mapped))
     as_of = _dt.datetime.fromisoformat(_PL02_AS_OF + " 00:00:00")
-    acc = accounting_summary(detail, as_of=as_of)
+    acc = accounting_summary(detail, as_of=as_of, era=_PL02_ERA)
     setl = settled_summary(detail, as_of=as_of)
 
     o = load(spark, sf_dir, "orders")
@@ -584,11 +587,6 @@ def pl02_accounting_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count(F.lit(1)).alias("n_ref"),
                 (F.sum(cents("o_totalprice")) / F.lit(100.0))
                 .alias("ref_amt")))
-    era = (detail_2025(detail, era=_PL02_ERA)
-           .groupBy(F.col("IssueMonthCDMX").alias("era_month"))
-           .agg((F.sum(cents("Fee")).cast("double")
-                 / F.sum(cents("PrincipalAmount")).cast("double"))
-                .alias("era_ratio")))
 
     dnull = F.lit(None).cast("double")
     money_cols = ["PrincipalAmount", "Fee", "TaxOnFee", "LateFee",
@@ -597,7 +595,6 @@ def pl02_accounting_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "TaxOnLateFeePaid", "ApportionedAmountPaid"]
     acc_out = (acc
                .join(ref, acc.IssueMonthCDMX == ref.ref_month, "left")
-               .join(era, acc.IssueMonthCDMX == era.era_month, "left")
                .select(
                    F.lit("accounting").alias("report"),
                    F.col("IssueMonthCDMX").alias("month"),
@@ -605,7 +602,7 @@ def pl02_accounting_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
                    dnull.alias("DisputeAmount"),
                    F.coalesce("n_ref", F.lit(0)).alias("n_referral_payouts"),
                    F.coalesce("ref_amt", F.lit(0.0)).alias("referral_amount"),
-                   F.col("era_ratio").alias("era_fee_ratio"),
+                   "era_fee_ratio",
                ))
     set_out = setl.select(
         F.lit("settled").alias("report"),
