@@ -1352,11 +1352,37 @@ def oracle_ivfpq_rerank_sql(*, dim: int = 64, k_clusters: int = 16,
 # ---------------------------------------------------------------------------
 # Semantic deduplication — IVF clusters → within-cluster pairs → components
 # ---------------------------------------------------------------------------
+_AUTO_ROUTE_MIN_K = 64  # below this, flat O(n·k·d) assignment is cheap
+#                         enough that routing buys nothing
+
+
+def _auto_route_groups(k_clusters: int, lloyd_iters: int,
+                       route_groups: int | None) -> int | None:
+    """The documented route_groups default (VERDICT r9 #2): an explicit
+    value always wins; otherwise the two-level router switches on at
+    ``round(sqrt(k))`` groups only when the quantizer is TRAINED
+    (lloyd_iters > 0) and k is large enough to matter (>= 64). The
+    training gate is load-bearing: on hash-init centroids
+    (near-orthogonal noise directions) flat/hier routing agreement is
+    bounded by quantizer separation at ~57%, so defaulting the router
+    on would silently change which cluster boundary pairs co-bucket;
+    after Lloyd refinement the centroids reflect actual data structure
+    and the router is exact on separated clusters (pinned in
+    tests/test_similarity.py)."""
+    if route_groups is not None:
+        return route_groups
+    if lloyd_iters > 0 and k_clusters >= _AUTO_ROUTE_MIN_K:
+        import math
+        return int(round(math.sqrt(k_clusters)))
+    return None
+
+
 def semantic_dedup(emb: DataFrame, *, id_col: str = "vec_id",
                    vec_col: str = "embedding", k_clusters: int = 16,
                    threshold: float = 0.5, seed: int = 3,
                    dim: int = 64,
-                   route_groups: int | None = None) -> DataFrame:
+                   route_groups: int | None = None,
+                   lloyd_iters: int = 0) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
     Data-efficient learning at web-scale through semantic deduplication",
     2023): cluster the embedding space with the deterministic IVF coarse
@@ -1391,14 +1417,27 @@ def semantic_dedup(emb: DataFrame, *, id_col: str = "vec_id",
     (SCALING.md round-9 part 3). Duplicates are then "same ROUTED
     cluster + cosine ≥ t": a boundary pair routed apart is missed
     exactly as an IVF probe miss — the recall trade the hierarchy
-    buys its 20× assignment cut with."""
+    buys its 20× assignment cut with.
+
+    ``lloyd_iters`` (r10): refine the quantizer with that many
+    deterministic Lloyd passes (train_ivf_centroids) before assigning.
+    With a TRAINED quantizer and k >= 64 the two-level router defaults
+    ON at round(sqrt(k)) groups (_auto_route_groups — see its docstring
+    for why the default requires training); pass route_groups
+    explicitly to override either way."""
     from .clustering import connected_components
     from .vectorized import (
         bucket_pair_cosines, ivf_assign_hier_udf, ivf_assign_udf,
     )
 
-    cents_rows, _ = _ivf_model_rows(emb, id_col, vec_col, k_clusters,
-                                    seed, dim)
+    if lloyd_iters > 0:
+        cents_rows = train_ivf_centroids(
+            emb, id_col=id_col, vec_col=vec_col, k_clusters=k_clusters,
+            seed=seed, dim=dim, iters=lloyd_iters)
+    else:
+        cents_rows, _ = _ivf_model_rows(emb, id_col, vec_col, k_clusters,
+                                        seed, dim)
+    route_groups = _auto_route_groups(k_clusters, lloyd_iters, route_groups)
     if route_groups is not None:
         hier = ivf_assign_hier_udf(cents_rows, route_groups, EMB_SCALE)
         asg = (emb.select(F.col(id_col), F.col(vec_col).alias("_v"))
@@ -1528,6 +1567,138 @@ def oracle_hierarchical_assign_sql(*, dim: int = 64, k_clusters: int = 16,
         JOIN casg m ON m.gid = g.gid
         JOIN cents2 c ON c.cid = m.cid) WHERE rn = 1
     """
+
+
+def train_ivf_centroids(emb: DataFrame, *, id_col: str = "vec_id",
+                        vec_col: str = "embedding", k_clusters: int = 16,
+                        seed: int = 3, dim: int = 64,
+                        iters: int = 2) -> list:
+    """Deterministic distributed Lloyd refinement of the base quantizer
+    (VERDICT r9 #2): starting from the hash-init integer-mean centroids,
+    each iteration (a) assigns every corpus vector to its max-cosine
+    centroid with the Arrow kernel (derived-float contract, ties to the
+    largest cid) and (b) recomputes each live centroid as the integer
+    mean of its members — ``floor(exact int sum / count)``, the SAME two
+    IEEE casts as the init build, computed driver-side from one
+    map-side-combined (cid, cnt, dim-sums) aggregate of ≤k rows. A
+    cluster left empty disappears (honest k-means behavior; cids keep
+    their original bucket labels, so they stay stable across
+    iterations). RNG-free end-to-end — hash init + deterministic
+    argmax — so the DuckDB twin (oracle_trained_ivf_assign_sql)
+    reproduces every iteration bit-for-bit.
+
+    Scale shape: one pass per iteration — a corpus scan through the
+    O(n·k·d) assign kernel plus a shuffle of k×(dim+1) longs. At the
+    100 TB regime where k ∝ n, train on a sample (any deterministic
+    id-predicate slice) and assign the full corpus once at the end;
+    the routed assignment path (ivf_assign_hier_udf) cuts the per-pass
+    cost to O(n·√k·d) once the trained centroids exist — training is
+    exactly what makes the two-level router's grouping meaningful
+    (on hash-init centroids flat/hier agreement is bounded by
+    quantizer separation at ~57%; on trained, separated centroids the
+    router is exact — pinned in tests/test_similarity.py).
+
+    Returns ``cents_rows`` — [{cid, cv, cn2}] — the model format every
+    IVF kernel consumes."""
+    import math
+
+    from .vectorized import ivf_assign_udf
+
+    cents_rows, _ = _ivf_model_rows(emb, id_col, vec_col, k_clusters,
+                                    seed, dim)
+    sum_arr = F.expr(
+        "array(" + ", ".join(
+            f"sum(cast(floor(cast(_v[{i}] as double) * "
+            f"{EMB_SCALE} + 0.5) as bigint))"
+            for i in range(dim)) + ")"
+    ).alias("vec")
+    for _ in range(max(0, iters)):
+        asg = (emb.select(F.col(vec_col).alias("_v"))
+               .withColumn("cid",
+                           ivf_assign_udf(cents_rows, EMB_SCALE)(F.col("_v"))))
+        rows = (asg.groupBy("cid")
+                .agg(F.count(F.lit(1)).alias("cnt"), sum_arr)
+                .collect())
+        cents_rows = []
+        for r in sorted(rows, key=lambda r: r["cid"]):
+            cnt = float(r["cnt"])
+            cv = [int(math.floor(float(s) / cnt)) for s in r["vec"]]
+            cents_rows.append({"cid": int(r["cid"]), "cv": cv,
+                               "cn2": sum(c * c for c in cv)})
+    return cents_rows
+
+
+def trained_ivf_assign(emb: DataFrame, *, id_col: str = "vec_id",
+                       vec_col: str = "embedding", k_clusters: int = 16,
+                       seed: int = 3, dim: int = 64,
+                       iters: int = 2) -> DataFrame:
+    """(id, cid) flat assignment of every vector against the
+    Lloyd-trained quantizer — the registry surface of
+    :func:`train_ivf_centroids`."""
+    from .vectorized import ivf_assign_udf
+
+    cents_rows = train_ivf_centroids(emb, id_col=id_col, vec_col=vec_col,
+                                     k_clusters=k_clusters, seed=seed,
+                                     dim=dim, iters=iters)
+    return emb.select(
+        F.col(id_col),
+        ivf_assign_udf(cents_rows, EMB_SCALE)(F.col(vec_col)).alias("cid"))
+
+
+def oracle_trained_ivf_assign_sql(*, dim: int = 64, k_clusters: int = 16,
+                                  seed: int = 3, iters: int = 2) -> str:
+    """DuckDB twin of trained_ivf_assign: the hash-init centroid build
+    plus ``iters`` unrolled Lloyd iterations (assign via max-cosine
+    row_number with ties to the largest cid; recompute via the same
+    floor(int-sum/count) integer means), then the final assignment."""
+    from ..functions.hashing import oracle_md5_long
+    bucket = (f"({oracle_md5_long('CAST(vec_id AS VARCHAR)', seed=seed)}"
+              f" % {k_clusters})")
+    ctes = [f"""b0 AS (
+        SELECT vec_id, {oracle_int_vec('embedding')} AS sv FROM embeddings
+    )""", f"""base AS (
+        SELECT vec_id, sv, {oracle_idot('sv', 'sv')} AS n2, {bucket} AS bucket
+        FROM b0
+    )""", f"""cell0 AS (
+        SELECT bucket AS cid, i AS pos,
+               CAST(FLOOR(CAST(SUM(sv[i]) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+        FROM base, range(1, {dim + 1}) t(i)
+        GROUP BY bucket, i
+    )""", f"""m0 AS (
+        SELECT cid, cv, {oracle_idot('cv', 'cv')} AS cn2 FROM (
+            SELECT cid, list(c ORDER BY pos) AS cv
+            FROM cell0 GROUP BY cid)
+    )"""]
+    for t in range(1, iters + 1):
+        near = (f"row_number() OVER (PARTITION BY b.vec_id ORDER BY "
+                f"{oracle_qcos(oracle_idot('b.sv', 'c.cv'), 'b.n2', 'c.cn2')}"
+                f" DESC, c.cid DESC)")
+        ctes.append(f"""a{t} AS (
+        SELECT vec_id, cid FROM (
+            SELECT b.vec_id, c.cid, {near} AS rn
+            FROM base b, m{t - 1} c) WHERE rn = 1
+    )""")
+        ctes.append(f"""cell{t} AS (
+        SELECT a.cid, i AS pos,
+               CAST(FLOOR(CAST(SUM(b.sv[i]) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+        FROM base b JOIN a{t} a USING (vec_id), range(1, {dim + 1}) t(i)
+        GROUP BY a.cid, i
+    )""")
+        ctes.append(f"""m{t} AS (
+        SELECT cid, cv, {oracle_idot('cv', 'cv')} AS cn2 FROM (
+            SELECT cid, list(c ORDER BY pos) AS cv
+            FROM cell{t} GROUP BY cid)
+    )""")
+    final_near = (f"row_number() OVER (PARTITION BY b.vec_id ORDER BY "
+                  f"{oracle_qcos(oracle_idot('b.sv', 'c.cv'), 'b.n2', 'c.cn2')}"
+                  f" DESC, c.cid DESC)")
+    return ("WITH " + ", ".join(ctes) + f"""
+    SELECT vec_id, cid FROM (
+        SELECT b.vec_id, c.cid, {final_near} AS rn
+        FROM base b, m{iters} c) WHERE rn = 1
+    """)
 
 
 def oracle_semantic_dedup_sql(*, dim: int = 64, k_clusters: int = 16,

@@ -30,7 +30,8 @@ from ..operators.sampling import (
 from ..operators.similarity import (
     ivf_topk, ivfpq_rerank_topk, oracle_hierarchical_assign_sql,
     oracle_ivf_topk_sql, oracle_ivfpq_rerank_sql, oracle_pq_topk_sql,
-    oracle_semantic_dedup_sql, pq_topk, semantic_dedup,
+    oracle_semantic_dedup_sql, oracle_trained_ivf_assign_sql, pq_topk,
+    semantic_dedup,
 )
 from ..operators.temporal import asof_join, range_join
 from ..registry import query
@@ -716,4 +717,29 @@ def x79_hierarchical_ivf_assign(spark: SparkSession,
 
     return (hierarchical_assign(scale_out(load(spark, sf_dir,
                                                "embeddings")))
+            .orderBy("vec_id"))
+
+
+# ---------------------------------------------------------------------------
+# x80 — Lloyd-trained IVF quantizer (assignment after 2 refinements)
+# ---------------------------------------------------------------------------
+
+
+@query("x80_trained_ivf_assign",
+       oracle=oracle_trained_ivf_assign_sql() + " ORDER BY vec_id")
+def x80_trained_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat assignment against the Lloyd-TRAINED coarse quantizer
+    (operators/similarity.py train_ivf_centroids, 2 refinement passes):
+    hash-init integer-mean centroids, then per pass a max-cosine
+    assignment of the whole corpus and an integer-mean recompute of
+    every live centroid (empty clusters drop). Training is what makes
+    the x79 two-level router's 6.4× assignment cut safe to default on
+    (VERDICT r9 #2): on hash-init centroids flat/hier agreement is
+    bounded by quantizer separation; on trained, separated centroids
+    the router is exact (pinned in tests/test_similarity.py). RNG-free
+    and exact-int throughout, so both unrolled iterations are
+    oracle-checked bit-for-bit."""
+    from ..operators.similarity import trained_ivf_assign
+
+    return (trained_ivf_assign(scale_out(load(spark, sf_dir, "embeddings")))
             .orderBy("vec_id"))
