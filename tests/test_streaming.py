@@ -695,3 +695,86 @@ def test_enrichment_stream_equals_batch(spark, sf_dir, tmp_path):
 
     want = [tuple(r) for r in pl04_arcus_enrichment(spark, sf_dir).collect()]
     assert sorted(got, key=str) == sorted(want, key=str)
+
+
+def test_month_refresh_stream_equals_batch(spark, tmp_path):
+    """Streamed month-partition refresh == the batch pl03 refresh on the
+    same deliveries: exports land on a file stream (rows tagged with
+    their month), each micro-batch routes through the UNCHANGED
+    refresh_monthly_partitions, and the resulting dataset is
+    row-identical to driving the batch function directly. Also pins the
+    refresh semantics across restarts: a corrected re-delivery of a
+    month replaces exactly that month's partition (refresh_delivered),
+    while refresh_delivered=False skips months that already exist."""
+    from data_pipeline_foundations_spark.pipelines.growth_data import (
+        refresh_monthly_partitions,
+    )
+    from data_pipeline_foundations_spark.streaming.month_refresh import (
+        refresh_month_stream,
+    )
+
+    raw_schema = ("`Install Day` string, `Media Source` string, "
+                  "`Ad` string, `Impressions (sum)` string, "
+                  "`Cost (sum)` string, month_tag string")
+    landing = str(tmp_path / "landing")
+    stream_ds = str(tmp_path / "stream_ds")
+    batch_ds = str(tmp_path / "batch_ds")
+    ckpt = str(tmp_path / "ckpt")
+
+    jan = [("Jan 5, 2025", "fb", "a", "1,234", "$12.50", "2025_01"),
+           ("Jan 31, 2025", "fb", None, "99", "$1.00", "2025_01")]
+    feb = [("Feb 5, 2025", "fb", "b", "20", "$2.00", "2025_02")]
+    spark.createDataFrame(jan + feb, raw_schema).coalesce(1) \
+        .write.mode("append").parquet(landing)
+
+    def run_stream(refresh_delivered=True):
+        written: list[list[str]] = []
+        stream = (spark.readStream.schema(raw_schema)
+                  .format("parquet").load(landing))
+        q = refresh_month_stream(
+            stream, stream_ds, refresh_delivered=refresh_delivered,
+            on_written=lambda tags, bid: written.append(tags),
+            checkpoint=ckpt)
+        q.awaitTermination()
+        return written
+
+    def snap(path):
+        return sorted((tuple(r) for r in spark.read.parquet(path).collect()),
+                      key=str)
+
+    def frames(rows_by_tag):
+        return {tag: spark.createDataFrame(rows, raw_schema)
+                .drop("month_tag") for tag, rows in rows_by_tag.items()}
+
+    # delivery 1: two months, both new
+    assert run_stream() == [["2025_01", "2025_02"]]
+
+    refresh_monthly_partitions(spark, batch_ds,
+                               frames({"2025_01": jan, "2025_02": feb}))
+    assert snap(stream_ds) == snap(batch_ds)
+    # summary row (null Ad) dropped by the shared transform
+    assert spark.read.parquet(stream_ds).count() == 2
+
+    # delivery 2 (restart, same checkpoint): corrected Jan re-lands —
+    # only the new file is processed, Jan's partition is REPLACED
+    jan_fixed = [("Jan 9, 2025", "fb", "a2", "11", "$3.00", "2025_01")]
+    spark.createDataFrame(jan_fixed, raw_schema).coalesce(1) \
+        .write.mode("append").parquet(landing)
+    assert run_stream() == [["2025_01"]]
+
+    refresh_monthly_partitions(spark, batch_ds, frames({"2025_01": jan_fixed}),
+                               months_to_refresh=["2025_01"])
+    assert snap(stream_ds) == snap(batch_ds)
+    out = spark.read.parquet(stream_ds)
+    assert {r.ad_name for r in
+            out.filter("month_tag = '2025_01'").collect()} == {"a2"}
+    assert {r.ad_name for r in
+            out.filter("month_tag = '2025_02'").collect()} == {"b"}
+
+    # delivery 3: refresh_delivered=False — a re-delivery of an existing
+    # month is CASE C skipped, dataset unchanged
+    spark.createDataFrame(jan, raw_schema).coalesce(1) \
+        .write.mode("append").parquet(landing)
+    before = snap(stream_ds)
+    assert run_stream(refresh_delivered=False) == []
+    assert snap(stream_ds) == before
