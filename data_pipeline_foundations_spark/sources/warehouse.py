@@ -217,11 +217,38 @@ def current_version_dir(spark: SparkSession, root: str) -> str | None:
 
 
 def write_versioned(spark: SparkSession, root: str, df,
-                    *, partition_by: list[str] | None = None) -> str:
+                    *, partition_by: list[str] | None = None,
+                    allow_incompatible: bool = False) -> str:
     """Commit ``df`` as the next snapshot version of ``root``; returns the
     committed directory. Concurrent readers keep resolving the previous
-    version until the new one's _SUCCESS marker lands."""
+    version until the new one's _SUCCESS marker lands.
+
+    Schema evolution is ADD-ONLY by default: new columns commit freely
+    (each version directory carries its own schema; time travel reads an
+    old version with the schema it was written under, and
+    ``read_versioned(reconcile=True)`` projects it to the current one
+    with typed nulls). Dropping a column or changing an existing
+    column's type raises — at 100 TB a silent schema drift strands every
+    incremental consumer — unless ``allow_incompatible=True`` makes the
+    break explicit. The check costs one parquet footer read of the
+    current version, no data scan."""
     vs = list_versions(spark, root)
+    if vs and not allow_incompatible:
+        cur_fields = {f.name: f.dataType.simpleString()
+                      for f in spark.read.parquet(vs[-1][1]).schema.fields}
+        new_fields = {f.name: f.dataType.simpleString()
+                      for f in df.schema.fields}
+        dropped = sorted(set(cur_fields) - set(new_fields))
+        retyped = sorted(n for n, t in new_fields.items()
+                         if n in cur_fields and cur_fields[n] != t)
+        if dropped or retyped:
+            raise ValueError(
+                f"write_versioned: incompatible schema evolution under "
+                f"{root} (dropped: {dropped}, retyped: "
+                f"{[(n, cur_fields[n], new_fields[n]) for n in retyped]}); "
+                f"add-only evolution commits freely — pass "
+                f"allow_incompatible=True to break the contract "
+                f"explicitly")
     nxt = (vs[-1][0] + 1) if vs else 1
     target = root.rstrip("/") + "/" + _VERSION_FMT.format(nxt)
     w = df.write.mode("errorifexists").format("parquet")
@@ -235,18 +262,36 @@ def write_versioned(spark: SparkSession, root: str, df,
 
 
 def read_versioned(spark: SparkSession, root: str, *,
-                   version: int | None = None):
+                   version: int | None = None,
+                   reconcile: bool = False):
     """Read the current committed snapshot — or, with ``version``, a
     SPECIFIC committed version (time travel: any version the pruning
     policy has retained stays readable, a crashed/in-flight one never
-    resolves)."""
+    resolves).
+
+    ``reconcile=True`` projects an OLD version to the CURRENT version's
+    schema — columns added since that version read as typed nulls, in
+    the current column order (unionByName-style reconciliation, the
+    read-side half of write_versioned's add-only evolution contract).
+    Columns the old version has that the current one lacks cannot exist
+    under that contract (a drop requires allow_incompatible) and are
+    dropped by the projection if a caller forced one through."""
     if version is not None:
         vs = dict(list_versions(spark, root))
         if version not in vs:
             raise FileNotFoundError(
                 f"version {version} not committed under {root} "
                 f"(available: {sorted(vs)})")
-        return spark.read.parquet(vs[version])
+        df = spark.read.parquet(vs[version])
+        if reconcile:
+            from pyspark.sql import functions as F
+            cur = current_version_dir(spark, root)
+            have = set(df.columns)
+            df = df.select(*[
+                F.col(f.name) if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in spark.read.parquet(cur).schema.fields])
+        return df
     cur = current_version_dir(spark, root)
     if cur is None:
         raise FileNotFoundError(f"no committed version under {root}")
@@ -321,6 +366,15 @@ def snapshot_changelog(spark: SparkSession, root: str, *,
 
     def side(version):
         df = read_versioned(spark, root, version=version)
+        # Schema-evolution tolerance: a compare column ADDED after the
+        # old version was written fingerprints as null there (\x00
+        # presence tag) — so an old row whose new column is still null
+        # in v_new reads as unchanged, and one that got a value reads
+        # as changed. Exactly the reconcile-with-typed-nulls read.
+        missing = [c for c in compare_cols if c not in df.columns]
+        if missing:
+            df = df.withColumns(
+                {c: F.lit(None).cast("string") for c in missing})
         return df.select(F.col(id_col), _content_fp(compare_cols).alias("fp"))
 
     o = side(v_old).alias("o")
@@ -365,10 +419,23 @@ def replicate_incremental(spark: SparkSession, src_root: str,
         return write_versioned(spark, dst_root, src)
 
     dst = read_versioned(spark, dst_root)
-    o = dst.select(F.col(id_col),
-                   _content_fp(compare_cols).alias("_fp")).alias("o")
-    n = src.select(F.col(id_col),
-                   _content_fp(compare_cols).alias("_fp")).alias("n")
+
+    # Schema-evolution tolerance (same discipline as snapshot_changelog's
+    # side()): a compare column the leader added since the follower's
+    # last sync fingerprints as null on the follower side, so unchanged
+    # rows stay out of the delta and the union below backfills the new
+    # column with nulls on survivors.
+    def fp_side(df):
+        missing = [c for c in compare_cols if c not in df.columns]
+        if missing:
+            df = df.withColumns(
+                {c: F.lit(None).cast("string") for c in missing})
+        return df
+
+    o = fp_side(dst).select(F.col(id_col),
+                            _content_fp(compare_cols).alias("_fp")).alias("o")
+    n = fp_side(src).select(F.col(id_col),
+                            _content_fp(compare_cols).alias("_fp")).alias("n")
     # null-safe id equality + fp-based presence (fp is never null), the
     # snapshot_changelog discipline: a NULL id replicates like any
     # other key instead of re-entering the delta on every sync
@@ -389,8 +456,13 @@ def replicate_incremental(spark: SparkSession, src_root: str,
         incoming = src.join(
             delta.filter(~F.col("gone")),
             src[id_col].eqNullSafe(delta[id_col]), "left_semi")
-        return write_versioned(spark, dst_root,
-                               survivors.unionByName(incoming))
+        # allowMissingColumns: across an add-column boundary the
+        # survivors (follower schema) backfill the leader's new columns
+        # with nulls — the same typed-null reconciliation as
+        # read_versioned(reconcile=True)
+        return write_versioned(
+            spark, dst_root,
+            survivors.unionByName(incoming, allowMissingColumns=True))
     finally:
         delta.unpersist()
 
@@ -458,7 +530,11 @@ def squash_versioned(spark: SparkSession, root: str, *,
     vs = list_versions(spark, root)
     if len(vs) <= 1:
         return None
-    df = spark.read.parquet(*[d for _, d in vs])
+    # mergeSchema: across an add-column boundary the union must carry
+    # every version's columns (a bare multi-dir read takes ONE footer's
+    # schema and silently drops the rest — fatal once evolution exists)
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[d for _, d in vs])
     if distinct:
         df = df.distinct()
     new_dir = write_versioned(spark, root, df)

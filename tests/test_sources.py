@@ -853,3 +853,94 @@ def test_content_fp_injective_on_control_bytes(spark):
     fps = [r.fp for r in df.select(
         _content_fp(["a", "b"]).alias("fp")).collect()]
     assert len(set(fps)) == len(fps)
+
+
+def test_versioned_schema_evolution_add_column(spark, tmp_path):
+    """VERDICT r9 #7: add-only schema evolution on the versioned store.
+    v1(a,b) -> v2(a,b,c) commits; time travel reads each version under
+    its own schema; reconcile=True projects v1 to the current schema
+    with a typed null; the changelog crosses the boundary (new column
+    null => unchanged, new column set => changed); column drops and
+    type changes raise unless made explicit."""
+    import pytest as _pytest
+
+    from data_pipeline_foundations_spark.sources.warehouse import (
+        read_versioned, snapshot_changelog, write_versioned,
+    )
+    root = str(tmp_path / "evo")
+    write_versioned(spark, root, spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"))
+    write_versioned(spark, root, spark.createDataFrame(
+        [(1, "a", None), (2, "b", 7), (3, "C", None)],
+        "id long, val string, score int"))
+
+    # time travel: each version keeps the schema it was written under
+    assert read_versioned(spark, root, version=1).columns == ["id", "val"]
+    assert read_versioned(spark, root, version=2).columns == \
+        ["id", "val", "score"]
+
+    # reconcile: v1 projected to the CURRENT schema, typed nulls
+    rec = read_versioned(spark, root, version=1, reconcile=True)
+    assert rec.columns == ["id", "val", "score"]
+    assert dict(rec.dtypes)["score"] == "int"
+    assert all(r.score is None for r in rec.collect())
+
+    # changelog across the boundary: id 2 gained a score (changed),
+    # id 3's val changed; id 1 (score still null, val unchanged) is NOT
+    # in the delta
+    log = {(r.id, r.status) for r in snapshot_changelog(
+        spark, root, id_col="id", compare_cols=["val", "score"]).collect()}
+    assert log == {(2, "changed"), (3, "changed")}
+
+    # dropping a column raises with the offender named ...
+    with _pytest.raises(ValueError, match=r"dropped: \['score'\]"):
+        write_versioned(spark, root, spark.createDataFrame(
+            [(1, "a")], "id long, val string"))
+    # ... as does retyping one ...
+    with _pytest.raises(ValueError, match="retyped"):
+        write_versioned(spark, root, spark.createDataFrame(
+            [(1, "a", 1.5)], "id long, val string, score double"))
+    # ... and allow_incompatible makes the break explicit
+    write_versioned(spark, root, spark.createDataFrame(
+        [(1, "a")], "id long, val string"), allow_incompatible=True)
+    assert read_versioned(spark, root).columns == ["id", "val"]
+
+
+def test_replicate_and_squash_across_schema_boundary(spark, tmp_path):
+    """Replication follows the leader across an add-column commit
+    (survivors backfill typed nulls, delta rows carry real values), and
+    squash_versioned's union keeps every version's columns
+    (mergeSchema) instead of silently taking one footer's schema."""
+    from data_pipeline_foundations_spark.sources.warehouse import (
+        read_versioned, replicate_incremental, squash_versioned,
+        write_versioned,
+    )
+    src = str(tmp_path / "leader")
+    dst = str(tmp_path / "follower")
+    write_versioned(spark, src, spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, val string"))
+    assert replicate_incremental(spark, src, dst, id_col="id",
+                                 compare_cols=["val"]) is not None
+
+    # leader adds a column: id 2 gets a score, id 1 stays null-scored
+    write_versioned(spark, src, spark.createDataFrame(
+        [(1, "a", None), (2, "b", 7)], "id long, val string, score int"))
+    assert replicate_incremental(spark, src, dst, id_col="id",
+                                 compare_cols=["val", "score"]) is not None
+    got = {(r.id, r.val, r.score) for r in
+           read_versioned(spark, dst).collect()}
+    assert got == {(1, "a", None), (2, "b", 7)}
+    # converged across the boundary: next sync is a no-op
+    assert replicate_incremental(spark, src, dst, id_col="id",
+                                 compare_cols=["val", "score"]) is None
+
+    # squash a delta-style store across the boundary: both columns live
+    store = str(tmp_path / "delta_store")
+    write_versioned(spark, store, spark.createDataFrame(
+        [(1, "a")], "id long, val string"))
+    write_versioned(spark, store, spark.createDataFrame(
+        [(2, "b", 7)], "id long, val string, score int"))
+    assert squash_versioned(spark, store, keep_versions=2) is not None
+    rows = {(r.id, r.val, r.score) for r in
+            read_versioned(spark, store).collect()}
+    assert rows == {(1, "a", None), (2, "b", 7)}
