@@ -398,15 +398,29 @@ def _rare_candidate_payload(docs: DataFrame, id_col: str, text_col: str,
     # (df <= max_df — discriminative, used for blocking) and a COMMON one
     # (boilerplate — excluded from blocking but still part of the true
     # intersection). df comes from ONE window count over the s-shuffle —
-    # no aggregate + join-back — and the persisted index carries it, so
-    # every consumer (both self-join sides + the per-doc rollup) reads
-    # the annotated index straight from cache.
+    # no aggregate + join-back — and the index is then FILTERED to
+    # df >= 2 before the persist: a df=1 shingle can never produce a
+    # candidate pair, never lands in a common array, and any document
+    # that can appear in a candidate shares a df>=2 shingle by
+    # definition — yet the unique tail dominates the raw index (most
+    # shingles occur once). The r10 1000× probe caught the unfiltered
+    # form super-linear (17×/decade at 500M index rows against a 24 GB
+    # heap): the persist spilled and every consumer — both self-join
+    # sides and the per-doc rollup — re-read the spilled 500M rows.
+    # After the filter only the duplicated stratum is persisted,
+    # self-joined, and rolled up; the unique tail exists solely inside
+    # the one window sort that computes df. n_sh (the per-doc TOTAL
+    # distinct-shingle count, df=1 included) is attached scan-local
+    # BEFORE the explode and rides the window shuffle as one extra int,
+    # so the rollup still sees exact sizes without a second corpus scan.
     inv_df = tracked_persist(
         with_shingle_hashes(scale_out(docs), text_col, n, out="_sh", hasher=hasher)
-        .select(F.col(id_col),
-                F.explode_outer(F.array_distinct("_sh")).alias("s"))
+        .withColumn("_shd", F.array_distinct("_sh"))
+        .withColumn("n_sh", F.size("_shd").cast("long"))
+        .select(F.col(id_col), "n_sh", F.explode_outer("_shd").alias("s"))
         .filter(F.col("s").isNotNull())
         .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("s")))
+        .filter(F.col("df") >= 2)
     )
     rare_inv = inv_df.filter(F.col("df") <= max_df).select("s", id_col)
     # Candidate generation AND the rare-intersection count in ONE
@@ -432,7 +446,7 @@ def _rare_candidate_payload(docs: DataFrame, id_col: str, text_col: str,
     # (the measured top cost of this operator) shrinks by ~df-tail/doc
     # -length ratio. Result values are identical (oracle unchanged).
     sets = (inv_df.groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_sh"),
+            .agg(F.first("n_sh").alias("n_sh"),
                  F.array_sort(F.collect_list(
                      F.when(F.col("df") > max_df, F.col("s")))).alias("common")))
     a = sets.select(F.col(id_col).alias("doc_a"), F.col("common").alias("a_arr"),
@@ -972,21 +986,35 @@ def dedup_repeated_windows(docs: DataFrame, *, id_col: str = "doc_id",
 
     Scale shape: the window explode is scan-local (split once, slice per
     start — n-k+1 windows per n-token doc, same inflation an n-gram
-    shingle pass pays); ONE long-keyed shuffle aggregates (count, argmin)
-    per fingerprint; the flag join-back reuses the fingerprint key; the
-    reassembly groupBy ships only (doc, start) longs for removed windows,
-    never text; and the final mask is a per-row HOF over the original
-    token array. No all-pairs stage exists, so corpus² never appears.
+    shingle pass pays); (count, argmin) per fingerprint is ONE
+    fp-partitioned window pass — a single long-keyed exchange + sort of
+    the 3-long window rows, with per-fp groups tiny (mostly 1-2 rows)
+    so the window buffer never grows. The r10 1000× probe caught the
+    previous groupBy + join-back form turning super-linear (16×/decade
+    at 500M windows): because most fingerprints are UNIQUE, the
+    aggregate side was nearly as large as the window table itself, so
+    the join-back sort-merged ~500M rows against ~450M and the persisted
+    window table spilled — two full sorts plus ~12 GB of storage where
+    one suffices. The window form halves the sorted bytes and drops the
+    persist entirely (1000× re-measurement in SCALING.md). The
+    reassembly groupBy ships only (doc, start) longs for removed
+    windows, never text; the final mask is a per-row HOF over the
+    original token array. No all-pairs stage exists, so corpus² never
+    appears. A single boilerplate fingerprint repeated across the whole
+    corpus is a skewed window partition — the same exposure the old
+    groupBy had; salting the fp key is the upgrade if one span dominates.
     """
+    from pyspark.sql import Window as W
+
     h = HASHERS[hasher]
     k = win_tokens
     d = (scale_out(docs)
          .withColumn("_toks", F.split(F.col(text_col), " "))
          .withColumn("_n", F.size("_toks")))
     # Scan-local fingerprinting: slice+hash runs inside a transform over
-    # the starts BEFORE the explode, so the persisted window table is
+    # the starts BEFORE the explode, so the shuffled window table is
     # three longs per window and the token arrays never leave the scan.
-    wins = tracked_persist(
+    wins = (
         d.select(F.col(id_col), F.posexplode(
             F.when(F.col("_n") >= k, F.transform(
                 F.sequence(F.lit(1), F.col("_n") - k + 1),
@@ -1003,12 +1031,12 @@ def dedup_repeated_windows(docs: DataFrame, *, id_col: str = "doc_id",
                     F.lit("dedup_repeated_windows: combined argmin key "
                           "needs 0 <= id < 2^43 and start < 2^20; got id="),
                     F.col(id_col).cast("string"), F.lit(" start="),
-                    F.col("start").cast("string")))).alias("mk")),
-        eager=False)
-    agg = (wins.groupBy("fp")
-           .agg(F.count(F.lit(1)).alias("cnt"), F.min("mk").alias("mn")))
-    rem = (wins.join(agg, "fp")
-           .filter((F.col("cnt") >= 2) & (F.col("mk") != F.col("mn")))
+                    F.col("start").cast("string")))).alias("mk")))
+    wfp = W.partitionBy("fp")
+    rem = (wins
+           .withColumn("_cnt", F.count(F.lit(1)).over(wfp))
+           .withColumn("_mn", F.min("mk").over(wfp))
+           .filter((F.col("_cnt") >= 2) & (F.col("mk") != F.col("_mn")))
            .groupBy(id_col)
            .agg(F.collect_list("start").alias("_rs")))
     out = (d.join(rem, id_col, "left")

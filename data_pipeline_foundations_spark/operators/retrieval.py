@@ -131,3 +131,97 @@ def oracle_bm25_topk_sql(terms: Sequence[str], k: int = 20,
     FROM scored GROUP BY doc_id
     ORDER BY SUM(su) DESC, doc_id LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion — hybrid sparse + dense retrieval
+# ---------------------------------------------------------------------------
+
+RRF_KAPPA = 60
+RRF_SCALE = 1_000_000
+
+
+def rrf_fuse(sparse: DataFrame, dense: DataFrame, *, k: int = 20,
+             kappa: int = RRF_KAPPA, id_col: str = "doc_id") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09) of
+    two ranked candidate lists: ``sparse`` and ``dense`` each carry
+    (id_col, rank) with rank 1-based; the fused score of a document is
+    sum over the lists it appears in of floor(SCALE / (kappa + rank)).
+
+    The floor-of-double-division is cross-engine exact: both operands
+    are small integers, the IEEE quotient is correctly rounded, and
+    whenever the true quotient is an integer the division is exact — so
+    the DuckDB twin reproduces every fused score bit-for-bit (the same
+    reason the BM25 scaling above is portable). Documents in only one
+    list still score (standard RRF — that asymmetry is the point: the
+    fusion promotes agreement without requiring it).
+
+    Returns (id, rrf_score, sparse_rank, dense_rank) ordered by fused
+    score desc with the id tiebreak, limit ``k``. Scale shape: both
+    inputs are top-k lists (tiny) — the fusion is a broadcast-size
+    full-outer join; the heavy lifting happened in the retrievers.
+    """
+    contrib = (lambda r: F.when(
+        r.isNotNull(),
+        F.floor(F.lit(float(RRF_SCALE)) / (F.lit(kappa) + r)))
+        .otherwise(F.lit(0)))
+    s = sparse.select(F.col(id_col).alias("_id"),
+                      F.col("rank").cast("long").alias("sparse_rank"))
+    d = dense.select(F.col(id_col).alias("_id"),
+                     F.col("rank").cast("long").alias("dense_rank"))
+    return (s.join(d, "_id", "full_outer")
+            .select(F.col("_id").alias(id_col),
+                    (contrib(F.col("sparse_rank"))
+                     + contrib(F.col("dense_rank"))).cast("long")
+                    .alias("rrf_score"),
+                    "sparse_rank", "dense_rank")
+            .orderBy(F.col("rrf_score").desc(), id_col)
+            .limit(k))
+
+
+def oracle_rrf_hybrid_sql(terms: Sequence[str], *, k_sparse: int = 20,
+                          k_dense: int = 20, k: int = 20,
+                          kappa: int = RRF_KAPPA,
+                          n2_query: int = 0) -> str:
+    """DuckDB twin of the x81 hybrid: the BM25 top-k list ranked by
+    (score desc, doc_id), the dense list = brute cosine top-k of query
+    vector ``n2_query`` over embeddings (same quantized-cosine contract
+    as oracle_cosine_topk_sql), fused with the floor(SCALE/(kappa+rank))
+    arithmetic."""
+    from ..operators.similarity import (
+        oracle_idot, oracle_int_vec, oracle_qcos,
+    )
+    bm25 = oracle_bm25_topk_sql(terms, k_sparse)
+    contrib = (f"CASE WHEN {{r}} IS NULL THEN 0 ELSE "
+               f"CAST(floor(CAST({RRF_SCALE} AS DOUBLE)"
+               f" / ({kappa} + {{r}})) AS BIGINT) END").format
+    return f"""
+    WITH sparse AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS sparse_rank
+        FROM ({bm25})
+    ), eb AS (
+        SELECT vec_id, {oracle_int_vec('embedding')} AS sv FROM embeddings
+    ), ebase AS (
+        SELECT vec_id, sv, {oracle_idot('sv', 'sv')} AS n2 FROM eb
+    ), eq AS (
+        SELECT sv AS qv, n2 AS qn2 FROM ebase WHERE vec_id = {n2_query}
+    ), dense AS (
+        SELECT vec_id AS doc_id, CAST(rnk AS BIGINT) AS dense_rank FROM (
+            SELECT b.vec_id,
+                   row_number() OVER (ORDER BY
+                       {oracle_qcos(oracle_idot('q.qv', 'b.sv'),
+                                    'q.qn2', 'b.n2')} DESC,
+                       b.vec_id ASC) AS rnk
+            FROM ebase b, eq q
+            WHERE b.vec_id <> {n2_query}
+        ) WHERE rnk <= {k_dense}
+    )
+    SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+           {contrib(r='s.sparse_rank')} + {contrib(r='d.dense_rank')}
+               AS rrf_score,
+           s.sparse_rank, d.dense_rank
+    FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT {k}
+    """

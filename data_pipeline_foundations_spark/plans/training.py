@@ -743,3 +743,47 @@ def x80_trained_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (trained_ivf_assign(scale_out(load(spark, sf_dir, "embeddings")))
             .orderBy("vec_id"))
+
+
+# ---------------------------------------------------------------------------
+# x81 — hybrid retrieval: BM25 ⊕ dense cosine via reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_RRF_K = 20
+
+
+@query("x81_rrf_hybrid_retrieval",
+       oracle=__import__(
+           "data_pipeline_foundations_spark.operators.retrieval",
+           fromlist=["oracle_rrf_hybrid_sql"],
+       ).oracle_rrf_hybrid_sql(
+           ("spark", "join", "window", "scan", "merge", "vector"),
+           k_sparse=_RRF_K, k_dense=_RRF_K, k=_RRF_K)
+       + " ")
+def x81_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid first-stage retrieval (operators/retrieval.py rrf_fuse):
+    the BM25 top-20 keyword list over documents and the brute-cosine
+    top-20 of query vector 0 over embeddings, fused with reciprocal-rank
+    fusion — floor(1e6/(60+rank)) per list, summed. The production
+    pattern for corpus curation and RAG indexing: sparse catches exact
+    terminology, dense catches paraphrase, RRF promotes agreement
+    without requiring either side's score calibration. Both retrievers
+    keep their own scale shape (postings-pruned BM25 shuffle; broadcast
+    query × corpus scan with a per-query top-k reduction); the fusion
+    itself is a top-k-sized full-outer join — driver-free, broadcast
+    weight."""
+    from pyspark.sql import Window as W
+
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+    from ..operators.similarity import cosine_topk
+
+    sparse = (bm25_topk(load(spark, sf_dir, "documents"),
+                        ("spark", "join", "window", "scan", "merge",
+                         "vector"), _RRF_K)
+              .withColumn("rank", F.row_number().over(
+                  W.orderBy(F.col("score").desc(), "doc_id"))))
+    dense = (cosine_topk(load(spark, sf_dir, "embeddings"),
+                         n_queries=1, k=_RRF_K)
+             .select(F.col("neighbor_id").alias("doc_id"), "rank"))
+    return rrf_fuse(sparse, dense, k=_RRF_K).orderBy(
+        F.col("rrf_score").desc(), "doc_id")

@@ -22,19 +22,39 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--factor", type=int, required=True)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--prefix-tokens", action="store_true",
+                    help="make replica shingle sets DISJOINT (make_scale10's "
+                    "r{k}_ token prefix) so shingle/banding operators scale "
+                    "linearly — required for x06/x15/x41/x48-style probes; "
+                    "without it every replica is an exact text duplicate "
+                    "and pair volume is quadratic corpus artifact")
     args = ap.parse_args()
     out = args.out or f"/tmp/scale{args.factor}docs"
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     docs = f"{args.src}/documents.parquet"
     n = con.execute(f"SELECT MAX(doc_id) + 1 FROM '{docs}'").fetchone()[0]
-    con.execute(f"""
-    COPY (
-        SELECT d.doc_id + k.k * {n} AS doc_id, d.text, d.lang,
-               d.source, d.n_chars
-        FROM '{docs}' d, (SELECT unnest(range(0, {args.factor})) AS k) k
-    ) TO '{out}/documents.parquet' (FORMAT PARQUET)
-    """)
+    if args.prefix_tokens:
+        con.execute(f"""
+        COPY (
+            SELECT doc_id, text, lang, source, n_chars FROM '{docs}'
+            UNION ALL
+            SELECT d.doc_id + k.k * {n},
+                   array_to_string(list_transform(
+                       string_split(d.text, ' '),
+                       t -> 'r' || k.k || '_' || t), ' ') AS text,
+                   d.lang, d.source, d.n_chars
+            FROM '{docs}' d, (SELECT unnest(range(1, {args.factor})) AS k) k
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+        """)
+    else:
+        con.execute(f"""
+        COPY (
+            SELECT d.doc_id + k.k * {n} AS doc_id, d.text, d.lang,
+                   d.source, d.n_chars
+            FROM '{docs}' d, (SELECT unnest(range(0, {args.factor})) AS k) k
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+        """)
     for t in ("region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "embeddings"):
         dst = f"{out}/{t}.parquet"
