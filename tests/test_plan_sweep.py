@@ -36,6 +36,9 @@ BNLJ_WHITELIST = {
                                     "(TPC-H Q22 scalar subquery)",
     "q11_important_parts": "single broadcast grand-total row "
                            "(TPC-H Q11 scalar fraction threshold)",
+    "x81_rrf_hybrid_retrieval": "composes x24 (corpus-stats row) and x07 "
+                                "(n_queries non-equi broadcast) — the two "
+                                "retrievers' documented scalar attaches",
     # x61_ann_recall left the list in r6: the fused kernel path scores
     # the ground truth in-map, so no broadcast non-equi join remains.
 }
