@@ -1354,27 +1354,59 @@ def oracle_ivfpq_rerank_sql(*, dim: int = 64, k_clusters: int = 16,
 # ---------------------------------------------------------------------------
 _AUTO_ROUTE_MIN_K = 64  # below this, flat O(n·k·d) assignment is cheap
 #                         enough that routing buys nothing
+_ROUTE_AGREEMENT_MIN = 0.95  # sample flat-vs-routed agreement required
+#                              before the AUTO path turns routing on
+_ROUTE_SAMPLE_MOD = 97  # deterministic ~1% calibration slice (id % mod)
 
 
 def _auto_route_groups(k_clusters: int, lloyd_iters: int,
                        route_groups: int | None) -> int | None:
     """The documented route_groups default (VERDICT r9 #2): an explicit
-    value always wins; otherwise the two-level router switches on at
+    value always wins; otherwise the two-level router is a CANDIDATE at
     ``round(sqrt(k))`` groups only when the quantizer is TRAINED
     (lloyd_iters > 0) and k is large enough to matter (>= 64). The
-    training gate is load-bearing: on hash-init centroids
-    (near-orthogonal noise directions) flat/hier routing agreement is
-    bounded by quantizer separation at ~57%, so defaulting the router
-    on would silently change which cluster boundary pairs co-bucket;
-    after Lloyd refinement the centroids reflect actual data structure
-    and the router is exact on separated clusters (pinned in
-    tests/test_similarity.py)."""
+    training gate is necessary but NOT sufficient: on hash-init
+    centroids (near-orthogonal noise directions) flat/hier agreement is
+    bounded by quantizer separation at ~57%, and the r10 scale probe
+    showed training does not create separation the data lacks — on the
+    200k independent-hash-random corpus, 2 Lloyd passes on a 10% sample
+    left agreement at 15%. So the auto path additionally measures
+    flat-vs-routed agreement on a ~1% deterministic slice
+    (_sample_route_agreement) and routes only when it clears
+    _ROUTE_AGREEMENT_MIN — on separated clusters routing is exact
+    (pinned in tests/test_similarity.py) and the gate passes; on
+    noise-like corpora it falls back to flat instead of silently
+    changing which boundary pairs co-bucket.
+
+    ``route_groups=0`` is the explicit FLAT sentinel (resolves to None,
+    skipping both the auto candidate and the calibration read)."""
     if route_groups is not None:
-        return route_groups
+        return route_groups if route_groups > 0 else None
     if lloyd_iters > 0 and k_clusters >= _AUTO_ROUTE_MIN_K:
         import math
         return int(round(math.sqrt(k_clusters)))
     return None
+
+
+def _sample_route_agreement(emb: DataFrame, id_col: str, vec_col: str,
+                            cents_rows: list, route_groups: int) -> float:
+    """Fraction of a deterministic ~1% sample (id % 97 == 0) whose flat
+    and routed cluster assignments agree — the cheap calibration read
+    behind the auto-routing gate. Cost is O(n/97 · k · d) flat kernel
+    work on the sample, ~100× less than one flat pass over the corpus;
+    an empty sample reads 0.0 (falls back to flat — safe)."""
+    from .vectorized import ivf_assign_hier_udf, ivf_assign_udf
+
+    flat = ivf_assign_udf(cents_rows, EMB_SCALE)
+    hier = ivf_assign_hier_udf(cents_rows, route_groups, EMB_SCALE)
+    r = (emb.filter(F.col(id_col) % _ROUTE_SAMPLE_MOD == 0)
+         .select(flat(F.col(vec_col)).alias("f"),
+                 hier(F.col(vec_col))["cid"].alias("h"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.when(F.col("f") == F.col("h"), 1)
+                    .otherwise(0)).alias("a"))
+         .collect()[0])
+    return (r.a / r.n) if r.n else 0.0
 
 
 def semantic_dedup(emb: DataFrame, *, id_col: str = "vec_id",
@@ -1421,10 +1453,15 @@ def semantic_dedup(emb: DataFrame, *, id_col: str = "vec_id",
 
     ``lloyd_iters`` (r10): refine the quantizer with that many
     deterministic Lloyd passes (train_ivf_centroids) before assigning.
-    With a TRAINED quantizer and k >= 64 the two-level router defaults
-    ON at round(sqrt(k)) groups (_auto_route_groups — see its docstring
-    for why the default requires training); pass route_groups
-    explicitly to override either way."""
+    With a TRAINED quantizer and k >= 64 the two-level router becomes a
+    CANDIDATE at round(sqrt(k)) groups, and turns on only after the
+    sample calibration gate clears: flat-vs-routed agreement measured
+    on the deterministic ~1% id-slice must reach 95%
+    (_sample_route_agreement — the r10 scale probe showed training
+    does not create separation the data lacks, so the gate, not the
+    training, is what makes the default safe). Pass route_groups
+    explicitly to override either way; the explicit path never pays
+    the calibration read."""
     from .clustering import connected_components
     from .vectorized import (
         bucket_pair_cosines, ivf_assign_hier_udf, ivf_assign_udf,
@@ -1437,7 +1474,13 @@ def semantic_dedup(emb: DataFrame, *, id_col: str = "vec_id",
     else:
         cents_rows, _ = _ivf_model_rows(emb, id_col, vec_col, k_clusters,
                                         seed, dim)
+    auto = route_groups is None
     route_groups = _auto_route_groups(k_clusters, lloyd_iters, route_groups)
+    if auto and route_groups is not None and _sample_route_agreement(
+            emb, id_col, vec_col, cents_rows,
+            route_groups) < _ROUTE_AGREEMENT_MIN:
+        route_groups = None  # corpus lacks cluster separation: routing
+        #                      would silently change co-bucketing — flat
     if route_groups is not None:
         hier = ivf_assign_hier_udf(cents_rows, route_groups, EMB_SCALE)
         asg = (emb.select(F.col(id_col), F.col(vec_col).alias("_v"))

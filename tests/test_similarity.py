@@ -393,6 +393,7 @@ def test_auto_route_groups_default():
     assert _auto_route_groups(256, 0, None) is None    # untrained
     assert _auto_route_groups(256, 0, 4) == 4          # explicit wins
     assert _auto_route_groups(64, 3, 2) == 2
+    assert _auto_route_groups(256, 3, 0) is None       # explicit FLAT
 
 
 def test_semantic_dedup_trained_path_deterministic(spark, sf_dir):
@@ -412,3 +413,32 @@ def test_semantic_dedup_trained_path_deterministic(spark, sf_dir):
     rows_b = sorted(tuple(r) for r in
                     semantic_dedup(emb, k_clusters=8, lloyd_iters=1).collect())
     assert rows_a == rows_b
+
+
+def test_auto_route_gate_falls_back_on_unstructured(spark):
+    """The r10 calibration gate: on a corpus WITHOUT cluster structure
+    (independent uniform vectors — the regime the 200k scale probe
+    measured at 15% agreement even after training), the auto path's
+    sample agreement reads under the 95% bar and semantic_dedup falls
+    back to FLAT assignment: the auto result is row-identical to the
+    explicit-flat (route_groups=0) result."""
+    import numpy as np
+
+    from data_pipeline_foundations_spark.operators.similarity import (
+        _ROUTE_AGREEMENT_MIN, _sample_route_agreement, semantic_dedup,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = [(int(i), rng.uniform(-1, 1, 64).tolist()) for i in range(970)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = train_ivf_centroids(emb, k_clusters=64, iters=1)
+    agree = _sample_route_agreement(emb, "vec_id", "embedding", cents, 8)
+    assert agree < _ROUTE_AGREEMENT_MIN, agree  # no separation to find
+
+    auto = sorted(tuple(r) for r in semantic_dedup(
+        emb, k_clusters=64, lloyd_iters=1).collect())
+    flat = sorted(tuple(r) for r in semantic_dedup(
+        emb, k_clusters=64, lloyd_iters=1, route_groups=0).collect())
+    assert auto == flat
