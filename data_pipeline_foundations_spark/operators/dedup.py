@@ -328,22 +328,63 @@ def oracle_simhash_expr(sql_col: str, bits: int = SIMHASH_BITS) -> str:
 def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                   text_col: str = "text", bits: int = SIMHASH_BITS,
                   band_bits: int = 8, max_hamming: int = 6,
+                  band_combo: int | None = None,
                   hasher: str = "md5") -> DataFrame:
-    """Near-dup pairs by SimHash banding: docs sharing any band byte are
-    candidates; keep pairs with hamming distance <= max_hamming."""
+    """Near-dup pairs by SimHash banding: docs sharing a band key are
+    candidates; keep pairs with hamming distance <= max_hamming.
+
+    ``band_combo`` (r10): index CONCATENATIONS of that many bands
+    instead of single bands — C(nbands, combo) tables with
+    combo·band_bits-wide keys. The r10 1000× probe killed the
+    single-band form at 5M docs: an 8-bit band key has 256 buckets, so
+    candidate volume follows tables·n²/keyspace ≈ n²/256·8 — ~390G
+    join rows at 5M docs (the banding saturates once n >> keyspace).
+    Pigeonhole makes the 2-combo OUTPUT-IDENTICAL, not merely similar:
+    hamming <= max_hamming flips at most max_hamming bands, so
+    nbands - max_hamming bands are clean; with nbands >= max_hamming+2
+    some clean PAIR of bands exists and the pair's concatenated key
+    matches — every hamming <= max_hamming pair stays a candidate
+    under both schemes, extra candidates differ but die in the exact
+    hamming filter, and both outputs equal "all pairs with hamming <=
+    max_hamming" (pinned). The 16-bit keyspace cuts candidates 75× at
+    5M docs; the law is still n²/keyspace — for corpora where even
+    that saturates, the next tier is Manku et al.'s (WWW'07) sorted
+    permuted-fingerprint tables (linear scans, no bucket join).
+    Default: auto — combo 2 whenever the guarantee holds
+    (nbands >= max_hamming + 2), else single-band."""
+    from itertools import combinations
+
     nbands = bits // band_bits
     mask = (1 << band_bits) - 1
+    if band_combo is None:
+        band_combo = 2 if nbands >= max_hamming + 2 else 1
+    if band_combo > 1 and nbands < max_hamming + band_combo:
+        raise ValueError(
+            f"simhash_pairs: band_combo={band_combo} breaks the recall "
+            f"guarantee at max_hamming={max_hamming} with {nbands} bands "
+            f"(needs nbands >= max_hamming + combo)")
     # TWO consumers (both sides of the self-join): without the persist the
     # signature pipeline (per-token md5 + per-bit aggregate — the dominant
     # cost) executes twice. The cached form is tiny: (id, int64).
     sig = tracked_persist(with_simhash(scale_out(docs), text_col, bits, out="sh",
                                        hasher=hasher)
                           .select(id_col, "sh"))
-    band_structs = [
-        F.struct(F.lit(j).alias("band_id"),
-                 F.shiftright(F.col("sh"), j * band_bits).bitwiseAND(F.lit(mask)).alias("band_key"))
-        for j in range(nbands)
-    ]
+    keys = [F.shiftright(F.col("sh"), j * band_bits).bitwiseAND(F.lit(mask))
+            for j in range(nbands)]
+    if band_combo == 1:
+        band_structs = [
+            F.struct(F.lit(j).alias("band_id"), keys[j].alias("band_key"))
+            for j in range(nbands)
+        ]
+    else:
+        combos = list(combinations(range(nbands), band_combo))
+        band_structs = []
+        for c, idxs in enumerate(combos):
+            key = keys[idxs[0]]
+            for i in idxs[1:]:
+                key = key * F.lit(mask + 1) + keys[i]
+            band_structs.append(
+                F.struct(F.lit(c).alias("band_id"), key.alias("band_key")))
     bands_df = (sig.select(id_col, "sh", F.explode(F.array(*band_structs)).alias("b"))
                 .select(id_col, "sh", "b.band_id", "b.band_key"))
     x, y = bands_df.alias("x"), bands_df.alias("y")

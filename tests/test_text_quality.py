@@ -501,3 +501,35 @@ def test_qsketch_quantile_error_bound(spark):
             lo = getattr(got[s], name)
             width = max(lo // 4, 1)   # sub-octave cell width
             assert lo <= exact <= lo + width, (s, name, lo, exact)
+
+
+def test_simhash_band_combo_output_identical(spark, sf_dir):
+    """The r10 banding upgrade is OUTPUT-identical, not approximate:
+    with nbands >= max_hamming + 2, pigeonhole guarantees every
+    hamming <= max_hamming pair a clean band PAIR, so the 2-combo
+    index (16-bit keys, 28 tables) returns exactly the single-band
+    index's pairs — the 75x candidate cut is free. Also pins the
+    guarantee guard: a combo that breaks the recall bound raises."""
+    import pytest as _pytest
+
+    from data_pipeline_foundations_spark.operators.dedup import (
+        simhash_pairs,
+    )
+    from data_pipeline_foundations_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # the 64-bit signature is the scale configuration: 8 bands, so the
+    # hamming<=6 pigeonhole leaves >=2 clean bands and combo-2 holds
+    single = sorted(tuple(r) for r in
+                    simhash_pairs(docs, bits=64, band_combo=1).collect())
+    combo = sorted(tuple(r) for r in
+                   simhash_pairs(docs, bits=64, band_combo=2).collect())
+    auto = sorted(tuple(r) for r in simhash_pairs(docs, bits=64).collect())
+    assert single == combo == auto
+    # the registered 32-bit form has only 4 bands: no clean-pair
+    # guarantee exists, so auto must STAY single-band (x05's oracle
+    # semantics unchanged) and an explicit combo-2 request raises
+    with _pytest.raises(ValueError, match="recall guarantee"):
+        simhash_pairs(docs, band_combo=2)
+    with _pytest.raises(ValueError, match="recall guarantee"):
+        simhash_pairs(docs, bits=64, band_combo=3)
