@@ -49,8 +49,18 @@ ROWS_PER_BAND = 2
 HASH_P = 2_147_483_647  # 2^31 - 1
 # Rolling-polynomial base for combining token hashes into shingle hashes.
 SHINGLE_C = 1_000_003
-# SimHash width (bits of the 60-bit md5 hash used).
-SIMHASH_BITS = 32
+# SimHash signature width. 64 is the REGISTERED default (r11): with
+# band_bits=8 it yields 8 bands >= max_hamming + 2, so the pigeonhole
+# band-combination index (see simhash_pairs) engages automatically and
+# the banding keyspace is 2^16 instead of 2^8 — the 32-bit/4-band form
+# saturates by the measured tables*n^2/keyspace law (~195G join rows at
+# 5M docs, SCALING.md r10 part 5) while the 64-bit form runs the same
+# corpus in ~138 s. Token hashes are 60-bit (functions.hashing), so
+# signature bits >= SIMHASH_HASH_BITS are structurally zero: both
+# engines skip computing them, hamming distances are unaffected, and
+# the top band simply carries 4 informative bits instead of 8.
+SIMHASH_BITS = 64
+SIMHASH_HASH_BITS = 60  # md5_long width; simhash bits above this are 0
 # Inverted-index blocking: shingles appearing in more docs than this are
 # too common to be discriminative — skip them for candidate generation
 # (intersections still count them).
@@ -293,12 +303,17 @@ def with_simhash(df: DataFrame, text_col: str, bits: int = SIMHASH_BITS,
     Token hashes are staged once ( _hs ); per-bit counts are ONE aggregate
     pass producing an array (not 32 separate filters over 32 re-hashed
     copies — HOFs are excluded from codegen CSE, see module docstring).
+
+    Bits at or above SIMHASH_HASH_BITS are structurally zero (the token
+    hash is 60-bit), so only min(bits, 60) counters are computed — the
+    64-bit signature costs the same aggregate as a 60-bit one.
     """
     h = HASHERS[hasher]
+    eff = min(bits, SIMHASH_HASH_BITS)
     d = df.withColumn(
         "_hs", F.transform(F.split(F.col(text_col), " "), lambda t: h(t)))
     d = d.withColumn("_cnt", F.expr(
-        f"aggregate(_hs, array_repeat(CAST(0 AS BIGINT), {bits}), "
+        f"aggregate(_hs, array_repeat(CAST(0 AS BIGINT), {eff}), "
         f"(acc, h) -> transform(acc, (c, i) -> c + (shiftright(h, i) & CAST(1 AS BIGINT))))"
     ))
     # coalesce → non-nullable output. This matters for PLAN quality, not
@@ -315,12 +330,14 @@ def with_simhash(df: DataFrame, text_col: str, bits: int = SIMHASH_BITS,
 
 
 def oracle_simhash_expr(sql_col: str, bits: int = SIMHASH_BITS) -> str:
+    # bits >= SIMHASH_HASH_BITS are structurally zero (60-bit token
+    # hashes) — skip their terms, mirroring with_simhash exactly.
     toks = f"string_split({sql_col}, ' ')"
     hashes = f"list_transform({toks}, t -> {oracle_md5_long('t')})"
     terms = " + ".join(
         f"CASE WHEN 2 * len(list_filter({hashes}, h -> (h >> {b}) & 1 = 1)) "
         f"> len({toks}) THEN CAST({2 ** b} AS BIGINT) ELSE 0 END"
-        for b in range(bits)
+        for b in range(min(bits, SIMHASH_HASH_BITS))
     )
     return f"({terms})"
 
@@ -1046,6 +1063,23 @@ def dedup_repeated_windows(docs: DataFrame, *, id_col: str = "doc_id",
     groupBy had; salting the fp key is the upgrade if one span dominates.
     """
     from pyspark.sql import Window as W
+    from pyspark.sql.types import (
+        ByteType, IntegerType, LongType, ShortType,
+    )
+
+    # The packed argmin key re-derives the id as BIGINT (mk div 2^20)
+    # and the join-back/groupBy operate on that long identity, so a
+    # non-integral id column would be coerced implicitly — string ids
+    # '7' and '07' are distinct but long-equal, and their removal lists
+    # would silently merge (ADVICE r10). Require an integral id so the
+    # coercion is exact by construction.
+    id_type = docs.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"dedup_repeated_windows: id column {id_col!r} must be an "
+            f"integral type (the packed argmin key re-derives it as "
+            f"BIGINT); got {id_type.simpleString()} — cast distinct "
+            f"string ids to a dense long key first")
 
     h = HASHERS[hasher]
     k = win_tokens

@@ -89,14 +89,18 @@ def x03_dedup_minhash_lsh(spark, sf_dir):
 @query("x04_simhash_signatures",
        oracle=f"SELECT doc_id, {oracle_simhash_expr('text')} AS simhash FROM documents")
 def x04_simhash_signatures(spark, sf_dir):
-    """Per-document 32-bit SimHash (token-majority bits), scan-local."""
+    """Per-document 64-bit SimHash (token-majority bits), scan-local.
+    Bits 60-63 are structurally zero (60-bit token hashes)."""
     return (with_simhash(scale_out(load(spark, sf_dir, "documents")), "text")
             .select("doc_id", "simhash"))
 
 
 @query("x05_simhash_near_dups", oracle=oracle_simhash_pairs_sql())
 def x05_simhash_near_dups(spark, sf_dir):
-    """SimHash near-dup pairs via byte-banding + hamming<=6 filter."""
+    """SimHash near-dup pairs via byte-banding + hamming<=6 filter.
+    Registered form (r11): 64-bit signature, 8 bands, auto 2-band
+    combination index — the configuration that survives 5M docs
+    (SCALING.md r10 part 5); 32-bit stays a legacy knob."""
     return simhash_pairs(load(spark, sf_dir, "documents"))
 
 

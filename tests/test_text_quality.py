@@ -218,6 +218,24 @@ def test_repeated_window_dedup_semantics(spark):
     assert outs["md5"] == outs["xx"]
 
 
+def test_repeated_window_dedup_requires_integral_id(spark):
+    """The packed argmin key re-derives the id as BIGINT, so string ids
+    that are long-equal ('7' vs '07') would silently merge removal
+    lists — the operator must refuse non-integral id columns up front
+    with an actionable message (ADVICE r10)."""
+    import pytest
+
+    from data_pipeline_foundations_spark.operators.dedup import (
+        dedup_repeated_windows,
+    )
+
+    docs = spark.createDataFrame(
+        [("7", "a b c d e"), ("07", "x y a b c d w")],
+        "doc_id string, text string")
+    with pytest.raises(TypeError, match="integral type"):
+        dedup_repeated_windows(docs, win_tokens=4)
+
+
 def test_repeated_window_dedup_is_idempotent(spark, sf_dir):
     """Deduping a deduped corpus removes nothing: every surviving window
     fingerprint is unique after the first pass ONLY for spans that were
@@ -518,18 +536,20 @@ def test_simhash_band_combo_output_identical(spark, sf_dir):
     from data_pipeline_foundations_spark.tables import load
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    # the 64-bit signature is the scale configuration: 8 bands, so the
-    # hamming<=6 pigeonhole leaves >=2 clean bands and combo-2 holds
+    # the 64-bit signature is the REGISTERED configuration (r11): 8
+    # bands, so the hamming<=6 pigeonhole leaves >=2 clean bands and
+    # combo-2 holds — auto (the x05 default) must equal both explicit
+    # forms
     single = sorted(tuple(r) for r in
-                    simhash_pairs(docs, bits=64, band_combo=1).collect())
+                    simhash_pairs(docs, band_combo=1).collect())
     combo = sorted(tuple(r) for r in
-                   simhash_pairs(docs, bits=64, band_combo=2).collect())
-    auto = sorted(tuple(r) for r in simhash_pairs(docs, bits=64).collect())
+                   simhash_pairs(docs, band_combo=2).collect())
+    auto = sorted(tuple(r) for r in simhash_pairs(docs).collect())
     assert single == combo == auto
-    # the registered 32-bit form has only 4 bands: no clean-pair
-    # guarantee exists, so auto must STAY single-band (x05's oracle
-    # semantics unchanged) and an explicit combo-2 request raises
+    # the legacy 32-bit form has only 4 bands: no clean-pair guarantee
+    # exists, so auto must STAY single-band there and an explicit
+    # combo-2 request raises
     with _pytest.raises(ValueError, match="recall guarantee"):
-        simhash_pairs(docs, band_combo=2)
+        simhash_pairs(docs, bits=32, band_combo=2)
     with _pytest.raises(ValueError, match="recall guarantee"):
-        simhash_pairs(docs, bits=64, band_combo=3)
+        simhash_pairs(docs, band_combo=3)
