@@ -275,7 +275,12 @@ def read_versioned(spark: SparkSession, root: str, *,
     read-side half of write_versioned's add-only evolution contract).
     Columns the old version has that the current one lacks cannot exist
     under that contract (a drop requires allow_incompatible) and are
-    dropped by the projection if a caller forced one through."""
+    dropped by the projection if a caller forced one through.
+
+    On the current-version path (``version=None``) the reconciliation
+    target IS the version being read, so ``reconcile=True`` is a no-op
+    by definition — accepted (callers may pass it unconditionally), not
+    silently meaningful (ADVICE r10)."""
     if version is not None:
         vs = dict(list_versions(spark, root))
         if version not in vs:

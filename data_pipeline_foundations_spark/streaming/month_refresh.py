@@ -48,8 +48,18 @@ def _make_handler(dataset_path: str, *, month_tag_col: str = "month_tag",
             return
         batch_df = batch_df.persist()
         try:
-            tags = sorted(r[0] for r in
-                          batch_df.select(month_tag_col).distinct().collect())
+            raw_tags = [r[0] for r in
+                        batch_df.select(month_tag_col).distinct().collect()]
+            # A null tag would make sorted() raise an opaque None-vs-str
+            # TypeError and could never match the per-month equality
+            # filter below — fail loud with the actual problem instead
+            # (ADVICE r10). Cheap: reuses the collected distinct tags.
+            if any(t is None for t in raw_tags):
+                raise ValueError(
+                    f"refresh_month_stream: micro-batch {batch_id} has "
+                    f"rows with NULL {month_tag_col!r} — every row must "
+                    f"carry the month tag derived from its landing file")
+            tags = sorted(raw_tags)
             frames = {
                 tag: batch_df.filter(batch_df[month_tag_col] == tag)
                              .drop(month_tag_col)

@@ -778,3 +778,24 @@ def test_month_refresh_stream_equals_batch(spark, tmp_path):
     before = snap(stream_ds)
     assert run_stream(refresh_delivered=False) == []
     assert snap(stream_ds) == before
+
+
+def test_month_refresh_null_tag_fails_loud(spark, tmp_path):
+    """A micro-batch row with a NULL month_tag fails the batch with a
+    DESCRIPTIVE error, not sorted()'s opaque None-vs-str TypeError —
+    and never silently drops the row (ADVICE r10)."""
+    import pytest
+
+    from data_pipeline_foundations_spark.streaming.month_refresh import (
+        _make_handler,
+    )
+
+    raw_schema = ("`Install Day` string, `Media Source` string, "
+                  "`Ad` string, `Impressions (sum)` string, "
+                  "`Cost (sum)` string, month_tag string")
+    batch = spark.createDataFrame(
+        [("Jan 5, 2025", "fb", "a", "10", "$1.00", "2025_01"),
+         ("Feb 1, 2025", "fb", "b", "20", "$2.00", None)], raw_schema)
+    handle = _make_handler(str(tmp_path / "ds"))
+    with pytest.raises(ValueError, match="NULL 'month_tag'"):
+        handle(batch, 0)
