@@ -380,6 +380,37 @@ def test_lloyd_training_enables_exact_routing(spark):
     assert agree >= 0.95, f"trained-routing agreement {agree:.3f} < 0.95"
 
 
+def test_ivf_assign_from_model_reuse_bit_equal(spark, sf_dir):
+    """The train-once/assign-many split (VERDICT r10 #4): holding the
+    model from ONE train_ivf_centroids call and assigning through
+    ivf_assign_from_model is bit-equal to the composed registry surface
+    (trained_ivf_assign), repeated assigns from the same model are
+    bit-equal to each other, and a NEW batch (filtered subset) assigned
+    from the held model matches the full run's rows for those ids —
+    i.e. assignment never retrains."""
+    from data_pipeline_foundations_spark.operators.similarity import (
+        ivf_assign_from_model, train_ivf_centroids, trained_ivf_assign,
+    )
+    from data_pipeline_foundations_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    model = train_ivf_centroids(emb, k_clusters=16, iters=2)
+    composed = sorted(tuple(r) for r in
+                      trained_ivf_assign(emb, k_clusters=16, iters=2)
+                      .collect())
+    once = sorted(tuple(r) for r in
+                  ivf_assign_from_model(emb, model).collect())
+    twice = sorted(tuple(r) for r in
+                   ivf_assign_from_model(emb, model).collect())
+    assert composed == once == twice
+    # assign-many on a later "ingest batch": same model, subset corpus
+    batch = emb.filter("vec_id % 3 = 0")
+    got = sorted(tuple(r) for r in
+                 ivf_assign_from_model(batch, model).collect())
+    want = sorted(t for t in once if t[0] % 3 == 0)
+    assert got == want
+
+
 def test_auto_route_groups_default():
     """The documented route_groups default: explicit wins; auto-on only
     when trained AND k >= 64, at round(sqrt(k))."""
