@@ -333,6 +333,39 @@ def test_bloom_prefilter_is_one_sided(spark, sf_dir):
     assert all(r.n_bloom_hits >= r.n_exact_hits for r in bloom.values())
 
 
+def test_bloom_families_and_fused_probe_agree(spark):
+    """The two Bloom probe shapes decide IDENTICALLY per key within one
+    hash family: bloom_hits (explode + K broadcast semi-joins — the
+    registered x53 shape) == bloom_filter_array (scan-local HOF over the
+    packed bitset words — the array-shaped primitive), on both the
+    hashed-long family and the md5 family. Also pins one-sidedness for
+    the hashed family: every true member survives (no false
+    negatives)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.operators.sketches import (
+        bloom_bitset_words, bloom_build, bloom_filter_array, bloom_hits,
+        bloom_positions, bloom_positions_hashed,
+    )
+
+    keys = spark.range(0, 400).select((F.col("id") * 7919 % 104729)
+                                      .alias("s"))
+    members = keys.filter("s % 3 = 0")
+    for fam in (bloom_positions_hashed, bloom_positions):
+        bloom = bloom_build(members, "s", positions=fam)
+        via_joins = sorted(r.s for r in
+                           bloom_hits(keys, "s", bloom, positions=fam)
+                           .collect())
+        words = bloom_bitset_words(bloom)
+        via_hof = sorted(
+            r.s for r in keys.select(
+                F.explode(bloom_filter_array(F.array("s"), words,
+                                             positions=fam)).alias("s"))
+            .collect())
+        assert via_joins == via_hof
+        assert set(r.s for r in members.collect()) <= set(via_joins)
+
+
 def test_repeated_window_dedup_differential(spark):
     """Differential pin for x48's operator: a pure-Python replica of the
     contract (fingerprint every k-window, keep the global (doc, start)
