@@ -369,8 +369,6 @@ def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     permuted-fingerprint tables (linear scans, no bucket join).
     Default: auto — combo 2 whenever the guarantee holds
     (nbands >= max_hamming + 2), else single-band."""
-    from itertools import combinations
-
     nbands = bits // band_bits
     mask = (1 << band_bits) - 1
     if band_combo is None:
@@ -388,20 +386,7 @@ def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                           .select(id_col, "sh"))
     keys = [F.shiftright(F.col("sh"), j * band_bits).bitwiseAND(F.lit(mask))
             for j in range(nbands)]
-    if band_combo == 1:
-        band_structs = [
-            F.struct(F.lit(j).alias("band_id"), keys[j].alias("band_key"))
-            for j in range(nbands)
-        ]
-    else:
-        combos = list(combinations(range(nbands), band_combo))
-        band_structs = []
-        for c, idxs in enumerate(combos):
-            key = keys[idxs[0]]
-            for i in idxs[1:]:
-                key = key * F.lit(mask + 1) + keys[i]
-            band_structs.append(
-                F.struct(F.lit(c).alias("band_id"), key.alias("band_key")))
+    band_structs = _simhash_band_structs(keys, mask, band_combo, nbands)
     bands_df = (sig.select(id_col, "sh", F.explode(F.array(*band_structs)).alias("b"))
                 .select(id_col, "sh", "b.band_id", "b.band_key"))
     x, y = bands_df.alias("x"), bands_df.alias("y")
@@ -416,6 +401,93 @@ def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def _simhash_band_structs(keys, mask: int, band_combo: int,
+                          nbands: int) -> list:
+    """The (band_id, band_key) struct list shared by the bucket-join and
+    sorted-table forms — single bands or combo-concatenated keys."""
+    from itertools import combinations
+
+    if band_combo == 1:
+        return [F.struct(F.lit(j).alias("band_id"),
+                         keys[j].alias("band_key"))
+                for j in range(nbands)]
+    out = []
+    for c, idxs in enumerate(combinations(range(nbands), band_combo)):
+        key = keys[idxs[0]]
+        for i in idxs[1:]:
+            key = key * F.lit(mask + 1) + keys[i]
+        out.append(F.struct(F.lit(c).alias("band_id"),
+                            key.alias("band_key")))
+    return out
+
+
+def simhash_pairs_sorted(docs: DataFrame, *, id_col: str = "doc_id",
+                         text_col: str = "text", bits: int = SIMHASH_BITS,
+                         band_bits: int = 8, max_hamming: int = 6,
+                         band_combo: int | None = None,
+                         hasher: str = "md5") -> DataFrame:
+    """Manku et al. (WWW'07 "Detecting near-duplicates for web
+    crawling") sorted-permuted-fingerprint-table form of
+    :func:`simhash_pairs` — OUTPUT-IDENTICAL by the same pigeonhole
+    argument (each band combination plays the role of one block
+    permutation's leading bits; a hamming <= h pair has some clean
+    combination whenever nbands >= h + combo).
+
+    Where the bucket-join form shuffles the (id, key) projection TWICE
+    (both self-join sides) and generates candidates inside the join,
+    this form shuffles it ONCE — groupBy(band_id, band_key) with
+    collect_list — and generates each key-run's pairs scan-local with
+    one higher-order transform over the sorted run (Spark's shuffled
+    sort IS Manku's table sort; a run of equal leading bits is exactly
+    his probe range). The trade, measured in SCALING.md r11: pair
+    generation inside a HOF is interpreted (~0.1-1 us/candidate) while
+    join-side candidate generation is whole-stage-codegen'd — so the
+    sorted form wins only when the keyspace keeps runs SMALL (high
+    combo) and loses when candidates dominate; it exists to settle the
+    \">50M docs\" tier question with numbers rather than as the default.
+    """
+    nbands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    if band_combo is None:
+        band_combo = 2 if nbands >= max_hamming + 2 else 1
+    if band_combo > 1 and nbands < max_hamming + band_combo:
+        raise ValueError(
+            f"simhash_pairs_sorted: band_combo={band_combo} breaks the "
+            f"recall guarantee at max_hamming={max_hamming} with "
+            f"{nbands} bands (needs nbands >= max_hamming + combo)")
+    sig = (with_simhash(scale_out(docs), text_col, bits, out="sh",
+                        hasher=hasher).select(id_col, "sh"))
+    keys = [F.shiftright(F.col("sh"), j * band_bits).bitwiseAND(F.lit(mask))
+            for j in range(nbands)]
+    band_structs = _simhash_band_structs(keys, mask, band_combo, nbands)
+    bands_df = (sig.select(id_col, "sh",
+                           F.explode(F.array(*band_structs)).alias("b"))
+                .select(F.col(id_col).alias("i"), "sh",
+                        "b.band_id", "b.band_key"))
+    runs = (bands_df.groupBy("band_id", "band_key")
+            .agg(F.sort_array(F.collect_list(F.struct("i", "sh")))
+                 .alias("g"))
+            .filter(F.size("g") >= 2))
+    # all i<j pairs of a run, scan-local: element k pairs with the
+    # k+1.. tail (the array is sorted by id, so doc_a < doc_b holds by
+    # construction); far pairs die on the hamming predicate inside the
+    # same HOF before anything is emitted
+    pair_arr = F.flatten(F.transform(
+        F.col("g"),
+        lambda x, k: F.filter(
+            F.transform(
+                F.slice(F.col("g"), k + F.lit(2),
+                        F.greatest(F.size("g") - k - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["i"].alias("doc_a"), y["i"].alias("doc_b"),
+                    F.bit_count(x["sh"].bitwiseXOR(y["sh"]))
+                    .alias("hamming"))),
+            lambda p: p["hamming"] <= F.lit(max_hamming))))
+    return (runs.select(F.explode(pair_arr).alias("p"))
+            .select("p.doc_a", "p.doc_b", "p.hamming")
+            .distinct())
 
 
 def oracle_simhash_pairs_sql(*, bits: int = SIMHASH_BITS, band_bits: int = 8,
@@ -1059,8 +1131,17 @@ def dedup_repeated_windows(docs: DataFrame, *, id_col: str = "doc_id",
     windows, never text; the final mask is a per-row HOF over the
     original token array. No all-pairs stage exists, so corpus² never
     appears. A single boilerplate fingerprint repeated across the whole
-    corpus is a skewed window partition — the same exposure the old
-    groupBy had; salting the fp key is the upgrade if one span dominates.
+    corpus is a skewed window partition — MEASURED (r11, SCALING.md):
+    with ONE span owning 20% of all window rows the penalty is +13% at
+    500k docs and +30% at 2M docs versus an equal-size uniform corpus —
+    the hot partition is a serial task whose share grows with the
+    window stage's share of total cost, a graceful degradation, not a
+    stall (the scan-local fingerprinting dominates). If a corpus pushes
+    dominance further, the upgrade is a two-phase (fp → count,min)
+    hash aggregate (map-side combine collapses the hot key per task)
+    with a cnt>=2-filtered broadcast join-back — kept out of the
+    default path because the r10 probe measured the join-back form
+    2.5x worse on the realistic unique-heavy profile.
     """
     from pyspark.sql import Window as W
     from pyspark.sql.types import (
