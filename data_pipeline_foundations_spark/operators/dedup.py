@@ -365,10 +365,13 @@ def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     hamming filter, and both outputs equal "all pairs with hamming <=
     max_hamming" (pinned). The 16-bit keyspace cuts candidates 75× at
     5M docs; the law is still n²/keyspace — for corpora where even
-    that saturates, the next tier is Manku et al.'s (WWW'07) sorted
-    permuted-fingerprint tables (linear scans, no bucket join).
-    Default: auto — combo 2 whenever the guarantee holds
-    (nbands >= max_hamming + 2), else single-band."""
+    that saturates (~20-30M docs), the measured escape is DEEPER combos
+    (band_combo=3 with band_bits=7: 2^21 keyspace, 32x candidate cut —
+    see simhash_pairs_sorted's docstring and SCALING.md r11 part 5 for
+    why Manku's sorted-scan form itself loses to this join at exactly
+    the volumes where a next tier matters). Default: auto — combo 2
+    whenever the guarantee holds (nbands >= max_hamming + 2), else
+    single-band."""
     nbands = bits // band_bits
     mask = (1 << band_bits) - 1
     if band_combo is None:
