@@ -452,6 +452,130 @@ def x15_dedup_clusters(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# x82 — quality-weighted canonical selection (r11)
+# ---------------------------------------------------------------------------
+
+
+def _oracle_quality_canonical_sql() -> str:
+    from ..operators.dedup import oracle_minhash_lsh_sql
+
+    return f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({oracle_minhash_lsh_sql()}) _p
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), reach AS (
+        SELECT doc_id AS src, doc_id AS node FROM documents
+        UNION
+        SELECT r.src, e.b AS node FROM reach r JOIN edges e ON e.a = r.node
+    ), lab AS (
+        SELECT src AS doc_id, MIN(node) AS cluster_id
+        FROM reach GROUP BY src
+    ), j AS (
+        SELECT l.doc_id, l.cluster_id,
+               {oracle_token_count('d.text')} AS n_tokens
+        FROM lab l JOIN documents d USING (doc_id)
+    ), pick AS (
+        SELECT cluster_id, doc_id AS keep_doc_id FROM (
+            SELECT cluster_id, doc_id,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY n_tokens DESC, doc_id ASC)
+                       AS rn
+            FROM j) WHERE rn = 1
+    ), sz AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM lab GROUP BY cluster_id
+    )
+    SELECT j.doc_id, j.cluster_id, sz.cluster_size, j.n_tokens,
+           p.keep_doc_id,
+           CAST(j.doc_id = p.keep_doc_id AS INTEGER) AS is_kept
+    FROM j JOIN sz USING (cluster_id) JOIN pick p USING (cluster_id)
+    """
+
+
+@query("x82_quality_canonical_dedup", oracle=_oracle_quality_canonical_sql())
+def x82_quality_canonical_dedup(spark, sf_dir):
+    """Near-dup clusters with QUALITY-WEIGHTED canonical selection: the
+    kept member of each cluster is the longest document (token count),
+    ties to the smallest id — the representative-selection rule real
+    curation pipelines use where x15's min-id rule is only
+    deterministic, not quality-aware. Composition: MinHash+LSH pairs →
+    connected components → ONE window over cluster_id computing size
+    AND the argmax pick (a struct max — count and max share the single
+    exchange+sort), token counts attached by a thin (id, n_tokens)
+    shuffle join. At 100 TB nothing new materializes beyond x15's
+    plan: the quality column rides the existing component frame."""
+    from pyspark.sql import Window as W
+
+    from ..operators.clustering import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    comp = connected_components(docs.select("doc_id"),
+                                minhash_lsh_pairs(docs))
+    nt = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    j = comp.join(nt, "doc_id")
+    wc = W.partitionBy("cluster_id")
+    pick = F.max(F.struct(F.col("n_tokens").alias("nt"),
+                          (-F.col("doc_id")).alias("nid"))).over(wc)
+    return j.select(
+        "doc_id", "cluster_id",
+        F.count(F.lit(1)).over(wc).cast("long").alias("cluster_size"),
+        "n_tokens",
+        (-pick["nid"]).alias("keep_doc_id"),
+        (F.col("doc_id") == -pick["nid"]).cast("int").alias("is_kept"))
+
+
+# ---------------------------------------------------------------------------
+# x83 — cross-source duplication matrix (r11)
+# ---------------------------------------------------------------------------
+
+
+def _oracle_source_dup_matrix_sql() -> str:
+    from ..operators.dedup import oracle_minhash_lsh_sql
+
+    return f"""
+    WITH p AS (
+        SELECT doc_a, doc_b FROM ({oracle_minhash_lsh_sql()}) _q
+    ), s AS (
+        SELECT doc_id, source FROM documents
+    )
+    SELECT least(sa.source, sb.source) AS source_a,
+           greatest(sa.source, sb.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+    FROM p
+    JOIN s sa ON sa.doc_id = p.doc_a
+    JOIN s sb ON sb.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """
+
+
+@query("x83_cross_source_dup_matrix", oracle=_oracle_source_dup_matrix_sql())
+def x83_cross_source_dup_matrix(spark, sf_dir):
+    """Which sources duplicate into which: every MinHash+LSH near-dup
+    pair attributed to its (source, source) cell with canonical
+    ordering (least/greatest) — the mixture-design diagnostic that
+    tells you whether duplication is WITHIN a crawl snapshot (dedup
+    before mixing) or ACROSS sources (down-weight one of them). Scale
+    shape: two thin (id, source) shuffle joins onto the banded pair
+    stream — the pair volume is already LSH-bounded, and the output is
+    |sources|² at most."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    s = docs.select("doc_id", "source")
+    j = (pairs
+         .join(s.select(F.col("doc_id").alias("doc_a"),
+                        F.col("source").alias("src_a")), "doc_a")
+         .join(s.select(F.col("doc_id").alias("doc_b"),
+                        F.col("source").alias("src_b")), "doc_b"))
+    return (j.select(F.least("src_a", "src_b").alias("source_a"),
+                     F.greatest("src_a", "src_b").alias("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_dup_pairs")))
+
+
+# ---------------------------------------------------------------------------
 # x40 — n-gram novelty score (corpus-diversity measurement)
 # ---------------------------------------------------------------------------
 
