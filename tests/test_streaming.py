@@ -239,6 +239,66 @@ def test_boilerplate_stream_equals_batch(spark, sf_dir, tmp_path):
     assert any(v[1] > 0 for v in got.values())  # chrome actually stripped
 
 
+def test_decontamination_gate_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The 17th twin: the streaming admission gate reproduces itself on
+    a batch frame row-for-row (stateless, scan-local), and its flagged
+    set IS x53's decision — every registered x53 row appears flagged
+    with the same n_shingles and n_bloom_hits, and no unflagged doc
+    appears in x53."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.operators.dedup import (
+        DECON_N, with_shingle_hashes,
+    )
+    from data_pipeline_foundations_spark.operators.sketches import (
+        bloom_bitset_words, bloom_build, bloom_positions_hashed,
+    )
+    from data_pipeline_foundations_spark.plans.quality import (
+        _BLOOM_BENCH_MOD,
+    )
+    from data_pipeline_foundations_spark.registry import all_queries
+    from data_pipeline_foundations_spark.streaming.decontamination import (
+        decontamination_gate_stream,
+    )
+    from data_pipeline_foundations_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    bench = (with_shingle_hashes(
+                 docs.filter(F.col("doc_id") % _BLOOM_BENCH_MOD == 0),
+                 "text", DECON_N, out="_sh")
+             .select(F.explode_outer(F.array_distinct("_sh")).alias("s"))
+             .filter(F.col("s").isNotNull()).distinct())
+    bits = bloom_bitset_words(
+        bloom_build(bench, "s", positions=bloom_positions_hashed))
+    corpus = docs.filter(F.col("doc_id") % _BLOOM_BENCH_MOD != 0)
+
+    want = {r.doc_id: (r.n_shingles, r.n_bloom_hits, r.flagged)
+            for r in decontamination_gate_stream(corpus, bits,
+                                                 n=DECON_N).collect()}
+    src = str(tmp_path / "docs_decon")
+    corpus.write.parquet(src)
+    stream = (spark.readStream.schema(corpus.schema)
+              .format("parquet").load(src))
+    q = (decontamination_gate_stream(stream, bits, n=DECON_N)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("decon_out")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    got = {r.doc_id: (r.n_shingles, r.n_bloom_hits, r.flagged)
+           for r in spark.sql("SELECT * FROM decon_out").collect()}
+    assert got == want
+    # the gate's decision IS x53's: flagged set and counts match
+    x53 = {r.doc_id: (r.n_shingles, r.n_bloom_hits) for r in
+           all_queries()["x53_bloom_decontamination"]
+           .fn(spark, sf_dir).collect()}
+    flagged = {d for d, v in got.items() if v[2] == 1}
+    assert flagged == set(x53)
+    assert all((x53[d][0], x53[d][1]) == (got[d][0], got[d][1])
+               for d in flagged)
+    assert flagged and len(flagged) < len(got)  # gate actually selects
+
+
 def test_span_mask_stream_contains_batch(spark, sf_dir, tmp_path):
     """x48's streaming twin: (1) exact masking on a hand-built corpus —
     the stream masks EVERY occurrence of a profiled span, including the
