@@ -150,6 +150,83 @@ def oracle_cosine_topk_sql(*, n_queries: int = 10, k: int = 5) -> str:
     """
 
 
+def hard_negatives(emb: DataFrame, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding", label_col: str = "label",
+                   n_queries: int = 10, k: int = 5) -> DataFrame:
+    """ANN-mined hard negatives for contrastive training: for each of the
+    first ``n_queries`` vectors, the ``k`` nearest corpus vectors whose
+    label DIFFERS from the query's — the highest-similarity wrong-label
+    examples, exactly the pairs a contrastive objective learns most from
+    (x58's hash-drawn negatives are the cheap uniform alternative; these
+    are the curriculum's hard tier). Returns (query_id, query_label,
+    negative_id, negative_label, rank, cosine).
+
+    Same shape and scale contract as :func:`cosine_topk`: the query side
+    is tiny → broadcast (the label-mismatch predicate rides the same
+    non-equi broadcast join as x07's self-exclusion), the corpus never
+    shuffles until the per-query top-k window, and each corpus vector is
+    scored once per query. At 100 TB the mining cost is one corpus scan
+    per query batch — the production path shards the query set and reuses
+    the IVF ladder (x20/x42) for the candidate pool; this exact form is
+    the ground-truth / evaluation tier.
+    """
+    from pyspark.sql import Window as W
+    base = (scale_out(emb)
+            .select(F.col(id_col), F.col(label_col),
+                    int_vec(vec_col).alias("sv"))
+            .withColumn("n2", idot("sv", "sv"))
+            .withColumn("rt", F.sqrt(F.col("n2").cast("double"))))
+    q = (emb.select(F.col(id_col), F.col(label_col),
+                    int_vec(vec_col).alias("qv"))
+         .filter(F.col(id_col) < n_queries)
+         .withColumn("qrt", F.sqrt(idot("qv", "qv").cast("double")))
+         .select(F.col(id_col).alias("query_id"),
+                 F.col(label_col).alias("query_label"), "qv", "qrt"))
+    joined = (
+        base.join(F.broadcast(q), F.col(label_col) != F.col("query_label"))
+        .select(
+            "query_id", "query_label",
+            F.col(id_col).alias("negative_id"),
+            F.col(label_col).alias("negative_label"),
+            (idot("qv", "sv").cast("double")
+             / (F.col("qrt") * F.col("rt"))).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                          F.col("negative_id").asc())
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "query_label", "negative_id",
+                    "negative_label", F.col("rank").cast("int").alias("rank"),
+                    "cosine"))
+
+
+def oracle_hard_negatives_sql(*, n_queries: int = 10, k: int = 5) -> str:
+    return f"""
+    WITH b0 AS (
+        SELECT vec_id, label, {oracle_int_vec('embedding')} AS sv
+        FROM embeddings
+    ), base AS (
+        SELECT vec_id, label, sv, {oracle_idot('sv', 'sv')} AS n2 FROM b0
+    ), q AS (
+        SELECT vec_id AS query_id, label AS query_label, sv AS qv, n2 AS qn2
+        FROM base WHERE vec_id < {n_queries}
+    ), joined AS (
+        SELECT q.query_id, q.query_label, b.vec_id AS negative_id,
+               b.label AS negative_label,
+               {oracle_qcos(oracle_idot('q.qv', 'b.sv'), 'q.qn2', 'b.n2')} AS cosine
+        FROM base b, q
+        WHERE b.label <> q.query_label
+    )
+    SELECT query_id, query_label, negative_id, negative_label,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, negative_id ASC) AS INTEGER) AS rank,
+           cosine
+    FROM joined
+    QUALIFY rank <= {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # Signed-random-projection LSH (deterministic hyperplanes)
 # ---------------------------------------------------------------------------

@@ -2515,3 +2515,358 @@ def x77_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (joined.select("orderkey", "custkey", "order_ts",
                           "status_asof", "priority_asof")
             .orderBy("orderkey"))
+
+
+# ---------------------------------------------------------------------------
+# x84-x88 — round-11 additions: training-export shuffle, LSH recall
+# evaluation, hard-negative mining, curation yield, vocabulary growth
+# ---------------------------------------------------------------------------
+
+_SHARD_SEED = 84
+_DOCS_PER_SHARD = 125  # constant per-shard size -> shard count grows with corpus
+
+
+def _oracle_shard_shuffle_sql() -> str:
+    from ..functions.hashing import oracle_md5_long
+
+    key = oracle_md5_long("CAST(doc_id AS VARCHAR)", seed=_SHARD_SEED)
+    return f"""
+    WITH n AS (
+        SELECT CAST(CEIL(COUNT(*) / {_DOCS_PER_SHARD}.0) AS BIGINT)
+                   AS n_shards
+        FROM documents
+    ), keyed AS (
+        SELECT doc_id, {key} AS shuffle_key FROM documents
+    )
+    SELECT k.doc_id, k.shuffle_key,
+           k.shuffle_key % n.n_shards AS shard_id,
+           CAST(row_number() OVER (
+                    PARTITION BY k.shuffle_key % n.n_shards
+                    ORDER BY k.shuffle_key, k.doc_id) AS BIGINT)
+               AS pos_in_shard
+    FROM keyed k, n
+    """
+
+
+@query("x84_shard_shuffle", oracle=_oracle_shard_shuffle_sql())
+def x84_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle + training-shard assignment:
+    every document gets a pseudo-random 60-bit shuffle key (portable
+    seeded md5), a shard id (key mod n_shards), and its position within
+    the shard (ordered by key; ties impossible short of a hash collision,
+    broken by doc_id anyway). This is the "global shuffle before
+    training" export step a pretraining pipeline runs so adjacent source
+    documents land in different shards at different positions,
+    reproducibly across runs AND engines (RNG-free — the property a data
+    lineage needs; compare x58's hash-drawn negatives).
+
+    Scale shape: shard count GROWS with the corpus (~125 docs/shard via
+    a count-scalar broadcast, x58's pattern), so per-shard row counts
+    stay CONSTANT — the per-shard ordering window is a bounded sort at
+    any corpus size, and the frame is write-ready (partitionBy(shard_id)
+    + sortWithinPartitions is exactly the layout a sharded parquet/
+    WebDataset writer wants). One hash per row, one exchange on
+    shard_id, zero text movement — ids and keys only."""
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import md5_long
+
+    docs = load(spark, sf_dir, "documents")
+    n_row = docs.agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(float(_DOCS_PER_SHARD)))
+        .cast("long").alias("n_shards"))
+    keyed = scale_out(docs).select(
+        "doc_id",
+        md5_long(F.col("doc_id").cast("string"),
+                 seed=_SHARD_SEED).alias("shuffle_key"))
+    w = W.partitionBy("shard_id").orderBy("shuffle_key", "doc_id")
+    return (keyed.crossJoin(F.broadcast(n_row))
+            .withColumn("shard_id", F.col("shuffle_key") % F.col("n_shards"))
+            .select("doc_id", "shuffle_key", "shard_id",
+                    F.row_number().over(w).cast("long")
+                    .alias("pos_in_shard")))
+
+
+# ---------------------------------------------------------------------------
+# x85 — LSH recall evaluation (the dedup family's x61)
+# ---------------------------------------------------------------------------
+
+_RECALL_ANCHORS = 50
+_RECALL_TAU = 0.5  # true-Jaccard ground-truth threshold == x03's estimate cut
+
+
+def _oracle_lsh_recall_sql() -> str:
+    from ..operators.dedup import oracle_minhash_lsh_sql, oracle_shingle_hashes
+
+    th, sh = oracle_shingle_hashes("text", 3)
+    return f"""
+    WITH pre AS (
+        SELECT doc_id, {th} AS th FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ), shc AS (
+        SELECT doc_id, {sh} AS sh FROM pre
+    ), shx AS (
+        SELECT doc_id, unnest(list_distinct(sh)) AS s FROM shc
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM shx GROUP BY doc_id
+    ), anch AS (
+        SELECT doc_id AS anchor_id, s FROM shx
+        WHERE doc_id < {_RECALL_ANCHORS}
+    ), shared AS (
+        SELECT a.anchor_id, c.doc_id AS partner_id, COUNT(*) AS shared
+        FROM shx c JOIN anch a USING (s)
+        WHERE c.doc_id <> a.anchor_id
+        GROUP BY a.anchor_id, c.doc_id
+    ), truth AS (
+        SELECT sh.anchor_id, sh.partner_id
+        FROM shared sh
+        JOIN sizes na ON na.doc_id = sh.anchor_id
+        JOIN sizes nb ON nb.doc_id = sh.partner_id
+        WHERE sh.shared / CAST(na.n_sh + nb.n_sh - sh.shared AS DOUBLE)
+              >= {_RECALL_TAU}
+    ), lsh AS (
+        SELECT doc_a, doc_b FROM ({oracle_minhash_lsh_sql()}) _l
+    ), cand AS (
+        SELECT doc_a AS anchor_id, doc_b AS partner_id FROM lsh
+        UNION
+        SELECT doc_b AS anchor_id, doc_a AS partner_id FROM lsh
+    )
+    SELECT t.anchor_id,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN c.partner_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           CAST(SUM(CASE WHEN c.partner_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+    FROM truth t
+    LEFT JOIN cand c
+           ON c.anchor_id = t.anchor_id AND c.partner_id = t.partner_id
+    GROUP BY t.anchor_id
+    """
+
+
+@query("x85_lsh_recall", oracle=_oracle_lsh_recall_sql())
+def x85_lsh_recall(spark, sf_dir):
+    """Measured recall of the MinHash+LSH near-dup index (x03) against
+    EXACT 3-gram-Jaccard ground truth, per anchor — the dedup family's
+    x61: the number the banding/threshold knobs are tuned against before
+    anyone trusts an LSH dedup pass at scale. Ground truth is the
+    sampled-anchor form every large-corpus recall eval uses (exact
+    all-pairs is O(n²)): for the first {50} shingleable documents, every
+    corpus partner with TRUE Jaccard >= 0.5; a truth pair counts as hit
+    when the banded index (estimate >= 0.5) also surfaced it. Returns
+    (anchor_id, n_true, n_hit, recall) for anchors with >= 1 true
+    partner.
+
+    Scale shape: the anchor shingle set is tiny and BROADCAST, so the
+    ground-truth join streams the corpus inverted index scan-local
+    (candidate volume = sum over shared shingles of anchor-df × 1,
+    linear in corpus size); the LSH side reuses x03's banded plan
+    unchanged. Only (id, shingle-hash) longs shuffle."""
+    from ..operators.dedup import with_shingle_hashes
+
+    docs = load(spark, sf_dir, "documents")
+    d = (scale_out(docs)
+         .filter(F.size(F.split("text", " ")) >= 3))
+    shd = (with_shingle_hashes(d, "text", 3, out="_sh")
+           .select("doc_id", F.array_distinct("_sh").alias("shs"))
+           .withColumn("n_sh", F.size("shs").cast("long")))
+    corpus = shd.select("doc_id", F.col("n_sh").alias("n_b"),
+                        F.explode("shs").alias("s"))
+    anch = (shd.filter(F.col("doc_id") < _RECALL_ANCHORS)
+            .select(F.col("doc_id").alias("anchor_id"),
+                    F.col("n_sh").alias("n_a"),
+                    F.explode("shs").alias("s")))
+    shared = (corpus.join(F.broadcast(anch), "s")
+              .filter(F.col("doc_id") != F.col("anchor_id"))
+              .groupBy("anchor_id", F.col("doc_id").alias("partner_id"),
+                       "n_a", "n_b")
+              .agg(F.count(F.lit(1)).alias("shared")))
+    truth = (shared
+             .filter(F.col("shared")
+                     / (F.col("n_a") + F.col("n_b")
+                        - F.col("shared")).cast("double")
+                     >= F.lit(_RECALL_TAU))
+             .select("anchor_id", "partner_id"))
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    cand = (pairs.select(F.col("doc_a").alias("anchor_id"),
+                         F.col("doc_b").alias("partner_id"))
+            .unionByName(pairs.select(F.col("doc_b").alias("anchor_id"),
+                                      F.col("doc_a").alias("partner_id")))
+            .filter(F.col("anchor_id") < _RECALL_ANCHORS)
+            .distinct()
+            .withColumn("hit", F.lit(1)))
+    return (truth.join(cand, ["anchor_id", "partner_id"], "left")
+            .groupBy("anchor_id")
+            .agg(F.count(F.lit(1)).alias("n_true"),
+                 F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"))
+            .withColumn("recall",
+                        F.col("n_hit").cast("double")
+                        / F.col("n_true").cast("double")))
+
+
+# ---------------------------------------------------------------------------
+# x86 — ANN-mined hard negatives (contrastive curriculum's hard tier)
+# ---------------------------------------------------------------------------
+
+
+def _oracle_hard_negatives() -> str:
+    from ..operators.similarity import oracle_hard_negatives_sql
+
+    return oracle_hard_negatives_sql()
+
+
+@query("x86_hard_negative_mining", oracle=_oracle_hard_negatives())
+def x86_hard_negative_mining(spark, sf_dir):
+    """ANN-mined hard negatives (operators/similarity.hard_negatives):
+    for each of the first 10 query vectors, the 5 nearest corpus vectors
+    with a DIFFERENT label — the highest-similarity wrong-label examples
+    a contrastive objective learns most from. x58 draws cheap uniform
+    negatives; this is the hard tier the mining literature (DPR, ANCE)
+    actually ships. Scale contract inherited from x07: queries
+    broadcast, corpus scored in-scan, one per-query top-k window."""
+    from ..operators.similarity import hard_negatives
+
+    return hard_negatives(load(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# x87 — per-source curation yield after exact dedup (mixture accounting)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x87_token_yield",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               {oracle_token_count('text')} AS n_tokens,
+               {oracle_fingerprint('text')} AS fp
+        FROM documents
+    ), k AS (
+        SELECT source, n_tokens,
+               CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+                    THEN 1 ELSE 0 END AS kept
+        FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(kept) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(kept * n_tokens) AS BIGINT) AS n_tokens_kept,
+           CAST(SUM(kept) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS doc_yield,
+           CAST(SUM(kept * n_tokens) AS DOUBLE)
+               / CAST(SUM(n_tokens) AS DOUBLE) AS token_yield
+    FROM k GROUP BY source
+    """,
+)
+def x87_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token yield after exact dedup — the mixture-design
+    accounting row: how many documents/tokens each source contributes
+    RAW versus after global exact dedup (first occurrence per content
+    fingerprint wins, x01's rule), and the yield ratios. A source whose
+    token_yield is low is mostly duplicating content already seen
+    elsewhere — its mixture weight should reflect the DEDUPED count, not
+    the raw one (the x83 matrix says WHERE the overlap goes; this says
+    how much survives). Scale shape: fingerprint computed in-scan, ONE
+    exchange on the 60-bit fp for the first-occurrence window, one
+    map-combined rollup on source — token counts ride as longs, text
+    never shuffles. Exact-integer sums, one terminal division (the
+    cross-engine float contract)."""
+    from pyspark.sql import Window as W
+
+    d = (scale_out(load(spark, sf_dir, "documents"))
+         .select("doc_id", "source",
+                 token_count("text").alias("n_tokens"),
+                 fingerprint("text").alias("fp")))
+    kept = (F.col("doc_id") == F.min("doc_id").over(W.partitionBy("fp")))
+    k = d.select("source", "n_tokens",
+                 kept.cast("int").alias("kept"))
+    return (k.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.sum("kept").alias("n_docs_kept"),
+                 F.sum(F.col("kept") * F.col("n_tokens"))
+                 .alias("n_tokens_kept"))
+            .select("source", "n_docs", "n_tokens", "n_docs_kept",
+                    "n_tokens_kept",
+                    (F.col("n_docs_kept").cast("double")
+                     / F.col("n_docs").cast("double")).alias("doc_yield"),
+                    (F.col("n_tokens_kept").cast("double")
+                     / F.col("n_tokens").cast("double"))
+                    .alias("token_yield")))
+
+
+# ---------------------------------------------------------------------------
+# x88 — vocabulary growth curve (Heaps-law saturation diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def _oracle_vocab_growth_sql() -> str:
+    from ..operators.dedup import oracle_shingle_hashes
+
+    th, sh = oracle_shingle_hashes("text", 3)
+    return f"""
+    WITH n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    ), pre AS (
+        SELECT doc_id, {th} AS th FROM documents
+    ), shc AS (
+        SELECT doc_id, {sh} AS sh FROM pre
+    ), shx AS (
+        SELECT doc_id, unnest(list_distinct(sh)) AS s FROM shc
+    ), first AS (
+        SELECT s, MIN(doc_id) AS first_doc FROM shx GROUP BY s
+    ), dec AS (
+        SELECT LEAST(CAST(FLOOR(f.first_doc * 10.0 / n.n_docs) AS BIGINT),
+                     9) AS decile
+        FROM first f, n
+    ), per AS (
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_new_shingles
+        FROM dec GROUP BY decile
+    )
+    SELECT decile, n_new_shingles,
+           CAST(SUM(n_new_shingles) OVER (
+                    ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_distinct_shingles
+    FROM per
+    """
+
+
+@query("x88_vocab_growth", oracle=_oracle_vocab_growth_sql())
+def x88_vocab_growth(spark, sf_dir):
+    """Vocabulary growth curve (Heaps' law diagnostic): distinct 3-gram
+    shingles whose FIRST occurrence falls in each ingestion-order decile
+    of the corpus, plus the cumulative distinct count — the saturation
+    curve that tells you whether the tail of a crawl still contributes
+    novel content (flat tail → more data from this source buys nothing;
+    x40 scores the same phenomenon per document, this is the corpus-level
+    planning view). Scale shape: one scan-local shingle pass, ONE
+    exchange on the shingle hash for the min-doc aggregate (map-side
+    combined), a <= 10-row rollup, and a 10-row cumulative window —
+    nothing downstream of the first aggregate scales with the corpus."""
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup import with_shingle_hashes
+
+    docs = load(spark, sf_dir, "documents")
+    n_row = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    shx = (with_shingle_hashes(scale_out(docs), "text", 3, out="_sh")
+           .select("doc_id", F.explode_outer(F.array_distinct("_sh"))
+                   .alias("s"))
+           .filter(F.col("s").isNotNull()))
+    first = shx.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    dec = (first.crossJoin(F.broadcast(n_row))
+           .select(F.least(
+               F.floor(F.col("first_doc") * F.lit(10.0)
+                       / F.col("n_docs")).cast("long"),
+               F.lit(9).cast("long")).alias("decile")))
+    per = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_new_shingles"))
+    w = (W.orderBy("decile")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return per.select(
+        "decile", "n_new_shingles",
+        F.sum("n_new_shingles").over(w).cast("long")
+        .alias("cum_distinct_shingles"))

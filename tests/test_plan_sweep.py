@@ -39,6 +39,10 @@ BNLJ_WHITELIST = {
     "x81_rrf_hybrid_retrieval": "composes x24 (corpus-stats row) and x07 "
                                 "(n_queries non-equi broadcast) — the two "
                                 "retrievers' documented scalar attaches",
+    "x84_shard_shuffle": "single broadcast shard-count row",
+    "x86_hard_negative_mining": "broadcast of n_queries rows, non-equi "
+                                "label-mismatch predicate (x07's shape)",
+    "x88_vocab_growth": "single broadcast corpus-size row",
     # x61_ann_recall left the list in r6: the fused kernel path scores
     # the ground truth in-map, so no broadcast non-equi join remains.
 }

@@ -473,3 +473,31 @@ def test_auto_route_gate_falls_back_on_unstructured(spark):
     flat = sorted(tuple(r) for r in semantic_dedup(
         emb, k_clusters=64, lloyd_iters=1, route_groups=0).collect())
     assert auto == flat
+
+
+def test_hard_negatives_exclude_query_label_and_rank_correctly(spark, sf_dir):
+    """x86: every mined negative carries a label different from its
+    query's, ranks are dense 1..k, and cosine is non-increasing within a
+    query (ties broken by id upstream)."""
+    from data_pipeline_foundations_spark.operators.similarity import (
+        hard_negatives,
+    )
+    from data_pipeline_foundations_spark.tables import load
+
+    out = (hard_negatives(load(spark, sf_dir, "embeddings"))
+           .toPandas().sort_values(["query_id", "rank"]))
+    assert (out["negative_label"] != out["query_label"]).all()
+    for qid, grp in out.groupby("query_id"):
+        assert grp["rank"].tolist() == list(range(1, len(grp) + 1))
+        cos = grp["cosine"].tolist()
+        assert all(a >= b for a, b in zip(cos, cos[1:]))
+    # the hard tier is HARDER than the uniform draw: its mean cosine is
+    # at least that of x58's hash-drawn negatives for the same queries
+    neg = (__import__('data_pipeline_foundations_spark.registry',
+                      fromlist=['all_queries'])
+           .all_queries()["x58_negative_pairs"].fn(spark, sf_dir)
+           .toPandas())
+    qids = set(out["query_id"])
+    uni = neg[neg["anchor_id"].isin(qids)]
+    if len(uni):
+        assert out["cosine"].mean() >= uni["cosine"].mean() - 1e-9

@@ -623,3 +623,86 @@ def test_simhash_sorted_table_form_output_identical(spark, sf_dir):
     assert bucket == srt == deep
     with _pytest.raises(ValueError, match="recall guarantee"):
         simhash_pairs_sorted(docs, band_combo=4)
+
+
+# ---------------------------------------------------------------------------
+# r11 part 2 additions: x84 shard shuffle, x85 LSH recall, x87 token
+# yield, x88 vocabulary growth (x86's pins live in test_similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def test_shard_shuffle_is_a_permutation_into_bounded_shards(spark, sf_dir):
+    """Every document appears exactly once; shard count is ceil(n/125);
+    positions within each shard are exactly 1..shard_size (a dense
+    ordering a shard writer can rely on)."""
+    import math
+
+    from data_pipeline_foundations_spark.registry import all_queries
+    from data_pipeline_foundations_spark.tables import load
+
+    out = all_queries()["x84_shard_shuffle"].fn(spark, sf_dir).toPandas()
+    n = load(spark, sf_dir, "documents").count()
+    assert len(out) == n
+    assert out["doc_id"].is_unique
+    n_shards = math.ceil(n / 125)
+    assert set(out["shard_id"]) <= set(range(n_shards))
+    for sid, grp in out.groupby("shard_id"):
+        assert sorted(grp["pos_in_shard"]) == list(range(1, len(grp) + 1))
+        # within-shard order follows the shuffle key
+        ordered = grp.sort_values("pos_in_shard")["shuffle_key"].tolist()
+        assert ordered == sorted(ordered)
+
+
+def test_lsh_recall_rows_are_well_formed(spark, sf_dir):
+    """Recall rows: anchors only, n_hit <= n_true, recall = hit/true in
+    [0, 1], and every anchor has at least one true partner (rows for
+    zero-truth anchors don't exist)."""
+    from data_pipeline_foundations_spark.registry import all_queries
+
+    out = all_queries()["x85_lsh_recall"].fn(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["anchor_id"] < 50).all()
+    assert (out["n_true"] >= 1).all()
+    assert (out["n_hit"] <= out["n_true"]).all()
+    assert ((out["recall"] >= 0.0) & (out["recall"] <= 1.0)).all()
+    assert (out["recall"] == out["n_hit"] / out["n_true"]).all()
+
+
+def test_token_yield_accounting_is_consistent(spark, sf_dir):
+    """Kept counts never exceed raw counts, yields are ratios of the
+    emitted integer columns, and the global kept-doc total equals the
+    number of distinct content fingerprints (x01's invariant)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.functions.text import fingerprint
+    from data_pipeline_foundations_spark.registry import all_queries
+    from data_pipeline_foundations_spark.tables import load
+
+    out = all_queries()["x87_token_yield"].fn(spark, sf_dir).toPandas()
+    assert (out["n_docs_kept"] <= out["n_docs"]).all()
+    assert (out["n_tokens_kept"] <= out["n_tokens"]).all()
+    assert (out["doc_yield"] == out["n_docs_kept"] / out["n_docs"]).all()
+    n_fp = (load(spark, sf_dir, "documents")
+            .select(fingerprint("text").alias("fp")).distinct().count())
+    assert int(out["n_docs_kept"].sum()) == n_fp
+
+
+def test_vocab_growth_cumulates_to_total_distinct(spark, sf_dir):
+    """The decile curve is a prefix-sum of the per-decile novelty and
+    its final value equals the corpus's total distinct shingle count."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.operators.dedup import (
+        with_shingle_hashes,
+    )
+    from data_pipeline_foundations_spark.registry import all_queries
+    from data_pipeline_foundations_spark.tables import load
+
+    out = (all_queries()["x88_vocab_growth"].fn(spark, sf_dir)
+           .toPandas().sort_values("decile").reset_index(drop=True))
+    assert (out["n_new_shingles"].cumsum()
+            == out["cum_distinct_shingles"]).all()
+    total = (with_shingle_hashes(
+                 load(spark, sf_dir, "documents"), "text", 3, out="sh")
+             .select(F.explode("sh").alias("s")).distinct().count())
+    assert int(out["cum_distinct_shingles"].iloc[-1]) == total
