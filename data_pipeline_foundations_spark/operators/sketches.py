@@ -510,3 +510,133 @@ def oracle_qsketch_sql(value_sql: str, strata_sql: str, src_sql: str,
     SELECT stratum, CAST(MAX(total) AS BIGINT) AS total,
            {qcols}
     FROM qs_cum GROUP BY stratum"""
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch + pairwise Jaccard estimator
+# ---------------------------------------------------------------------------
+# The fifth mergeable sketch beside HLL/CMS/Bloom/quantile, and the SCALE
+# path of x45's exact cross-source overlap matrix: where x45 ships every
+# distinct (shingle, source) pair through a corpus-keyed exchange and its
+# join fan-out grows with the overlap itself, the KMV sketch collapses
+# each stratum to its k smallest distinct hash values (k=256 → ~1/sqrt(k)
+# ≈ 6% standard error, Bar-Yossef et al. RANDOM'02 / Beyer et al.
+# SIGMOD'07) and every pairwise estimate is then a dimension-sized
+# computation over |strata|·k longs. Because "k smallest distinct md5
+# values" is a deterministic set — no RNG, no engine-specific hashing —
+# the DuckDB twin reproduces the sketch bit-for-bit, keeping the repo's
+# exact-oracle contract even though the ESTIMATE is approximate.
+#
+# Exactness of the two-phase build (same pigeonhole as exact_stratified
+# _sample): if v is among a stratum's k smallest distinct values, then
+# within any subset containing v (a document's shingle set, an input
+# partition's slice) fewer than k distinct values are smaller, so v
+# survives every per-subset bottom-k cut. Per-doc capping, per-partition
+# capping, and the final merge therefore lose nothing.
+
+KMV_K = 256
+
+
+def _bottom_k(col, k: int):
+    """Smallest ``k`` distinct values of an array column (scan-local)."""
+    return F.slice(F.array_distinct(F.array_sort(col)), 1, k)
+
+
+def kmv_sketch(items: DataFrame, *, key_col: str, strata_col: str,
+               k: int = KMV_K) -> DataFrame:
+    """(stratum, key) rows → one ``(stratum, sk array<long>)`` sketch row
+    per stratum holding the k smallest DISTINCT key values.
+
+    Scale shape: phase 1 groups by (stratum, input-partition) — each
+    group lives in exactly one map partition, so the partial aggregation
+    completes map-side and the exchange ships one bottom-k array per
+    (stratum, partition); phase 2 merges the |partitions|·k survivors
+    per stratum. No corpus-wide distinct exchange, no stratum-wide sort.
+    The upgrade path if per-partition value volume ever dominates is a
+    custom TypedImperativeAggregate holding a k-bounded heap; the
+    pigeonhole argument above keeps any such change output-identical.
+    """
+    tagged = items.select(F.col(strata_col).alias("stratum"),
+                          F.spark_partition_id().alias("_pid"),
+                          F.col(key_col).alias("_k"))
+    phase1 = (tagged.groupBy("stratum", "_pid")
+              .agg(_bottom_k(F.collect_list("_k"), k).alias("_cand")))
+    return (phase1.select("stratum", F.explode("_cand").alias("_k"))
+            .groupBy("stratum")
+            .agg(_bottom_k(F.collect_list("_k"), k).alias("sk")))
+
+
+def kmv_merge(*sketches: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Merge sketch tables (same stratum → bottom-k of the union) — the
+    mergeable-summary contract: shard/day/engine sketches combine
+    associatively (pinned in tests against the whole-corpus build)."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return (u.select("stratum", F.explode("sk").alias("_k"))
+            .groupBy("stratum")
+            .agg(_bottom_k(F.collect_list("_k"), k).alias("sk")))
+
+
+def kmv_jaccard(sketch: DataFrame, *, k: int = KMV_K) -> DataFrame:
+    """Pairwise Jaccard estimates from a ``(stratum, sk)`` sketch table:
+    for each stratum pair (a < b), rank the union of the two sketches'
+    values ascending, keep the k smallest (k_eff = min(k, |union|)), and
+    estimate J(A, B) = |{v in bottom-k(union): v in both sketches}| /
+    k_eff — the standard KMV set-operation estimator. Everything here is
+    dimension-sized (|strata|² · k); exact integer counts with ONE
+    terminal division (the cross-engine float contract).
+
+    Returns (stratum_a, stratum_b, k_eff, n_both, jaccard_est).
+    """
+    from pyspark.sql import Window as W
+
+    pairs = (sketch.agg(F.array_sort(F.collect_list("stratum"))
+                        .alias("arr"))
+             .select(F.explode(F.expr(
+                 "flatten(transform(arr, (x, i) -> "
+                 "transform(slice(arr, i + 2, size(arr)), "
+                 "y -> struct(x AS stratum_a, y AS stratum_b))))"))
+                 .alias("p"))
+             .select("p.stratum_a", "p.stratum_b"))
+    vals = sketch.select(F.col("stratum").alias("_src"),
+                         F.explode("sk").alias("_v"))
+    e = (F.broadcast(pairs).join(vals, F.col("_src") == F.col("stratum_a"))
+         .select("stratum_a", "stratum_b", "_v")
+         .unionByName(
+             F.broadcast(pairs)
+             .join(vals, F.col("_src") == F.col("stratum_b"))
+             .select("stratum_a", "stratum_b", "_v")))
+    g = (e.groupBy("stratum_a", "stratum_b", "_v")
+         .agg(F.count(F.lit(1)).alias("_cnt")))
+    w = W.partitionBy("stratum_a", "stratum_b").orderBy("_v")
+    r = (g.select("stratum_a", "stratum_b",
+                  (F.col("_cnt") == 2).cast("long").alias("_in_both"),
+                  F.row_number().over(w).alias("_rk"))
+         .filter(F.col("_rk") <= k))
+    return (r.groupBy("stratum_a", "stratum_b")
+            .agg(F.count(F.lit(1)).alias("k_eff"),
+                 F.sum("_in_both").alias("n_both"))
+            .select("stratum_a", "stratum_b", "k_eff", "n_both",
+                    (F.col("n_both").cast("double")
+                     / F.col("k_eff").cast("double")).alias("jaccard_est")))
+
+
+def oracle_kmv_ctes(key_sql: str, strata_sql: str, src_sql: str,
+                    k: int = KMV_K) -> str:
+    """DuckDB twin CTEs ending in ``kmv_sk(stratum, s)`` — the sketch as
+    rows (the oracle runs single-node; a plain ranked window over the
+    distinct values selects the identical set the two-phase build does).
+    """
+    return f"""
+    kmv_distinct AS (
+        SELECT DISTINCT {strata_sql} AS stratum, {key_sql} AS s
+        FROM {src_sql}
+    ),
+    kmv_sk AS (
+        SELECT stratum, s FROM (
+            SELECT stratum, s,
+                   row_number() OVER (PARTITION BY stratum ORDER BY s) AS r
+            FROM kmv_distinct
+        ) WHERE r <= {k}
+    )"""

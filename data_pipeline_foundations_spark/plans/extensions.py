@@ -2870,3 +2870,84 @@ def x88_vocab_growth(spark, sf_dir):
         "decile", "n_new_shingles",
         F.sum("n_new_shingles").over(w).cast("long")
         .alias("cum_distinct_shingles"))
+
+
+# ---------------------------------------------------------------------------
+# x91 — per-label embedding centroid map (domain similarity for mixture
+# design)
+# ---------------------------------------------------------------------------
+
+_CM_DIM = 64
+
+
+def _oracle_centroid_map_sql(dim: int = _CM_DIM) -> str:
+    from ..operators.similarity import oracle_idot, oracle_int_vec, oracle_qcos
+
+    cos = oracle_qcos(oracle_idot("a.cv", "b.cv"), "a.n2", "b.n2")
+    return f"""
+    WITH base AS (
+        SELECT label, {oracle_int_vec('embedding')} AS sv FROM embeddings
+    ), cn AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM base GROUP BY label
+    ), per AS (
+        SELECT label, i, SUM(sv[i + 1]) AS s
+        FROM base, range({dim}) t(i)
+        GROUP BY label, i
+    ), cents AS (
+        SELECT p.label, c.cnt,
+               list(CAST(FLOOR(CAST(p.s AS DOUBLE)
+                               / CAST(c.cnt AS DOUBLE)) AS BIGINT)
+                    ORDER BY p.i) AS cv
+        FROM per p JOIN cn c USING (label)
+        GROUP BY p.label, c.cnt
+    ), cc AS (
+        SELECT label, cnt, cv, {oracle_idot('cv', 'cv')} AS n2 FROM cents
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           a.cnt AS n_a, b.cnt AS n_b, {cos} AS cosine
+    FROM cc a JOIN cc b ON a.label < b.label
+    """
+
+
+@query("x91_label_centroid_map", oracle=_oracle_centroid_map_sql())
+def x91_label_centroid_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding CENTROIDS — the
+    domain-similarity map mixture design reads before setting sampling
+    weights (two "different" domains whose centroids sit at cosine 0.9
+    are one domain counted twice — the embedding-space twin of x45/x90's
+    lexical overlap signals; DoReMi/DoGE-style reweighting starts from
+    exactly this matrix). Centroids are integer means on the 1e-6 grid —
+    floor(exact int64 dim-sum / count), the same two IEEE casts as the
+    IVF quantizer init (operators/vectorized.py) — so both engines build
+    bit-identical centroids and the cosine is three IEEE roundings from
+    exact ints.
+
+    Scale shape: ONE map-side-combined aggregate over the corpus
+    (label → count + 64 exact int64 dim-sums, x80's dim-sum pattern) —
+    the exchange carries |labels|·65 longs regardless of corpus size;
+    everything downstream (centroid division, pairwise join) is
+    dimension-sized. The pairwise self-join broadcasts ≤|labels| rows
+    under a non-equi < predicate (plan-sweep whitelisted scalar-scale
+    BNLJ, x07's shape)."""
+    from ..operators.similarity import idot, int_vec, qcos
+
+    emb = scale_out(load(spark, sf_dir, "embeddings"))
+    base = emb.select("label", int_vec("embedding").alias("sv"))
+    sums = F.expr("array(" + ", ".join(
+        f"sum(sv[{i}])" for i in range(_CM_DIM)) + ")").alias("_sums")
+    agg = base.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"), sums)
+    cv = F.transform(
+        F.col("_sums"),
+        lambda s: F.floor(s.cast("double")
+                          / F.col("cnt").cast("double")).cast("long"))
+    cc = (agg.select("label", "cnt", cv.alias("cv"))
+          .withColumn("n2", idot("cv", "cv")))
+    a, b = cc.alias("a"), cc.alias("b")
+    return (F.broadcast(a).join(b, F.col("a.label") < F.col("b.label"))
+            .select(F.col("a.label").alias("label_a"),
+                    F.col("b.label").alias("label_b"),
+                    F.col("a.cnt").alias("n_a"),
+                    F.col("b.cnt").alias("n_b"),
+                    qcos(idot(F.col("a.cv"), F.col("b.cv")),
+                         F.col("a.n2"), F.col("b.n2")).alias("cosine")))

@@ -1048,3 +1048,178 @@ def x78_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "n_chars")
     return (qsketch_quantiles(qsketch_merge(even, odd), _QS_QUANTILES)
             .orderBy("stratum"))
+
+
+# ---------------------------------------------------------------------------
+# x89 — per-document tf-idf keyword extraction
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+_TFIDF_SCALE = 1e6
+
+
+def _oracle_tfidf_sql(k: int = _TFIDF_K) -> str:
+    idf = ("((CAST(n.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)"
+           " + CAST(0.5 AS DOUBLE)) / (CAST(d.df AS DOUBLE)"
+           " + CAST(0.5 AS DOUBLE)))")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, t AS token
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t IS NOT NULL AND t <> ''
+    ), posts AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, token
+    ), dfs AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+        FROM posts GROUP BY token
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    ), sc AS (
+        SELECT p.doc_id, p.token,
+               CAST(FLOOR(CAST(p.tf AS DOUBLE) * {idf}
+                          * CAST({_TFIDF_SCALE} AS DOUBLE)
+                          + CAST(0.5 AS DOUBLE)) AS BIGINT) AS su
+        FROM posts p JOIN dfs d USING (token), n
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY su DESC, token ASC)
+                AS INTEGER) AS rank,
+           token,
+           CAST(su AS DOUBLE) / {_TFIDF_SCALE} AS score
+    FROM sc
+    QUALIFY rank <= {k}
+    """
+
+
+@query("x89_tfidf_keywords", oracle=_oracle_tfidf_sql())
+def x89_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k distinctive terms by tf-idf — the keyword/topic
+    tagging pass a curation pipeline runs for per-topic mixture audits
+    and faceted corpus search (x24 ranks documents for a GIVEN query;
+    this inverts it: the corpus-relative signature OF each document;
+    x33's mean-rarity scalar can't name the terms). The idf is the same
+    log-free rational form as BM25's — (N - df + ½)/(df + ½), monotone
+    in rarity, no ln() (libm last-ulp portability, operators/
+    retrieval.py) — and the score is integer-scaled BEFORE ranking so
+    the per-doc top-k and its tie-break (score desc, token asc) are
+    exact on both engines.
+
+    Scale shape: the (doc, token) tf table is LAZILY PERSISTED — it
+    feeds the document-frequency aggregate AND the score join (x33's
+    discipline: AQE plans them as independent subtrees, so without the
+    persist the tokenize+explode scan runs twice); df rides back over
+    one token-keyed exchange, the corpus-size scalar broadcasts, and
+    the top-k is a per-doc window over each document's DISTINCT tokens
+    (bounded by doc length — never a corpus sort)."""
+    from pyspark.sql import Window as W
+
+    from ..operators.caching import tracked_persist
+
+    d = scale_out(load(spark, sf_dir, "documents"))
+    posts = tracked_persist(
+        d.select("doc_id", F.explode_outer(F.split("text", " "))
+                 .alias("token"))
+        .filter(F.col("token").isNotNull() & (F.col("token") != ""))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf")),
+        eager=False)
+    dfs = posts.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_row = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    half = F.lit(0.5)
+    idf = ((F.col("n_docs").cast("double") - F.col("df").cast("double")
+            + half)
+           / (F.col("df").cast("double") + half))
+    su = F.floor(F.col("tf").cast("double") * idf
+                 * F.lit(_TFIDF_SCALE) + half).alias("su")
+    sc = (posts.join(dfs, "token").crossJoin(F.broadcast(n_row))
+          .select("doc_id", "token", su))
+    w = W.partitionBy("doc_id").orderBy(F.col("su").desc(),
+                                        F.col("token").asc())
+    return (sc.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= _TFIDF_K)
+            .select("doc_id", "rank", "token",
+                    (F.col("su").cast("double") / F.lit(_TFIDF_SCALE))
+                    .alias("score")))
+
+
+# ---------------------------------------------------------------------------
+# x90 — KMV-sketch cross-source similarity (x45's scale path)
+# ---------------------------------------------------------------------------
+
+
+def _oracle_kmv_source_sim_sql() -> str:
+    from ..operators.dedup import oracle_shingle_hashes
+    from ..operators.sketches import KMV_K, oracle_kmv_ctes
+
+    th, sh = oracle_shingle_hashes("text", 3)
+    kmv = oracle_kmv_ctes("s", "source", "kmv_shx", KMV_K)
+    return f"""
+    WITH kmv_pre AS (
+        SELECT source, {th} AS th FROM documents
+    ), kmv_shc AS (
+        SELECT source, {sh} AS sh FROM kmv_pre
+    ), kmv_shx AS (
+        SELECT source, unnest(sh) AS s FROM kmv_shc
+    ),{kmv},
+    srcs AS (
+        SELECT DISTINCT source FROM documents
+    ), pairs AS (
+        SELECT a.source AS stratum_a, b.source AS stratum_b
+        FROM srcs a JOIN srcs b ON a.source < b.source
+    ), e AS (
+        SELECT p.stratum_a, p.stratum_b, k.s
+        FROM pairs p JOIN kmv_sk k ON k.stratum = p.stratum_a
+        UNION ALL
+        SELECT p.stratum_a, p.stratum_b, k.s
+        FROM pairs p JOIN kmv_sk k ON k.stratum = p.stratum_b
+    ), g AS (
+        SELECT stratum_a, stratum_b, s, COUNT(*) AS cnt
+        FROM e GROUP BY stratum_a, stratum_b, s
+    ), r AS (
+        SELECT stratum_a, stratum_b,
+               CASE WHEN cnt = 2 THEN 1 ELSE 0 END AS in_both,
+               row_number() OVER (PARTITION BY stratum_a, stratum_b
+                                  ORDER BY s) AS rk
+        FROM g
+    )
+    SELECT stratum_a, stratum_b,
+           CAST(COUNT(*) AS BIGINT) AS k_eff,
+           CAST(SUM(in_both) AS BIGINT) AS n_both,
+           CAST(SUM(in_both) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS jaccard_est
+    FROM r WHERE rk <= {KMV_K}
+    GROUP BY stratum_a, stratum_b
+    """
+
+
+@query("x90_kmv_source_similarity", oracle=_oracle_kmv_source_sim_sql())
+def x90_kmv_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source Jaccard similarity ESTIMATED from k-minimum-value
+    sketches — the constant-size scale path of x45's exact overlap
+    matrix. x45 must ship every distinct (shingle, source) pair and its
+    cost grows with the overlap itself; here each source collapses to
+    its 256 smallest distinct shingle hashes in one bounded-state pass
+    (operators/sketches.py kmv_sketch — the pigeonhole argument there
+    makes per-doc and per-partition capping exact), and ALL pairwise
+    estimates are computed over |sources|·256 longs. Standard error
+    ~1/sqrt(256) ≈ 6% (Beyer et al. SIGMOD'07); the sketch itself is
+    deterministic (k smallest md5 values — no RNG), so the DuckDB twin
+    reproduces the ESTIMATE bit-for-bit while pytest pins it against
+    the exact Jaccard within the error bound.
+
+    Built SHARDED on the registered path (x78's discipline): even/odd
+    doc_id halves sketched independently via the SAME factored pipeline
+    the streaming twin runs per micro-batch (streaming/kmv_maintain.py
+    batch_source_sketch), kmv_merge'd — exercising the mergeable
+    contract (shard/day/engine sketches combine associatively) exactly
+    as a 100 TB incremental ingest maintains it."""
+    from ..operators.sketches import kmv_jaccard, kmv_merge
+    from ..streaming.kmv_maintain import batch_source_sketch
+
+    docs = scale_out(load(spark, sf_dir, "documents"))
+    even = batch_source_sketch(docs.filter(F.col("doc_id") % 2 == 0))
+    odd = batch_source_sketch(docs.filter(F.col("doc_id") % 2 == 1))
+    return kmv_jaccard(kmv_merge(even, odd))

@@ -43,6 +43,10 @@ BNLJ_WHITELIST = {
     "x86_hard_negative_mining": "broadcast of n_queries rows, non-equi "
                                 "label-mismatch predicate (x07's shape)",
     "x88_vocab_growth": "single broadcast corpus-size row",
+    "x89_tfidf_keywords": "single broadcast corpus-size row (idf N)",
+    "x91_label_centroid_map": "broadcast of <=|labels| centroid rows "
+                              "under the non-equi < pairing predicate "
+                              "(x07's shape, dimension-sized)",
     # x61_ann_recall left the list in r6: the fused kernel path scores
     # the ground truth in-map, so no broadcast non-equi join remains.
 }

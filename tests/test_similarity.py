@@ -501,3 +501,56 @@ def test_hard_negatives_exclude_query_label_and_rank_correctly(spark, sf_dir):
     uni = neg[neg["anchor_id"].isin(qids)]
     if len(uni):
         assert out["cosine"].mean() >= uni["cosine"].mean() - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# x91 — label centroid map pins
+# ---------------------------------------------------------------------------
+
+
+def test_label_centroid_map_shape_and_bounds(spark, sf_dir):
+    """C(|labels|, 2) pairs, label_a < label_b, cosine in [-1, 1], and
+    the per-label counts sum (over each label's |labels|-1 appearances)
+    back to (|labels|-1) * corpus size."""
+    from data_pipeline_foundations_spark.registry import all_queries
+    from data_pipeline_foundations_spark.tables import load
+
+    out = (all_queries()["x91_label_centroid_map"].fn(spark, sf_dir)
+           .toPandas())
+    emb = load(spark, sf_dir, "embeddings").toPandas()
+    nl = emb["label"].nunique()
+    assert len(out) == nl * (nl - 1) // 2
+    assert (out["label_a"] < out["label_b"]).all()
+    assert out["cosine"].between(-1.0, 1.0).all()
+    assert (int(out["n_a"].sum()) + int(out["n_b"].sum())
+            == (nl - 1) * len(emb))
+
+
+def test_label_centroid_is_floor_integer_mean(spark, sf_dir):
+    """The centroid the operator builds for one label equals the
+    hand-computed floor(sum of 1e-6-grid ints / count) per dimension —
+    pinned by rebuilding pair cosines from numpy centroids."""
+    import math
+
+    import numpy as np
+
+    from data_pipeline_foundations_spark.registry import all_queries
+    from data_pipeline_foundations_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").toPandas()
+    sv = np.array([[math.floor(float(x) * 1e6 + 0.5) for x in v]
+                   for v in emb["embedding"]], dtype=np.int64)
+    cents = {}
+    for lab, idx in emb.groupby("label").groups.items():
+        s = sv[list(idx)].sum(axis=0)
+        cnt = len(idx)
+        cents[lab] = np.array([math.floor(x / cnt) for x in s],
+                              dtype=np.int64)
+    out = (all_queries()["x91_label_centroid_map"].fn(spark, sf_dir)
+           .toPandas())
+    for _, r in out.iterrows():
+        a, b = cents[r["label_a"]], cents[r["label_b"]]
+        d = float(np.dot(a, b))
+        expect = d / (math.sqrt(float(np.dot(a, a)))
+                      * math.sqrt(float(np.dot(b, b))))
+        assert r["cosine"] == expect

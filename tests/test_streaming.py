@@ -859,3 +859,52 @@ def test_month_refresh_null_tag_fails_loud(spark, tmp_path):
     handle = _make_handler(str(tmp_path / "ds"))
     with pytest.raises(ValueError, match="NULL 'month_tag'"):
         handle(batch, 0)
+
+
+def test_kmv_maintain_stream_equals_batch_and_x90(spark, sf_dir, tmp_path):
+    """The 18th twin: micro-batched KMV maintenance converges to the
+    byte-identical sketch the batch build produces over the whole corpus
+    (the merge is lossless, so batching cannot matter), across MULTIPLE
+    versioned-store commits; the pairwise Jaccard derived from the
+    maintained store equals the registered x90 rows."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.operators.sketches import (
+        kmv_jaccard,
+    )
+    from data_pipeline_foundations_spark.registry import all_queries
+    from data_pipeline_foundations_spark.sources.warehouse import (
+        list_versions, read_versioned,
+    )
+    from data_pipeline_foundations_spark.streaming.kmv_maintain import (
+        batch_source_sketch, maintain_kmv_stream,
+    )
+    from data_pipeline_foundations_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_kmv")
+    # three part files -> three micro-batches with maxFilesPerTrigger=1
+    for rem in range(3):
+        (docs.filter(F.col("doc_id") % 3 == rem).coalesce(1)
+         .write.mode("append").parquet(src))
+
+    store = str(tmp_path / "kmv_store")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .format("parquet").load(src))
+    q = maintain_kmv_stream(stream, store)
+    q.awaitTermination()
+
+    assert len(list_versions(spark, store)) >= 2  # multi-commit path ran
+    got = {r["stratum"]: list(r["sk"])
+           for r in read_versioned(spark, store).collect()}
+    want = {r["stratum"]: list(r["sk"])
+            for r in batch_source_sketch(docs).collect()}
+    assert got == want
+
+    est = (kmv_jaccard(read_versioned(spark, store)).toPandas()
+           .sort_values(["stratum_a", "stratum_b"]).reset_index(drop=True))
+    x90 = (all_queries()["x90_kmv_source_similarity"].fn(spark, sf_dir)
+           .toPandas()
+           .sort_values(["stratum_a", "stratum_b"]).reset_index(drop=True))
+    assert est.equals(x90)

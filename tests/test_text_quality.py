@@ -706,3 +706,111 @@ def test_vocab_growth_cumulates_to_total_distinct(spark, sf_dir):
                  load(spark, sf_dir, "documents"), "text", 3, out="sh")
              .select(F.explode("sh").alias("s")).distinct().count())
     assert int(out["cum_distinct_shingles"].iloc[-1]) == total
+
+
+# ---------------------------------------------------------------------------
+# r11 part 3 additions: x89 tf-idf keywords, x90 KMV source similarity
+# (x91's pins live in test_similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_keywords_rank_dense_and_score_ordered(spark, sf_dir):
+    """Per doc: ranks are exactly 1..min(3, distinct tokens), scores are
+    non-increasing in rank, and the rank-1 term beats every other term
+    of that document on the integer-scaled score (ties to token asc)."""
+    from data_pipeline_foundations_spark.registry import all_queries
+
+    out = all_queries()["x89_tfidf_keywords"].fn(spark, sf_dir).toPandas()
+    assert (out["rank"] >= 1).all() and (out["rank"] <= 3).all()
+    for _, grp in out.groupby("doc_id"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+        ordered = grp.sort_values("rank")["score"].tolist()
+        assert all(a >= b for a, b in zip(ordered, ordered[1:]))
+
+
+def test_tfidf_rarer_term_outranks_common_term_at_equal_tf(spark):
+    """On a hand corpus where every doc shares token 'common' but only
+    one doc holds 'rare' (same tf), the rare token must rank first —
+    the monotone-in-rarity property of the rational idf."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["common rare", "common alpha", "common beta",
+                 "common gamma"],
+    }))
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        from data_pipeline_foundations_spark.registry import all_queries
+        out = (all_queries()["x89_tfidf_keywords"].fn(spark, td)
+               .toPandas())
+    top0 = out[(out.doc_id == 0) & (out["rank"] == 1)]["token"].iloc[0]
+    assert top0 == "rare"
+
+
+def test_kmv_merge_equals_whole_and_matches_exact_small(spark, sf_dir):
+    """(a) Mergeable contract: sketching two disjoint halves and merging
+    equals sketching the whole corpus (exact set equality — KMV's merge
+    is lossless by the pigeonhole argument). (b) With k larger than the
+    per-source distinct-shingle count the sketch IS the full set, so the
+    'estimate' must equal the exact Jaccard."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.operators.dedup import (
+        with_shingle_hashes,
+    )
+    from data_pipeline_foundations_spark.operators.sketches import (
+        kmv_jaccard, kmv_merge, kmv_sketch,
+    )
+    from data_pipeline_foundations_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    shx = (with_shingle_hashes(docs, "text", 3, out="_sh")
+           .select("doc_id", "source", F.explode("_sh").alias("s")))
+    whole = kmv_sketch(shx, key_col="s", strata_col="source")
+    halves = kmv_merge(
+        kmv_sketch(shx.filter(F.col("doc_id") % 2 == 0),
+                   key_col="s", strata_col="source"),
+        kmv_sketch(shx.filter(F.col("doc_id") % 2 == 1),
+                   key_col="s", strata_col="source"))
+    w = {r["stratum"]: list(r["sk"]) for r in whole.collect()}
+    h = {r["stratum"]: list(r["sk"]) for r in halves.collect()}
+    assert w == h
+
+    big_k = 100_000  # > per-source distinct shingles at the smoke SF
+    sk = kmv_sketch(shx, key_col="s", strata_col="source", k=big_k)
+    est = kmv_jaccard(sk, k=big_k).toPandas()
+    exact = (shx.select("source", "s").distinct().toPandas()
+             .groupby("source")["s"].apply(set).to_dict())
+    for _, r in est.iterrows():
+        a, b = exact[r["stratum_a"]], exact[r["stratum_b"]]
+        true_j = len(a & b) / len(a | b)
+        assert abs(r["jaccard_est"] - true_j) < 1e-12
+
+
+def test_kmv_estimate_within_error_bound_at_sketch_k(spark, sf_dir):
+    """At the registered k=256 the estimate must sit within ~4 standard
+    errors (4/sqrt(k) = 0.25) of the exact Jaccard for every pair — a
+    loose but RNG-free bound (the sketch is deterministic, so this can
+    never flake)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.operators.dedup import (
+        with_shingle_hashes,
+    )
+    from data_pipeline_foundations_spark.operators.sketches import KMV_K
+    from data_pipeline_foundations_spark.registry import all_queries
+    from data_pipeline_foundations_spark.tables import load
+
+    est = (all_queries()["x90_kmv_source_similarity"].fn(spark, sf_dir)
+           .toPandas())
+    shx = (with_shingle_hashes(
+               load(spark, sf_dir, "documents"), "text", 3, out="_sh")
+           .select("source", F.explode("_sh").alias("s")).distinct())
+    exact = shx.toPandas().groupby("source")["s"].apply(set).to_dict()
+    bound = 4.0 / (KMV_K ** 0.5)
+    for _, r in est.iterrows():
+        a, b = exact[r["stratum_a"]], exact[r["stratum_b"]]
+        true_j = len(a & b) / len(a | b)
+        assert abs(r["jaccard_est"] - true_j) <= bound
