@@ -676,28 +676,12 @@ def _oracle_source_overlap_sql(n: int = 3) -> str:
     """
 
 
-@query("x45_source_overlap", oracle=_oracle_source_overlap_sql())
-def x45_source_overlap(spark, sf_dir):
-    """Pairwise cross-source contamination audit: for every source pair,
-    the number of DISTINCT 3-gram shingles both contain — the matrix a
-    curation pipeline reads before assigning mixture weights (two
-    "independent" sources sharing most of their n-grams are one source
-    counted twice) and the corpus-level twin of x25's benchmark
-    decontamination.
-
-    Scale shape (r5 — VERDICT r4 "wrong" #2: the distinct + self-join
-    formulation paid two corpus-keyed exchanges and its ratio held flat
-    at 10×): the corpus now collapses straight to (shingle → sorted
-    source set) in ONE map-side-combined shuffle — collect_set dedups
-    (shingle, source) inside the partial aggregation, so the separate
-    distinct exchange AND the shingle self-join are gone. Pair expansion
-    is a scan-local HOF over each set (≤ C(|sources|, 2) structs per
-    shingle; |sources| is a dimension, not a corpus quantity — a shingle
-    in one source expands to zero rows, which is almost all of them),
-    and the final pair count is a dimension-sized aggregate. Nothing
-    scales with corpus²; no persist is needed because every stage is
-    consumed exactly once."""
-    docs = load(spark, sf_dir, "documents")
+def _source_overlap_collect_set(docs) -> DataFrame:
+    """The r5 collect_set form — the fallback when |sources| > 62 (the
+    bitmask form needs one bit per source in an int64). Kept measured:
+    at 5M docs its variable-width set-aggregation state forces the
+    250M-group aggregate out of hash mode (292 s vs the bitmask's
+    ~60 s, SCALING.md r11 part 8)."""
     per_sh = (with_shingle_hashes(scale_out(docs), "text", 3, out="_sh")
               .select(F.explode_outer("_sh").alias("s"), "source")
               .filter(F.col("s").isNotNull())
@@ -710,6 +694,66 @@ def x45_source_overlap(spark, sf_dir):
     return (pairs.select("p.source_a", "p.source_b")
             .groupBy("source_a", "source_b")
             .agg(F.count(F.lit(1)).alias("n_shared")))
+
+
+@query("x45_source_overlap", oracle=_oracle_source_overlap_sql())
+def x45_source_overlap(spark, sf_dir):
+    """Pairwise cross-source contamination audit: for every source pair,
+    the number of DISTINCT 3-gram shingles both contain — the matrix a
+    curation pipeline reads before assigning mixture weights (two
+    "independent" sources sharing most of their n-grams are one source
+    counted twice) and the corpus-level twin of x25's benchmark
+    decontamination.
+
+    Scale shape (r11 — the r5 collect_set form grew 23.5×/decade on the
+    5M-doc probe: a variable-width set per shingle makes the 250M-group
+    aggregate fall out of hash-aggregation into sort-based mode, and the
+    sort of the wide rows IS the decade; SCALING.md r11 part 8): each
+    source maps to one bit of an int64 (bit = rank in the sorted source
+    dimension, collected driver-side — a ≤62-row model artifact, x42's
+    KB-collect discipline), and the corpus collapses to (shingle →
+    bit_or mask) in ONE map-side-combined FIXED-WIDTH shuffle — the
+    aggregation state is 8 bytes regardless of how many sources share
+    the shingle, so the hash aggregate survives any corpus size. Shared
+    shingles (bit_count ≥ 2, almost none of them) expand scan-local to
+    bit-index pairs; the final count is dimension-sized and the names
+    come from element_at on the broadcast literal array — bit order is
+    sorted-source order, so source_a < source_b falls out unchanged.
+    Output pinned identical to the collect_set fallback (> 62 sources)
+    in tests/test_text_quality.py."""
+    docs = load(spark, sf_dir, "documents")
+    srcs = sorted(r["source"] for r in
+                  docs.select("source").distinct().collect())
+    if len(srcs) > 62:
+        return _source_overlap_collect_set(docs)
+    bit = F.array_position(F.array(*[F.lit(s) for s in srcs]),
+                           F.col("source")) - 1
+    per_sh = (with_shingle_hashes(scale_out(docs), "text", 3, out="_sh")
+              .withColumn("_b", bit.cast("int"))
+              .select(F.explode_outer("_sh").alias("s"),
+                      F.expr("shiftleft(cast(1 as bigint), _b)")
+                      .alias("_m"))
+              .filter(F.col("s").isNotNull())
+              .groupBy("s")
+              .agg(F.bit_or("_m").alias("mask"))
+              .filter(F.bit_count("mask") >= 2))
+    pairs = per_sh.select(F.explode(F.expr(
+        f"flatten(transform("
+        f"  filter(sequence(0, {len(srcs) - 1}),"
+        f"         b -> ((mask >> b) & 1) = 1),"
+        f"  (x, i) -> transform("
+        f"      slice(filter(sequence(0, {len(srcs) - 1}),"
+        f"            b -> ((mask >> b) & 1) = 1), i + 2, {len(srcs)}),"
+        f"      y -> struct(x AS ia, y AS ib))))")).alias("p"))
+    names = F.array(*[F.lit(s) for s in srcs])
+    return (pairs.select("p.ia", "p.ib")
+            .groupBy("ia", "ib")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .select(F.element_at(names, F.col("ia").cast("int") + 1)
+                    .alias("source_a"),
+                    F.element_at(names, F.col("ib").cast("int") + 1)
+                    .alias("source_b"),
+                    "n_shared"))
 
 
 # ---------------------------------------------------------------------------

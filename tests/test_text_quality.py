@@ -814,3 +814,22 @@ def test_kmv_estimate_within_error_bound_at_sketch_k(spark, sf_dir):
         a, b = exact[r["stratum_a"]], exact[r["stratum_b"]]
         true_j = len(a & b) / len(a | b)
         assert abs(r["jaccard_est"] - true_j) <= bound
+
+
+def test_source_overlap_bitmask_equals_collect_set_form(spark, sf_dir):
+    """r11: the registered x45 bitmask plan (fixed-width bit_or masks,
+    scan-local bit-pair expansion, element_at name resolution) is
+    output-identical to the r5 collect_set form it replaced — the >62
+    -source fallback path — on the same corpus."""
+    from data_pipeline_foundations_spark.plans.extensions import (
+        _source_overlap_collect_set,
+    )
+    from data_pipeline_foundations_spark.registry import all_queries
+    from data_pipeline_foundations_spark.tables import load
+
+    key = ["source_a", "source_b"]
+    new = (all_queries()["x45_source_overlap"].fn(spark, sf_dir)
+           .toPandas().sort_values(key).reset_index(drop=True))
+    old = (_source_overlap_collect_set(load(spark, sf_dir, "documents"))
+           .toPandas().sort_values(key).reset_index(drop=True))
+    assert new.equals(old)
