@@ -195,23 +195,53 @@ def oracle_hll_distinct_sql(*, strata_sql: str = "lang",
 
 CMS_D = 4                    # hash rows
 CMS_W = 256                  # buckets per row
-CMS_SEED0 = 101              # row r hashes with seed CMS_SEED0 + r
+CMS_SEED0 = 101              # retired seed base (pre-r11 per-row md5 family)
+_CMS_P = 2_147_483_647       # 2^31 - 1 (the multiply-add family's prime)
 
 
-def _cms_bucket(col, r: int):
-    from ..functions.hashing import md5_long
-    return md5_long(col, seed=CMS_SEED0 + r) % CMS_W
+def _cms_family(r: int) -> tuple[int, int]:
+    # r11: one md5 per key instance, rows derived by a multiply-add
+    # universal family — the same Kirsch–Mitzenmacher move as the bloom
+    # probes (SCALING.md r11 part 2): the 5M-doc probe put x52's decade
+    # in the D seeded md5 pipelines per token, and independent cheap
+    # mixes of one good hash keep the CMS one-sided bound (est >= true
+    # holds for ANY bucket function; the error BOUND's independence
+    # assumption is the same one the bloom adjudication accepted).
+    # Constants are md5-derived driver-side; the identical exact-int
+    # arithmetic runs in DuckDB, so sketches stay bit-equal cross-engine.
+    import hashlib
+
+    def h(tag: str) -> int:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:15], 16)
+
+    return ((h(f"CMA{r}") % (_CMS_P - 1)) + 1, h(f"CMB{r}") % _CMS_P)
+
+
+def _cms_bucket_hashed(hcol, r: int):
+    """Row-r bucket of an already-md5-hashed non-negative long key."""
+    a, b = _cms_family(r)
+    return (((F.lit(a) * (hcol % F.lit(_CMS_P)) + F.lit(b))
+             % F.lit(_CMS_P)) % F.lit(CMS_W)).cast("long")
+
+
+def oracle_cms_bucket_hashed(h_sql: str, r: int) -> str:
+    a, b = _cms_family(r)
+    return (f"((({a} * (({h_sql}) % {_CMS_P}) + {b}) % {_CMS_P})"
+            f" % {CMS_W})")
 
 
 def cms_sketch(items: DataFrame, key_col: str) -> DataFrame:
     """(row, bucket, cnt): the D×W sketch of the key stream. One
     map-side-combined shuffle of at most D·W tiny rows regardless of
-    stream size — the explode is D rows per item, scan-local."""
+    stream size — the explode is D rows per item, scan-local, and the
+    key pays ONE md5 (rows come from the multiply-add family)."""
+    from ..functions.hashing import md5_long
     rows = F.array(*[
         F.struct(F.lit(r).cast("int").alias("row"),
-                 _cms_bucket(F.col(key_col), r).alias("bucket"))
+                 _cms_bucket_hashed(F.col("_h"), r).alias("bucket"))
         for r in range(CMS_D)])
-    return (items.select(F.explode(rows).alias("rb"))
+    return (items.select(md5_long(F.col(key_col)).alias("_h"))
+            .select(F.explode(rows).alias("rb"))
             .select("rb.row", "rb.bucket")
             .groupBy("row", "bucket")
             .agg(F.count(F.lit(1)).alias("cnt")))
@@ -230,11 +260,14 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame,
                  key_col: str) -> DataFrame:
     """(key, est_count): min over the key's D cells. The sketch is D·W
     rows — broadcast; a key whose cell was never touched reads 0."""
+    from ..functions.hashing import md5_long
     rows = F.array(*[
         F.struct(F.lit(r).cast("int").alias("row"),
-                 _cms_bucket(F.col(key_col), r).alias("bucket"))
+                 _cms_bucket_hashed(F.col("_h"), r).alias("bucket"))
         for r in range(CMS_D)])
-    cells = (keys.select(F.col(key_col), F.explode(rows).alias("rb"))
+    cells = (keys.select(F.col(key_col),
+                         md5_long(F.col(key_col)).alias("_h"))
+             .select(F.col(key_col), F.explode(rows).alias("rb"))
              .select(key_col, "rb.row", "rb.bucket"))
     return (cells.join(F.broadcast(sketch), ["row", "bucket"], "left")
             .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
@@ -244,14 +277,16 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame,
 
 def oracle_cms_ctes(key_sql: str, src_sql: str) -> str:
     """CTEs ``cms_sketch`` (row, bucket, cnt) over ``src_sql``'s
-    ``key_sql`` stream — the DuckDB twin of cms_sketch."""
+    ``key_sql`` stream — the DuckDB twin of cms_sketch (one md5 per
+    key instance, multiply-add row derivation)."""
     from ..functions.hashing import oracle_md5_long
     row_selects = "\n        UNION ALL\n        ".join(
-        f"SELECT {r} AS row, "
-        f"({oracle_md5_long(key_sql, seed=CMS_SEED0 + r)}) % {CMS_W} "
-        f"AS bucket FROM {src_sql}"
+        f"SELECT {r} AS row, {oracle_cms_bucket_hashed('h', r)} "
+        f"AS bucket FROM cms_h"
         for r in range(CMS_D))
-    return f"""cms_cells AS (
+    return f"""cms_h AS (
+        SELECT ({oracle_md5_long(key_sql)}) AS h FROM {src_sql}
+    ), cms_cells AS (
         {row_selects}
     ), cms_sketch AS (
         SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt

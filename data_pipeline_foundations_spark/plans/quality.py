@@ -835,13 +835,12 @@ _CMS_TOPN = 20
 
 def _oracle_cms_topk_sql() -> str:
     from ..operators.sketches import (
-        CMS_D, CMS_SEED0, CMS_W, oracle_cms_ctes,
+        CMS_D, oracle_cms_bucket_hashed, oracle_cms_ctes,
     )
     from ..functions.hashing import oracle_md5_long
     key_cells = "\n        UNION ALL\n        ".join(
         f"SELECT token, true_count, {r} AS row, "
-        f"({oracle_md5_long('token', seed=CMS_SEED0 + r)}) % {CMS_W} "
-        f"AS bucket FROM top"
+        f"{oracle_cms_bucket_hashed('h', r)} AS bucket FROM top_h"
         for r in range(CMS_D))
     return f"""
     WITH t AS (
@@ -854,6 +853,9 @@ def _oracle_cms_topk_sql() -> str:
     ), top AS (
         SELECT token, true_count FROM true_c
         ORDER BY true_count DESC, token ASC LIMIT {_CMS_TOPN}
+    ), top_h AS (
+        SELECT token, true_count, ({oracle_md5_long('token')}) AS h
+        FROM top
     ), cells AS (
         {key_cells}
     )
