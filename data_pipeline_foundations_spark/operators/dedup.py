@@ -727,6 +727,59 @@ def decontaminate(docs: DataFrame, bench_pred: Column, *,
                     .alias("contaminated_frac")))
 
 
+def decontaminate_two_tier(docs: DataFrame, bench_pred: Column, *,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           n: int = DECON_N, hasher: str = "md5") -> DataFrame:
+    """:func:`decontaminate`'s >broadcast-limit composition (r12,
+    VERDICT r11 #5): x53's Bloom pre-filter in front of the exact
+    verification join, registered end-to-end instead of living as a
+    docstring claim.
+
+    Same output contract as :func:`decontaminate` — (doc_id, n_shingles,
+    n_shared, contaminated_frac), one row per contaminated document —
+    and PROVABLY the same rows: the Bloom stage has no false negatives
+    (every true collision survives the pre-filter) and the exact join
+    discards its false positives, so composition output == exact output
+    on any corpus. That identity is the oracle story: the registered
+    x92 query reuses x25's exact decontamination SQL verbatim, and the
+    pytest pin asserts DataFrame-level equality against x25's plan.
+
+    Scale shape — the regime where this beats :func:`decontaminate`:
+    when the benchmark's distinct-shingle table outgrows the broadcast
+    limit (a 100 TB-era eval suite), x25's map-side broadcast join is
+    off the table and the naive fallback is a corpus-scale shuffle of
+    EVERY corpus shingle against the benchmark. Here the 2 KB bitset
+    still broadcasts (it is O(bits), not O(shingles)), the corpus
+    stream dies map-side except for bloom survivors — true hits plus
+    the measured ~(1-e^{-kn/m})^k false-positive trickle — and only
+    that residual stream reaches the exact join, which is deliberately
+    NOT hinted broadcast: AQE picks broadcast while the benchmark side
+    is small and a survivor-sized shuffle join beyond it, which is
+    exactly the routing the two-tier design wants."""
+    from .sketches import bloom_build, bloom_hits, bloom_positions_hashed
+    marked = with_shingle_hashes(scale_out(docs), text_col, n, out="_sh",
+                                 hasher=hasher) \
+        .select(id_col, bench_pred.alias("_is_bench"),
+                F.array_distinct("_sh").alias("sh"))
+    bench_s = (marked.filter(F.col("_is_bench"))
+               .select(F.explode_outer("sh").alias("s"))
+               .filter(F.col("s").isNotNull()).distinct())
+    corpus = (marked.filter(~F.col("_is_bench"))
+              .select(id_col, F.size("sh").cast("long").alias("n_shingles"),
+                      F.explode_outer("sh").alias("s"))
+              .filter(F.col("s").isNotNull()))
+    bloom = bloom_build(bench_s, "s", positions=bloom_positions_hashed)
+    survivors = bloom_hits(corpus, "s", bloom,
+                           positions=bloom_positions_hashed)
+    return (survivors.join(bench_s, "s")
+            .groupBy(id_col, "n_shingles")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .select(id_col, "n_shingles", "n_shared",
+                    (F.col("n_shared").cast("double")
+                     / F.col("n_shingles").cast("double"))
+                    .alias("contaminated_frac")))
+
+
 def oracle_decontaminate_sql(bench_where: str, *, n: int = DECON_N,
                              table: str = "documents") -> str:
     """DuckDB twin: same distinct-shingle sets, same counts."""

@@ -199,35 +199,33 @@ CMS_SEED0 = 101              # retired seed base (pre-r11 per-row md5 family)
 _CMS_P = 2_147_483_647       # 2^31 - 1 (the multiply-add family's prime)
 
 
-def _cms_family(r: int) -> tuple[int, int]:
-    # r11: one md5 per key instance, rows derived by a multiply-add
-    # universal family — the same Kirsch–Mitzenmacher move as the bloom
-    # probes (SCALING.md r11 part 2): the 5M-doc probe put x52's decade
-    # in the D seeded md5 pipelines per token, and independent cheap
-    # mixes of one good hash keep the CMS one-sided bound (est >= true
-    # holds for ANY bucket function; the error BOUND's independence
-    # assumption is the same one the bloom adjudication accepted).
-    # Constants are md5-derived driver-side; the identical exact-int
-    # arithmetic runs in DuckDB, so sketches stay bit-equal cross-engine.
-    import hashlib
-
-    def h(tag: str) -> int:
-        return int(hashlib.md5(tag.encode()).hexdigest()[:15], 16)
-
-    return ((h(f"CMA{r}") % (_CMS_P - 1)) + 1, h(f"CMB{r}") % _CMS_P)
+_CMS_SLICE = (1 << 30) - 1   # low-30-bit mask of the 60-bit md5
 
 
 def _cms_bucket_hashed(hcol, r: int):
-    """Row-r bucket of an already-md5-hashed non-negative long key."""
-    a, b = _cms_family(r)
-    return (((F.lit(a) * (hcol % F.lit(_CMS_P)) + F.lit(b))
-             % F.lit(_CMS_P)) % F.lit(CMS_W)).cast("long")
+    """Row-r bucket of an already-md5-hashed non-negative long key.
+
+    r12 (ADVICE): Kirsch–Mitzenmacher over TWO independent 30-bit
+    slices of the 60-bit md5 — g_r = (h1 + (r+1)·h2) mod P mod W with
+    h1 = low 30 bits, h2 = high 30 bits. The r11 family derived every
+    row as an affine function of the ONE value (h mod P), so two keys
+    colliding mod 2^31-1 collided in EVERY row and the min-of-D error
+    rows were correlated; with distinct multipliers on disjoint slices,
+    bucket equality in two different rows r≠s forces (r−s)·Δh2 ≡ 0
+    mod P (prime, |r−s| < P) hence Δh2 = Δh1 = 0 — a full 60-bit
+    collision. One-sidedness (est ≥ true) holds for ANY bucket family;
+    max intermediate h1 + D·h2 < 5·2^30 stays far inside int64, and the
+    identical exact-int arithmetic runs in DuckDB so sketches stay
+    bit-equal cross-engine."""
+    h1 = hcol.bitwiseAND(F.lit(_CMS_SLICE))
+    h2 = F.shiftright(hcol, 30)
+    return (((h1 + F.lit(r + 1) * h2) % F.lit(_CMS_P))
+            % F.lit(CMS_W)).cast("long")
 
 
 def oracle_cms_bucket_hashed(h_sql: str, r: int) -> str:
-    a, b = _cms_family(r)
-    return (f"((({a} * (({h_sql}) % {_CMS_P}) + {b}) % {_CMS_P})"
-            f" % {CMS_W})")
+    return (f"((((({h_sql}) & {_CMS_SLICE}) + {r + 1} * (({h_sql}) >> 30))"
+            f" % {_CMS_P}) % {CMS_W})")
 
 
 def cms_sketch(items: DataFrame, key_col: str) -> DataFrame:
@@ -570,6 +568,7 @@ def oracle_qsketch_sql(value_sql: str, strata_sql: str, src_sql: str,
 # capping, and the final merge therefore lose nothing.
 
 KMV_K = 256
+_KMV_SPLIT = 64              # phase-1 residue fan-out (see kmv_sketch)
 
 
 def _bottom_k(col, k: int):
@@ -582,19 +581,33 @@ def kmv_sketch(items: DataFrame, *, key_col: str, strata_col: str,
     """(stratum, key) rows → one ``(stratum, sk array<long>)`` sketch row
     per stratum holding the k smallest DISTINCT key values.
 
-    Scale shape: phase 1 groups by (stratum, input-partition) — each
-    group lives in exactly one map partition, so the partial aggregation
-    completes map-side and the exchange ships one bottom-k array per
-    (stratum, partition); phase 2 merges the |partitions|·k survivors
-    per stratum. No corpus-wide distinct exchange, no stratum-wide sort.
-    The upgrade path if per-partition value volume ever dominates is a
-    custom TypedImperativeAggregate holding a k-bounded heap; the
-    pigeonhole argument above keeps any such change output-identical.
+    Scale shape: phase 1 groups by (stratum, input-partition,
+    key-residue) — each group lives in exactly one map partition, so the
+    partial aggregation completes map-side and the exchange ships one
+    bottom-k array per group; phase 2 merges the survivors per stratum.
+    No corpus-wide distinct exchange, no stratum-wide sort.
+
+    The residue split (r12, ADVICE): the r11 form's collect_list held
+    EVERY value of a (stratum, partition) group as one in-memory array
+    before truncation — a per-task memory cliff when a partition is
+    value-dense. Sub-grouping by ``_k % _KMV_SPLIT`` divides that state
+    by the split factor: KMV's own validity requires the key stream to
+    be uniformly hashed (it estimates from minimum VALUES), and the same
+    uniformity balances the residue classes, so peak per-group state is
+    ~n_partition_values / 64 with k-bounded exchange arrays.
+    Output-identical by the pigeonhole argument above (any partition of
+    a group into subsets preserves bottom-k; pinned by the hypothesis
+    suite, which feeds adversarially NON-uniform keys — correctness
+    never depends on balance). The remaining upgrade path if even the
+    split state ever dominates is a custom TypedImperativeAggregate
+    holding a k-bounded heap.
     """
     tagged = items.select(F.col(strata_col).alias("stratum"),
                           F.spark_partition_id().alias("_pid"),
                           F.col(key_col).alias("_k"))
-    phase1 = (tagged.groupBy("stratum", "_pid")
+    phase1 = (tagged
+              .withColumn("_res", F.pmod(F.col("_k"), F.lit(_KMV_SPLIT)))
+              .groupBy("stratum", "_pid", "_res")
               .agg(_bottom_k(F.collect_list("_k"), k).alias("_cand")))
     return (phase1.select("stratum", F.explode("_cand").alias("_k"))
             .groupBy("stratum")

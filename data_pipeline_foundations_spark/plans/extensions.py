@@ -720,8 +720,16 @@ def x45_source_overlap(spark, sf_dir):
     come from element_at on the broadcast literal array — bit order is
     sorted-source order, so source_a < source_b falls out unchanged.
     Output pinned identical to the collect_set fallback (> 62 sources)
-    in tests/test_text_quality.py."""
-    docs = load(spark, sf_dir, "documents")
+    in tests/test_text_quality.py.
+
+    NULL sources are dropped up front (r12, ADVICE): the r5 collect_set
+    form silently skipped NULLs (collect_set semantics), while the
+    bitmask form's driver-side sorted() raised TypeError on a NULL and
+    a NULL reaching array_position would shiftleft by −1 — the filter
+    restores the old contract (a NULL-source document contributes no
+    membership) instead of crashing."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull())
     srcs = sorted(r["source"] for r in
                   docs.select("source").distinct().collect())
     if len(srcs) > 62:

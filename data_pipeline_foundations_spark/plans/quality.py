@@ -200,6 +200,24 @@ def x25_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("doc_id") % 17 == 0)
 
 
+@query("x92_decon_two_tier",
+       oracle=oracle_decontaminate_sql(_BENCH_WHERE))
+def x92_decon_two_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed bloom→exact-verify decontamination path (r12,
+    VERDICT r11 #5) as a registered end-to-end surface: x53's 2 KB
+    bitset pre-filter kills non-colliding corpus shingles map-side, and
+    ONLY the survivor trickle reaches the exact benchmark join — the
+    >broadcast-limit routing x25's operator docstring promises. The
+    oracle is x25's exact decontamination SQL VERBATIM: bloom has no
+    false negatives and the exact join removes its false positives, so
+    the composition is provably output-identical to the exact path
+    (also pinned plan-vs-plan in tests/test_text_quality.py). Same
+    pseudo-benchmark as x25 (operators/dedup.py decontaminate_two_tier)."""
+    from ..operators.dedup import decontaminate_two_tier
+    return decontaminate_two_tier(load(spark, sf_dir, "documents"),
+                                  F.col("doc_id") % 17 == 0)
+
+
 # ---------------------------------------------------------------------------
 # x26 — adaptive per-language quality window (p10/p90 trim)
 # ---------------------------------------------------------------------------
@@ -339,43 +357,58 @@ def x32_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "x33_token_rarity",
-    oracle="""
+def _oracle_x33_sql() -> str:
+    from ..functions.hashing import oracle_md5_long
+    return f"""
     WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS token
         FROM documents
     ), t AS (
-        SELECT doc_id, token FROM toks WHERE token <> ''
+        SELECT doc_id, {oracle_md5_long('token')} AS tk
+        FROM toks WHERE token <> ''
     ), cf AS (
-        SELECT token, CAST(COUNT(*) AS BIGINT) AS tok_cf FROM t GROUP BY token
+        SELECT tk, CAST(COUNT(*) AS BIGINT) AS tok_cf FROM t GROUP BY tk
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
            CAST(SUM(tok_cf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
                AS mean_token_freq
-    FROM t JOIN cf USING (token)
+    FROM t JOIN cf USING (tk)
     GROUP BY doc_id
-    """,
+    """
+
+
+@query(
+    "x33_token_rarity",
+    oracle=_oracle_x33_sql(),
 )
 def x33_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean corpus-frequency of each document's tokens — the
     corpus-RELATIVE quality signal (gibberish and boilerplate sit at
     the two extremes) that x22's doc-local stats cannot express.
-    Scale shape: the exploded token table is LAZILY PERSISTED — it
-    feeds the frequency aggregate AND the join-back, and AQE compiles
-    those as independent subtrees (no ReusedExchange), so without the
-    persist the scan + split pipeline executed twice; the per-doc
-    rollup is one more map-side-combined shuffle. Exact integer sum,
-    one final double division — cross-engine bit-stable."""
+    Scale shape: tokens are replaced by their 60-bit md5 longs AT THE
+    SCAN (the dedup family's hash-as-identity contract, in BOTH
+    engines) so the corpus-frequency aggregate, the join-back, and the
+    persisted intermediate all exchange fixed-width longs instead of
+    strings — r11's 5M-doc probe read 11.9x vs the columnar oracle on
+    the string form (two corpus-scale string exchanges, 14.6x/decade
+    growth); a 60-bit collision would merge the same two tokens in both
+    engines, so the twin stays exact. The hashed token table is LAZILY
+    PERSISTED — it feeds the frequency aggregate AND the join-back, and
+    AQE compiles those as independent subtrees (no ReusedExchange), so
+    without the persist the scan + split + md5 pipeline executed twice;
+    the per-doc rollup is one more map-side-combined shuffle. Exact
+    integer sum, one final double division — cross-engine bit-stable."""
+    from ..functions.hashing import md5_long
     from ..operators.caching import tracked_persist
     d = scale_out(load(spark, sf_dir, "documents"))
     toks = tracked_persist(
         d.select("doc_id",
                  F.explode_outer(F.split("text", " ")).alias("token"))
-        .filter(F.col("token").isNotNull() & (F.col("token") != "")),
+        .filter(F.col("token").isNotNull() & (F.col("token") != ""))
+        .select("doc_id", md5_long(F.col("token")).alias("tk")),
         eager=False)
-    cf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tok_cf"))
-    return (toks.join(cf, "token")
+    cf = toks.groupBy("tk").agg(F.count(F.lit(1)).alias("tok_cf"))
+    return (toks.join(cf, "tk")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.sum("tok_cf").alias("_sum_cf"))

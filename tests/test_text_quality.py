@@ -333,6 +333,23 @@ def test_bloom_prefilter_is_one_sided(spark, sf_dir):
     assert all(r.n_bloom_hits >= r.n_exact_hits for r in bloom.values())
 
 
+def test_two_tier_decon_equals_exact_path(spark, sf_dir):
+    """r12 (VERDICT r11 #5): the registered bloom→exact-verify
+    composition (x92) makes the SAME decisions as x25's exact
+    broadcast path — identical rows, identical counts, identical
+    fractions. This is the end-to-end pin behind the 100 TB routing
+    claim: the pre-filter may only ever shrink the exact join's INPUT,
+    never its output."""
+    from data_pipeline_foundations_spark.registry import all_queries
+
+    key = ["doc_id"]
+    two = (all_queries()["x92_decon_two_tier"].fn(spark, sf_dir)
+           .toPandas().sort_values(key).reset_index(drop=True))
+    exact = (all_queries()["x25_decontamination"].fn(spark, sf_dir)
+             .toPandas().sort_values(key).reset_index(drop=True))
+    assert len(two) > 0 and two.equals(exact)
+
+
 def test_bloom_families_and_fused_probe_agree(spark):
     """The two Bloom probe shapes decide IDENTICALLY per key within one
     hash family: bloom_hits (explode + K broadcast semi-joins — the
@@ -833,3 +850,36 @@ def test_source_overlap_bitmask_equals_collect_set_form(spark, sf_dir):
     old = (_source_overlap_collect_set(load(spark, sf_dir, "documents"))
            .toPandas().sort_values(key).reset_index(drop=True))
     assert new.equals(old)
+
+
+def test_source_overlap_null_source_dropped_not_crash(spark, sf_dir, tmp_path):
+    """r12 (ADVICE): a NULL source must behave like the r5 collect_set
+    form — the document contributes no source membership — instead of
+    crashing the driver-side sorted() or shiftlefting by −1. Pin: on a
+    corpus where some docs have NULL source, the registered query equals
+    the collect_set fallback run on the NULL-filtered corpus."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.plans.extensions import (
+        _source_overlap_collect_set, x45_source_overlap,
+    )
+    from data_pipeline_foundations_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "source",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("source")))
+    out = str(tmp_path / "nullsrc")
+    docs.write.parquet(f"{out}/documents.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        os.symlink(f"{sf_dir}/{t}.parquet", f"{out}/{t}.parquet")
+    key = ["source_a", "source_b"]
+    new = (x45_source_overlap(spark, out)
+           .toPandas().sort_values(key).reset_index(drop=True))
+    old = (_source_overlap_collect_set(
+        docs.filter(F.col("source").isNotNull()))
+        .toPandas().sort_values(key).reset_index(drop=True))
+    assert len(new) > 0 and new.equals(old)
