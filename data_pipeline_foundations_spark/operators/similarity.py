@@ -201,6 +201,88 @@ def hard_negatives(emb: DataFrame, *, id_col: str = "vec_id",
                     "cosine"))
 
 
+def hard_negatives_vectorized(emb: DataFrame, *, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              label_col: str = "label",
+                              n_queries: int = 10, k: int = 5) -> DataFrame:
+    """:func:`hard_negatives`, Arrow-batched (r12): the dense-linear-
+    algebra escape for the eval tier's brute-force scan. The JVM form's
+    r12 2M-vector probe read 3.84× behind the columnar oracle with a
+    named cause — the label-mismatch predicate forces a broadcast
+    NESTED-LOOP join and every (query, corpus) pair pays the
+    interpreted F.aggregate/zip_with dot-product HOF. Here each Arrow
+    batch becomes ONE int64 numpy matmul against the broadcast query
+    matrix — the same exact quantized-int dots (floor(x·1e6 + 0.5) in
+    float64, int64 accumulation, |dot| ≤ dim·(max|v|·1e6)² ≪ 2^63), the
+    same IEEE cosine (d / (qrt·rt)), so output is BIT-IDENTICAL to the
+    registered form (pinned in tests/test_similarity.py).
+
+    Scale shape: the query side is a KB-scale driver artifact (x42's
+    collect discipline); the corpus streams through mapInPandas once,
+    each batch emitting at most n_queries·k pre-trimmed survivors
+    (per-batch top-k under the SAME total order (cosine desc, id asc)
+    keeps the global top-k by pigeonhole), and the terminal window
+    ranks ~n_queries·k·n_batches rows. Python is the right side of the
+    UDF tradeoff here because the work is one BLAS-shaped matmul per
+    batch, not per-row interpretation."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    q_rows = (emb.filter(F.col(id_col) < n_queries)
+              .select(id_col, label_col, int_vec(vec_col).alias("qv"))
+              .collect())
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_labels = np.array([r[1] for r in q_rows])
+    qm = np.array([r[2] for r in q_rows], dtype=np.int64)         # (nq, d)
+    qrt = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))       # (nq,)
+    nq = len(q_rows)
+
+    out_schema = (f"query_id long, query_label int, negative_id long, "
+                  f"negative_label int, cosine double")
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vm = np.floor(
+                np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]]) * EMB_SCALE + 0.5
+            ).astype(np.int64)                                    # (n, d)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            labels = pdf[label_col].to_numpy()
+            rt = np.sqrt((vm * vm).sum(axis=1).astype(np.float64))
+            dots = vm @ qm.T                                      # (n, nq) exact
+            cos = dots / (qrt[None, :] * rt[:, None])
+            parts = []
+            for j in range(nq):
+                m = labels != q_labels[j]
+                if not m.any():
+                    continue
+                cj, ij, lj = cos[m, j], ids[m], labels[m]
+                # top-k under the registered total order (cos desc, id asc)
+                order = np.lexsort((ij, -cj))[:k]
+                parts.append(pd.DataFrame({
+                    "query_id": q_ids[j],
+                    "query_label": np.int32(q_labels[j]),
+                    "negative_id": ij[order],
+                    "negative_label": lj[order].astype(np.int32),
+                    "cosine": cj[order]}))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    survivors = (scale_out(emb)
+                 .select(id_col, label_col, vec_col)
+                 .mapInPandas(score, schema=out_schema))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                          F.col("negative_id").asc())
+    return (survivors.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "query_label", "negative_id",
+                    "negative_label", F.col("rank").cast("int").alias("rank"),
+                    "cosine"))
+
+
 def oracle_hard_negatives_sql(*, n_queries: int = 10, k: int = 5) -> str:
     return f"""
     WITH b0 AS (

@@ -554,3 +554,26 @@ def test_label_centroid_is_floor_integer_mean(spark, sf_dir):
         expect = d / (math.sqrt(float(np.dot(a, a)))
                       * math.sqrt(float(np.dot(b, b))))
         assert r["cosine"] == expect
+
+
+def test_hard_negatives_vectorized_bit_equal(spark, sf_dir):
+    """r12: the Arrow-batched numpy scorer (one int64 matmul per batch,
+    per-batch top-k pre-trim) returns EXACTLY the registered JVM form's
+    frame — same quantized ints, same IEEE cosine doubles, same ranks.
+    This is the pin behind calling it an in-tree escape rather than an
+    approximation."""
+    from data_pipeline_foundations_spark.operators.similarity import (
+        hard_negatives, hard_negatives_vectorized,
+    )
+    from data_pipeline_foundations_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    key = ["query_id", "rank"]
+    a = (hard_negatives(emb).toPandas()
+         .sort_values(key).reset_index(drop=True))
+    b = (hard_negatives_vectorized(emb).toPandas()
+         .sort_values(key).reset_index(drop=True))
+    assert len(a) > 0
+    assert a.astype({"query_label": "int64",
+                     "negative_label": "int64"}).equals(
+        b.astype({"query_label": "int64", "negative_label": "int64"}))
