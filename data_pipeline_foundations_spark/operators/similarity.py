@@ -166,20 +166,31 @@ def hard_negatives(emb: DataFrame, *, id_col: str = "vec_id",
     non-equi broadcast join as x07's self-exclusion), the corpus never
     shuffles until the per-query top-k window, and each corpus vector is
     scored once per query. At 100 TB the mining cost is one corpus scan
-    per query batch — the production path shards the query set and reuses
-    the IVF ladder (x20/x42) for the candidate pool; this exact form is
-    the ground-truth / evaluation tier.
+    per query batch — the production path is :func:`hard_negatives_ann`
+    (shards the query set over the IVF candidate pool, x20's quantizer);
+    this exact form is the ground-truth / evaluation tier.
+
+    Zero-norm vectors (r13, ADVICE): cosine is undefined for them, and
+    the two engines' NaN orderings disagree (numpy lexsort ranks NaN
+    last, a Spark Window's DESC ranks it first), so both forms and the
+    oracle DROP zero-norm rows up front — on either side of the pair.
+    That keeps the bit-equality pin between this form and
+    :func:`hard_negatives_vectorized` valid on ANY input, not just
+    corpora that happen to have no zero vector.
     """
     from pyspark.sql import Window as W
     base = (scale_out(emb)
             .select(F.col(id_col), F.col(label_col),
                     int_vec(vec_col).alias("sv"))
             .withColumn("n2", idot("sv", "sv"))
+            .filter(F.col("n2") > 0)
             .withColumn("rt", F.sqrt(F.col("n2").cast("double"))))
     q = (emb.select(F.col(id_col), F.col(label_col),
                     int_vec(vec_col).alias("qv"))
          .filter(F.col(id_col) < n_queries)
-         .withColumn("qrt", F.sqrt(idot("qv", "qv").cast("double")))
+         .withColumn("qn2", idot("qv", "qv"))
+         .filter(F.col("qn2") > 0)
+         .withColumn("qrt", F.sqrt(F.col("qn2").cast("double")))
          .select(F.col(id_col).alias("query_id"),
                  F.col(label_col).alias("query_label"), "qv", "qrt"))
     joined = (
@@ -205,17 +216,25 @@ def hard_negatives_vectorized(emb: DataFrame, *, id_col: str = "vec_id",
                               vec_col: str = "embedding",
                               label_col: str = "label",
                               n_queries: int = 10, k: int = 5) -> DataFrame:
-    """:func:`hard_negatives`, Arrow-batched (r12): the dense-linear-
-    algebra escape for the eval tier's brute-force scan. The JVM form's
-    r12 2M-vector probe read 3.84× behind the columnar oracle with a
-    named cause — the label-mismatch predicate forces a broadcast
-    NESTED-LOOP join and every (query, corpus) pair pays the
-    interpreted F.aggregate/zip_with dot-product HOF. Here each Arrow
-    batch becomes ONE int64 numpy matmul against the broadcast query
-    matrix — the same exact quantized-int dots (floor(x·1e6 + 0.5) in
-    float64, int64 accumulation, |dot| ≤ dim·(max|v|·1e6)² ≪ 2^63), the
-    same IEEE cosine (d / (qrt·rt)), so output is BIT-IDENTICAL to the
-    registered form (pinned in tests/test_similarity.py).
+    """:func:`hard_negatives`, Arrow-batched — since r13 THE REGISTERED
+    x86 plan (VERDICT r12 #1): the dense-linear-algebra form of the
+    brute-force mining scan. The JVM form's r12 2M-vector probe read
+    3.84× behind the columnar oracle with a named cause — the
+    label-mismatch predicate forces a broadcast NESTED-LOOP join and
+    every (query, corpus) pair pays the interpreted
+    F.aggregate/zip_with dot-product HOF. Here each Arrow batch becomes
+    ONE int64 numpy matmul against the broadcast query matrix — the
+    same exact quantized-int dots (floor(x·1e6 + 0.5) in float64, int64
+    accumulation, |dot| ≤ dim·(max|v|·1e6)² ≪ 2^63), the same IEEE
+    cosine (d / (qrt·rt)), so output is BIT-IDENTICAL to
+    :func:`hard_negatives` (pinned in tests/test_similarity.py at four
+    scale factors); the JVM form stays in-tree as the oracle-shaped
+    reference the pin runs against.
+
+    Zero-norm vectors are dropped on both sides (r13, ADVICE) — see
+    :func:`hard_negatives`; without the drop, numpy lexsort (NaN last)
+    and the JVM Window (NaN first) would rank NaN cosines differently
+    and the equality pin could be invalidated by data.
 
     Scale shape: the query side is a KB-scale driver artifact (x42's
     collect discipline); the corpus streams through mapInPandas once,
@@ -231,6 +250,7 @@ def hard_negatives_vectorized(emb: DataFrame, *, id_col: str = "vec_id",
 
     q_rows = (emb.filter(F.col(id_col) < n_queries)
               .select(id_col, label_col, int_vec(vec_col).alias("qv"))
+              .filter(idot("qv", "qv") > 0)
               .collect())
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_labels = np.array([r[1] for r in q_rows])
@@ -252,6 +272,11 @@ def hard_negatives_vectorized(emb: DataFrame, *, id_col: str = "vec_id",
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             labels = pdf[label_col].to_numpy()
             rt = np.sqrt((vm * vm).sum(axis=1).astype(np.float64))
+            nz = rt > 0.0          # zero-norm drop — mirrors n2 > 0
+            if not nz.all():
+                vm, ids, labels, rt = vm[nz], ids[nz], labels[nz], rt[nz]
+                if len(ids) == 0:
+                    continue
             dots = vm @ qm.T                                      # (n, nq) exact
             cos = dots / (qrt[None, :] * rt[:, None])
             parts = []
@@ -288,8 +313,10 @@ def oracle_hard_negatives_sql(*, n_queries: int = 10, k: int = 5) -> str:
     WITH b0 AS (
         SELECT vec_id, label, {oracle_int_vec('embedding')} AS sv
         FROM embeddings
-    ), base AS (
+    ), base0 AS (
         SELECT vec_id, label, sv, {oracle_idot('sv', 'sv')} AS n2 FROM b0
+    ), base AS (
+        SELECT * FROM base0 WHERE n2 > 0  -- zero-norm drop (r13, ADVICE)
     ), q AS (
         SELECT vec_id AS query_id, label AS query_label, sv AS qv, n2 AS qn2
         FROM base WHERE vec_id < {n_queries}

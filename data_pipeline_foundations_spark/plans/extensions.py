@@ -2769,16 +2769,25 @@ def _oracle_hard_negatives() -> str:
 
 @query("x86_hard_negative_mining", oracle=_oracle_hard_negatives())
 def x86_hard_negative_mining(spark, sf_dir):
-    """ANN-mined hard negatives (operators/similarity.hard_negatives):
-    for each of the first 10 query vectors, the 5 nearest corpus vectors
-    with a DIFFERENT label — the highest-similarity wrong-label examples
-    a contrastive objective learns most from. x58 draws cheap uniform
-    negatives; this is the hard tier the mining literature (DPR, ANCE)
-    actually ships. Scale contract inherited from x07: queries
-    broadcast, corpus scored in-scan, one per-query top-k window."""
-    from ..operators.similarity import hard_negatives
+    """Brute-force hard negatives (operators/similarity
+    .hard_negatives_vectorized): for each of the first 10 query
+    vectors, the 5 nearest corpus vectors with a DIFFERENT label — the
+    highest-similarity wrong-label examples a contrastive objective
+    learns most from. x58 draws cheap uniform negatives; this is the
+    hard tier the mining literature (DPR, ANCE) actually ships.
 
-    return hard_negatives(load(spark, sf_dir, "embeddings"))
+    r13 (VERDICT r12 #1): the registered plan is now the Arrow-batched
+    matmul form — the r12-registered JVM form (broadcast nested-loop
+    join + interpreted per-pair HOF dot) measured 2.6× behind the
+    oracle at 2M vectors while this form, pinned bit-equal to it at
+    four scale factors, measured 0.66×. The corpus streams through ONE
+    mapInPandas stage (one int64 matmul per batch, n_queries·k
+    survivors out) into the per-query top-k window; the JVM form stays
+    in-tree as the pin's oracle-shaped reference, and x93 is the
+    ANN-routed production tier above both."""
+    from ..operators.similarity import hard_negatives_vectorized
+
+    return hard_negatives_vectorized(load(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------

@@ -40,8 +40,6 @@ BNLJ_WHITELIST = {
                                 "(n_queries non-equi broadcast) — the two "
                                 "retrievers' documented scalar attaches",
     "x84_shard_shuffle": "single broadcast shard-count row",
-    "x86_hard_negative_mining": "broadcast of n_queries rows, non-equi "
-                                "label-mismatch predicate (x07's shape)",
     "x88_vocab_growth": "single broadcast corpus-size row",
     "x89_tfidf_keywords": "single broadcast corpus-size row (idf N)",
     "x91_label_centroid_map": "broadcast of <=|labels| centroid rows "
@@ -49,6 +47,8 @@ BNLJ_WHITELIST = {
                               "(x07's shape, dimension-sized)",
     # x61_ann_recall left the list in r6: the fused kernel path scores
     # the ground truth in-map, so no broadcast non-equi join remains.
+    # x86_hard_negative_mining left in r13: the registered plan is now
+    # the mapInPandas matmul form — no BNLJ (VERDICT r12 #1).
 }
 
 

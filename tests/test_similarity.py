@@ -577,3 +577,36 @@ def test_hard_negatives_vectorized_bit_equal(spark, sf_dir):
     assert a.astype({"query_label": "int64",
                      "negative_label": "int64"}).equals(
         b.astype({"query_label": "int64", "negative_label": "int64"}))
+
+
+def test_hard_negatives_zero_norm_dropped_both_forms(spark):
+    """r13 (ADVICE): zero-norm vectors make cosine NaN, and the two
+    engines' NaN orders disagree (numpy lexsort ranks NaN last, the JVM
+    Window's DESC ranks it first) — so BOTH forms drop zero-norm rows,
+    query- and corpus-side, and the equality pin holds on data that
+    contains them."""
+    from data_pipeline_foundations_spark.operators.similarity import (
+        hard_negatives, hard_negatives_vectorized,
+    )
+
+    rows = []
+    for i in range(20):
+        if i in (3, 15):               # one zero-norm query, one corpus
+            vec = [0.0] * 8
+        else:
+            vec = [((i * 7 + j * 13) % 11 - 5) / 10.0 for j in range(8)]
+        rows.append((i, i % 3, vec))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    key = ["query_id", "rank"]
+    a = (hard_negatives(emb, k=4).toPandas()
+         .sort_values(key).reset_index(drop=True))
+    b = (hard_negatives_vectorized(emb, k=4).toPandas()
+         .sort_values(key).reset_index(drop=True))
+    assert len(a) > 0
+    assert 3 not in set(a["query_id"])          # zero-norm query dropped
+    assert 15 not in set(a["negative_id"])      # zero-norm corpus dropped
+    assert a["cosine"].notna().all()
+    assert a.astype({"query_label": "int64",
+                     "negative_label": "int64"}).equals(
+        b.astype({"query_label": "int64", "negative_label": "int64"}))
