@@ -336,6 +336,168 @@ def oracle_hard_negatives_sql(*, n_queries: int = 10, k: int = 5) -> str:
     """
 
 
+def hard_negatives_ann(emb: DataFrame, *, id_col: str = "vec_id",
+                       vec_col: str = "embedding", label_col: str = "label",
+                       k_clusters: int = 16, nprobe: int = 6,
+                       n_queries: int = 10, k: int = 5, seed: int = 3,
+                       dim: int = 64) -> DataFrame:
+    """The PRODUCTION hard-negative mining tier (r13, VERDICT r12 #2):
+    IVF-routed candidate generation + label-mismatch filter + exact
+    re-rank — the composition :func:`hard_negatives`' docstring promised
+    ("shards the query set and reuses the IVF ladder for the candidate
+    pool"), now a tested surface instead of a claim. Where the brute
+    tier (x86) scores EVERY corpus vector against every query, this
+    scores only vectors whose IVF list is among the query's ``nprobe``
+    probed lists — candidate volume drops by ~nprobe/k_clusters while
+    x94 measures what that costs in recall.
+
+    Same output contract as x86: (query_id, query_label, negative_id,
+    negative_label, rank, cosine), cosine EXACT for every returned pair
+    (re-rank uses the full quantized-int dot, never an ADC
+    approximation — misses are possible, wrong scores are not).
+
+    Plan shape (x20's fused-kernel template): the coarse model +
+    queries (+ labels riding the model collect) is ONE non-AQE
+    KB-scale job; the search is ONE map stage — assign each corpus row
+    to its list, emit exact cosines for probing queries only
+    (vectorized.ivf_cos_udf) — and the label filter + per-query top-k
+    window are the only things downstream, so the single shuffle
+    carries probed (query, candidate, cosine) rows. Zero-norm inputs
+    fail loudly inside the kernel (the IVF family's r9 contract; the
+    brute tier's DROP semantics live at x86).
+    """
+    from pyspark.sql import Window as W
+
+    from .vectorized import ivf_cos_udf
+    cents_rows, qrows = _ivf_model_rows(emb, id_col, vec_col, k_clusters,
+                                        seed, dim, n_queries,
+                                        label_col=label_col)
+    qrows = sorted(qrows, key=lambda r: r[id_col])
+    probe_sets = _select_probe_sets(cents_rows, qrows, nprobe)
+    cos_udf = ivf_cos_udf(cents_rows, probe_sets,
+                          [list(r["sv"]) for r in qrows], EMB_SCALE)
+    qid_arr = F.array(*[F.lit(int(r[id_col])).cast("long") for r in qrows])
+    qlab_arr = F.array(*[F.lit(r["label"]).cast("int") for r in qrows])
+    scored = (emb
+              .select(F.col(id_col), F.col(label_col), F.col(vec_col).alias("_v"))
+              .withColumn("_cos", cos_udf("_v"))
+              .select(F.col(id_col).alias("negative_id"),
+                      F.col(label_col).alias("negative_label"),
+                      F.posexplode("_cos").alias("qi", "cosine"))
+              .filter(F.col("cosine") > -2.0)  # -9 = not probed
+              .select(qid_arr[F.col("qi")].alias("query_id"),
+                      qlab_arr[F.col("qi")].alias("query_label"),
+                      "negative_id", "negative_label", "cosine")
+              .filter(F.col("negative_label") != F.col("query_label")))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                          F.col("negative_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "query_label", "negative_id",
+                    "negative_label", F.col("rank").cast("int").alias("rank"),
+                    "cosine"))
+
+
+def oracle_hard_negatives_ann_sql(*, dim: int = 64, k_clusters: int = 16,
+                                  nprobe: int = 6, n_queries: int = 10,
+                                  k: int = 5, seed: int = 3) -> str:
+    """DuckDB twin of :func:`hard_negatives_ann` — x20's IVF assignment
+    CTE chain, probe selection, then the label-mismatch re-rank."""
+    nearest = oracle_ivf_nearest_rn()
+    return f"""
+    WITH {oracle_ivf_assign_ctes(dim=dim, k_clusters=k_clusters,
+                                 seed=seed)}, probe AS (
+        SELECT query_id, cid FROM (
+            SELECT b.vec_id AS query_id, c.cid, {nearest} AS rn
+            FROM base b, cents2 c WHERE b.vec_id < {n_queries}) WHERE rn <= {nprobe}
+    ), lab AS (
+        SELECT vec_id, label FROM embeddings
+    ), scored AS (
+        SELECT p.query_id, ql.label AS query_label,
+               a.vec_id AS negative_id, nl.label AS negative_label,
+               {oracle_qcos(oracle_idot('qb.sv', 'nb.sv'), 'qb.n2', 'nb.n2')} AS cosine
+        FROM probe p
+        JOIN asg a USING (cid)
+        JOIN base qb ON qb.vec_id = p.query_id
+        JOIN base nb ON nb.vec_id = a.vec_id
+        JOIN lab ql ON ql.vec_id = p.query_id
+        JOIN lab nl ON nl.vec_id = a.vec_id
+        WHERE nl.label <> ql.label
+    )
+    SELECT query_id, query_label, negative_id, negative_label,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, negative_id ASC)
+                AS INTEGER) AS rank,
+           cosine
+    FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
+def hard_negative_ann_recall(emb: DataFrame, *, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             label_col: str = "label",
+                             k_clusters: int = 16, nprobe: int = 6,
+                             n_queries: int = 10, k: int = 5,
+                             seed: int = 3, dim: int = 64) -> DataFrame:
+    """Recall@k of the ANN-routed mining tier against the brute-force
+    ground truth — x61's evaluation shape applied to hard-negative
+    mining (r13, VERDICT r12 #2): truth = x86's exact top-k wrong-label
+    pairs (the vectorized brute scan), hit = the pair also surfaced by
+    :func:`hard_negatives_ann`. Returns (query_id, n_true, n_hit,
+    recall) — the number the nprobe knob is tuned against before anyone
+    ships ANN-mined negatives at scale.
+
+    Scale shape: both sides are the registered operators' plans
+    unchanged; the join is n_queries·k rows against n_queries·k rows —
+    driver-free, dimension-sized."""
+    truth = (hard_negatives_vectorized(
+        emb, id_col=id_col, vec_col=vec_col, label_col=label_col,
+        n_queries=n_queries, k=k)
+        .select("query_id", "negative_id"))
+    cand = (hard_negatives_ann(
+        emb, id_col=id_col, vec_col=vec_col, label_col=label_col,
+        k_clusters=k_clusters, nprobe=nprobe, n_queries=n_queries, k=k,
+        seed=seed, dim=dim)
+        .select("query_id", "negative_id")
+        .withColumn("hit", F.lit(1)))
+    return (truth.join(cand, ["query_id", "negative_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_true"),
+                 F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"))
+            .withColumn("recall",
+                        F.col("n_hit").cast("double")
+                        / F.col("n_true").cast("double")))
+
+
+def oracle_hard_negative_ann_recall_sql(*, dim: int = 64,
+                                        k_clusters: int = 16,
+                                        nprobe: int = 6,
+                                        n_queries: int = 10, k: int = 5,
+                                        seed: int = 3) -> str:
+    return f"""
+    WITH truth AS (
+        SELECT query_id, negative_id
+        FROM ({oracle_hard_negatives_sql(n_queries=n_queries, k=k)})
+    ), cand AS (
+        SELECT query_id, negative_id
+        FROM ({oracle_hard_negatives_ann_sql(
+            dim=dim, k_clusters=k_clusters, nprobe=nprobe,
+            n_queries=n_queries, k=k, seed=seed)})
+    )
+    SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN c.negative_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST(SUM(CASE WHEN c.negative_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS recall
+    FROM truth t
+    LEFT JOIN cand c
+           ON c.query_id = t.query_id AND c.negative_id = t.negative_id
+    GROUP BY t.query_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # Signed-random-projection LSH (deterministic hyperplanes)
 # ---------------------------------------------------------------------------
@@ -505,9 +667,15 @@ def _ivf_quantizer(emb: DataFrame, id_col: str, vec_col: str,
 
 def _ivf_model_rows(emb: DataFrame, id_col: str, vec_col: str,
                     k_clusters: int, seed: int, dim: int,
-                    n_queries: int = 0) -> tuple[list, list]:
+                    n_queries: int = 0,
+                    label_col: str | None = None) -> tuple[list, list]:
     """ONE-job IVF model collect for the Arrow paths: returns
     (cents_rows [{cid, cv, cn2}], qrows [{id_col, sv, n2}]).
+
+    With ``label_col`` set (r13, the hard-negative ANN tier), each
+    query row also carries ``label`` — it rides the union's otherwise
+    unused ``cnt`` slot, so the collect stays ONE job with the same
+    generic schema.
 
     Model artifacts (k centroid rows + n_queries query vectors) are
     KB-sized driver collects — ONE generic-schema union collected in a
@@ -550,11 +718,14 @@ def _ivf_model_rows(emb: DataFrame, id_col: str, vec_col: str,
                          "vec"))
     model = cent_part
     if n_queries > 0:
+        lab = (F.col(label_col).cast("long") if label_col is not None
+               else F.lit(0).cast("long"))
         q_part = (emb.filter(F.col(id_col) < n_queries)
-                  .select(F.col(id_col), int_vec(vec_col).alias("sv"))
+                  .select(F.col(id_col), lab.alias("_lab"),
+                          int_vec(vec_col).alias("sv"))
                   .select(F.lit(1).alias("kind"),
                           F.col(id_col).cast("long").alias("cid"),
-                          F.lit(0).cast("long").alias("cnt"),
+                          F.col("_lab").alias("cnt"),
                           idot("sv", "sv").alias("n2"),
                           F.col("sv").alias("vec")))
         model = cent_part.union(q_part)
@@ -573,9 +744,30 @@ def _ivf_model_rows(emb: DataFrame, id_col: str, vec_col: str,
         cv = [int(math.floor(float(s) / cnt)) for s in r["vec"]]
         cents_rows.append({"cid": r["cid"], "cv": cv,
                            "cn2": sum(c * c for c in cv)})
-    qrows = [{id_col: r["cid"], "sv": list(r["vec"]), "n2": r["n2"]}
+    qrows = [{id_col: r["cid"], "sv": list(r["vec"]), "n2": r["n2"],
+              "label": int(r["cnt"])}
              for r in rows if r["kind"] == 1]
     return cents_rows, qrows
+
+
+def _select_probe_sets(cents_rows: list, qrows: list,
+                       nprobe: int) -> list[list[int]]:
+    """Per-query probe lists, driver-side: the nprobe nearest centroids
+    under the derived-float cosine, DESC cos / DESC cid — the exact
+    order the SQL twin's row_number uses. KB-scale arithmetic over the
+    collected model; shared by ivf_topk and hard_negatives_ann."""
+    import math
+
+    probe_sets = []
+    for r in qrows:
+        qn2 = int(r["n2"])
+        scored_c = sorted(
+            ((float(sum(a * b for a, b in zip(r["sv"], c["cv"])))
+              / (math.sqrt(float(qn2)) * math.sqrt(float(c["cn2"]))),
+              int(c["cid"])) for c in cents_rows),
+            reverse=True)[:nprobe]
+        probe_sets.append([cid for _, cid in scored_c])
+    return probe_sets
 
 
 def ivf_topk(emb: DataFrame, *, id_col: str = "vec_id",
@@ -626,23 +818,13 @@ def ivf_topk(emb: DataFrame, *, id_col: str = "vec_id",
     from pyspark.sql import Window as W
 
     if arrow:
-        import math
-
         cents_rows, qrows = _ivf_model_rows(
             emb, id_col, vec_col, k_clusters, seed, dim, n_queries)
         # probe selection driver-side (same derived-float cosine, same
         # DESC cos / DESC cid order as the SQL twin); the probe sets ride
         # the kernel closure — no probe table, no join.
         qrows = sorted(qrows, key=lambda r: r[id_col])
-        probe_sets = []
-        for r in qrows:
-            qn2 = int(r["n2"])
-            scored_c = sorted(
-                ((float(sum(a * b for a, b in zip(r["sv"], c["cv"])))
-                  / (math.sqrt(float(qn2)) * math.sqrt(float(c["cn2"]))),
-                  int(c["cid"])) for c in cents_rows),
-                reverse=True)[:nprobe]
-            probe_sets.append([cid for _, cid in scored_c])
+        probe_sets = _select_probe_sets(cents_rows, qrows, nprobe)
         # The whole search is ONE fused map stage (assign → probe check →
         # exact cosine per probing query, ivf_cos_udf) + the per-query
         # top-k window — no scale_out (the repartition exchange costs

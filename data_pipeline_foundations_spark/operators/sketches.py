@@ -210,13 +210,23 @@ def _cms_bucket_hashed(hcol, r: int):
     h1 = low 30 bits, h2 = high 30 bits. The r11 family derived every
     row as an affine function of the ONE value (h mod P), so two keys
     colliding mod 2^31-1 collided in EVERY row and the min-of-D error
-    rows were correlated; with distinct multipliers on disjoint slices,
-    bucket equality in two different rows r≠s forces (r−s)·Δh2 ≡ 0
-    mod P (prime, |r−s| < P) hence Δh2 = Δh1 = 0 — a full 60-bit
-    collision. One-sidedness (est ≥ true) holds for ANY bucket family;
-    max intermediate h1 + D·h2 < 5·2^30 stays far inside int64, and the
-    identical exact-int arithmetic runs in DuckDB so sketches stay
-    bit-equal cross-engine."""
+    rows were correlated.
+
+    What the slice family buys — stated PRE-mod-W (r13, ADVICE): with
+    distinct multipliers on disjoint slices, equality of the mod-P
+    values in two different rows r≠s forces (r−s)·Δh2 ≡ 0 mod P
+    (prime, |r−s| < P) hence Δh2 = Δh1 = 0 — a full 60-bit collision.
+    The terminal ``% W`` fold is NOT covered by that argument: two keys
+    distinct mod P can still land in the same W-bucket in any row, with
+    independent ~1/W probability per row — which is exactly the
+    ordinary CMS collision budget the D-row min exists to absorb. So
+    the claim is "rows collide TOGETHER only on a 60-bit collision;
+    per-row 1/W collisions stay independent", not "cross-row collision
+    needs 60 bits". One-sidedness (est ≥ true) holds for ANY bucket
+    family and is the pinned correctness guarantee; max intermediate
+    h1 + D·h2 < 5·2^30 stays far inside int64, and the identical
+    exact-int arithmetic runs in DuckDB so sketches stay bit-equal
+    cross-engine."""
     h1 = hcol.bitwiseAND(F.lit(_CMS_SLICE))
     h2 = F.shiftright(hcol, 30)
     return (((h1 + F.lit(r + 1) * h2) % F.lit(_CMS_P))
@@ -346,6 +356,39 @@ def bloom_positions_hashed(col, k: int):
             % F.lit(_BLOOM_P)) % F.lit(BLOOM_B)
 
 
+def bloom_positions_hashed_for(bits: int):
+    """:func:`bloom_positions_hashed` for a NON-default bitset size
+    (r13, ADVICE): the fixed BLOOM_B = 2^14 saturates once the keyed
+    set outgrows ~m/K bits — at |keys| ≈ m the per-probe fill is
+    1 − e^{−K·n/m} → 1 and the filter passes everything, so callers
+    whose key set scales with the data (decontaminate_two_tier's
+    benchmark side) must size m from a key count instead of inheriting
+    the demo constant. Same multiply-add family, same constants — only
+    the terminal fold changes, so build and probe agree as long as both
+    use the same ``bits``."""
+    def pos(col, k: int):
+        a, b = _bloom_family(k)
+        return ((F.lit(a) * (col % F.lit(_BLOOM_P)) + F.lit(b))
+                % F.lit(_BLOOM_P)) % F.lit(bits)
+    return pos
+
+
+def bloom_bits_for(n_keys: int, *, floor_bits: int = BLOOM_B,
+                   cap_bits: int = 1 << 24) -> int:
+    """Bitset size for ``n_keys`` keys at K = BLOOM_K: the next power of
+    two ≥ 8·n (K·n/m ≈ 0.25 → per-probe fill ≈ 0.22, FPR ≈ (0.22)^2 ≈
+    5%), clamped to [BLOOM_B, 2^24]. The cap keeps the packed-words
+    plan literal ≤ 2 MB — past it (>2M keys) the false-positive
+    trickle grows smoothly but output stays exact (the verify join
+    discards false positives), so the clamp degrades throughput, never
+    correctness."""
+    want = 8 * max(1, n_keys)
+    bits = floor_bits
+    while bits < want and bits < cap_bits:
+        bits <<= 1
+    return bits
+
+
 def oracle_bloom_positions_hashed(key_sql: str, k: int) -> str:
     a, b = _bloom_family(k)
     return (f"((({a} * (({key_sql}) % {_BLOOM_P}) + {b}) % {_BLOOM_P})"
@@ -384,13 +427,15 @@ def bloom_hits(items: DataFrame, item_key: str,
     return out
 
 
-def bloom_bitset_words(bloom: DataFrame) -> list[int]:
-    """Collect the set-bit table into BLOOM_B/64 packed int64 words — the
-    driver-side bitset artifact (2 KB). This is the \"real bitset inside
-    a kernel\" the module note promises: the filter is FIXED-SIZE
-    regardless of corpus scale, so collecting it is the production shape
-    (same class as an IVF centroid model)."""
-    words = [0] * (BLOOM_B // 64)
+def bloom_bitset_words(bloom: DataFrame, *, bits: int = BLOOM_B) -> list[int]:
+    """Collect the set-bit table into bits/64 packed int64 words — the
+    driver-side bitset artifact (2 KB at the default BLOOM_B). This is
+    the \"real bitset inside a kernel\" the module note promises: the
+    filter is FIXED-SIZE regardless of corpus scale, so collecting it is
+    the production shape (same class as an IVF centroid model). ``bits``
+    must match the family the positions were built with
+    (:func:`bloom_positions_hashed_for`)."""
+    words = [0] * (bits // 64)
     for (p,) in bloom.collect():
         words[p >> 6] |= 1 << (p & 63)
     # keep every word inside signed int64 for the Spark literal
@@ -413,8 +458,16 @@ def bloom_filter_array(arr, words: list[int],
     are interpreted AND excluded from codegen CSE (module docstring of
     operators/dedup.py), so the per-element position hash must be
     CHEAP — the default family is the multiply-add one for hashed
-    longs; an md5-per-probe family measured 4-10x slower here."""
-    bw = F.array(*[F.lit(w).cast("long") for w in words])
+    longs; an md5-per-probe family measured 4-10x slower here.
+
+    ``positions`` may be a sized family
+    (:func:`bloom_positions_hashed_for`) when ``words`` was packed for
+    a non-default bitset; the words array rides the plan as ONE
+    F.lit(list) literal column, not a per-element F.array tree — at the
+    auto-sized cap (2^24 bits = 262144 words) an element-wise Py4J
+    expression tree would dwarf the plan while a single literal stays
+    one serialized constant."""
+    bw = F.lit(words).cast("array<long>")
 
     def probe(s):
         cond = None
@@ -426,6 +479,52 @@ def bloom_filter_array(arr, words: list[int],
         return cond
 
     return F.filter(arr, probe)
+
+
+def bloom_pack_keys(keys: list[int], bits: int) -> list[int]:
+    """Pack a collected key list straight into the bits/64 words bitset,
+    driver-side (r13): one numpy multiply-add per hash row over the
+    whole key vector — the same family arithmetic as
+    :func:`bloom_positions_hashed_for` on the same non-negative 60-bit
+    keys (a·(k % P) + b < 2^62 never overflows int64), so the words are
+    bit-identical to building the position table in Spark and packing
+    it (pinned in tests). Lets a caller that already collects the key
+    set (decontaminate_two_tier sizes the bitset from it) skip the
+    separate distinct-positions job."""
+    import numpy as np
+
+    kv = np.asarray(keys, dtype=np.int64) % _BLOOM_P
+    words = np.zeros(bits // 64, dtype=np.uint64)
+    for k in range(BLOOM_K):
+        a, b = _bloom_family(k)
+        pos = ((a * kv + b) % _BLOOM_P) % bits
+        np.bitwise_or.at(words, pos >> 6,
+                         np.uint64(1) << (pos.astype(np.uint64)
+                                          & np.uint64(63)))
+    out = words.astype(np.int64, casting="unsafe")  # two's complement
+    return [int(w) for w in out]
+
+
+def bloom_filter_col(col, words: list[int],
+                     positions=bloom_positions_hashed):
+    """Boolean membership probe of a SCALAR long key column against the
+    packed ``words`` bitset — the codegen form of the packed-bitset
+    probe (r13): where :func:`bloom_filter_array` pays the interpreted-
+    HOF tax per array element (the x53 adjudication measured that form
+    2.5x slower), a scalar probe over an already-exploded stream is a
+    plain expression tree — element_at + bit_get per hash row — that
+    whole-stage codegen compiles, while the broadcast artifact stays
+    O(bits) (the words literal), never O(keys) like the position-table
+    semi joins. ``positions`` must be the same (possibly sized) family
+    the words were packed with."""
+    bw = F.lit(words).cast("array<long>")
+    cond = None
+    for k in range(BLOOM_K):
+        pos = positions(col, k)
+        word = F.element_at(bw, F.shiftright(pos, 6).cast("int") + 1)
+        hit = F.bit_get(word, pos.bitwiseAND(F.lit(63))) == 1
+        cond = hit if cond is None else (cond & hit)
+    return cond
 
 
 def oracle_bloom_ctes(key_sql: str, src_sql: str) -> str:
@@ -601,6 +700,14 @@ def kmv_sketch(items: DataFrame, *, key_col: str, strata_col: str,
     never depends on balance). The remaining upgrade path if even the
     split state ever dominates is a custom TypedImperativeAggregate
     holding a k-bounded heap.
+
+    Phase-2 state (r13, ADVICE): the r12 two-phase form moved the
+    cliff, it didn't remove it — the terminal per-stratum collect_list
+    gathered n_partitions·SPLIT·k values in ONE task. An intermediate
+    merge keyed by (stratum, residue) now caps the stages at
+    n_partitions·k (phase 2a) and SPLIT·k (phase 2b) values per task —
+    both k-bounded in the corpus, neither multiplying the other. Same
+    pigeonhole, same output; the hypothesis suite pins it.
     """
     tagged = items.select(F.col(strata_col).alias("stratum"),
                           F.spark_partition_id().alias("_pid"),
@@ -609,7 +716,11 @@ def kmv_sketch(items: DataFrame, *, key_col: str, strata_col: str,
               .withColumn("_res", F.pmod(F.col("_k"), F.lit(_KMV_SPLIT)))
               .groupBy("stratum", "_pid", "_res")
               .agg(_bottom_k(F.collect_list("_k"), k).alias("_cand")))
-    return (phase1.select("stratum", F.explode("_cand").alias("_k"))
+    phase2a = (phase1.select("stratum", "_res",
+                             F.explode("_cand").alias("_k"))
+               .groupBy("stratum", "_res")
+               .agg(_bottom_k(F.collect_list("_k"), k).alias("_cand")))
+    return (phase2a.select("stratum", F.explode("_cand").alias("_k"))
             .groupBy("stratum")
             .agg(_bottom_k(F.collect_list("_k"), k).alias("sk")))
 

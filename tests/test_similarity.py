@@ -579,6 +579,53 @@ def test_hard_negatives_vectorized_bit_equal(spark, sf_dir):
         b.astype({"query_label": "int64", "negative_label": "int64"}))
 
 
+def test_hard_negatives_ann_full_probe_equals_brute(spark, sf_dir):
+    """x93's exactness pin: with nprobe = k_clusters every inverted
+    list is probed, so the ANN tier's candidate pool is the whole
+    corpus and its output must equal the brute tier's frame EXACTLY —
+    same pairs, same IEEE cosine doubles, same ranks. Any divergence
+    would mean the routing changes scores (it may only ever drop
+    candidates)."""
+    from data_pipeline_foundations_spark.operators.similarity import (
+        hard_negatives_ann, hard_negatives_vectorized,
+    )
+    from data_pipeline_foundations_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    key = ["query_id", "rank"]
+    full = (hard_negatives_ann(emb, k_clusters=16, nprobe=16).toPandas()
+            .sort_values(key).reset_index(drop=True))
+    brute = (hard_negatives_vectorized(emb).toPandas()
+             .sort_values(key).reset_index(drop=True))
+    assert len(full) > 0
+    assert full.astype({"query_label": "int64",
+                        "negative_label": "int64"}).equals(
+        brute.astype({"query_label": "int64", "negative_label": "int64"}))
+
+
+def test_hard_negative_ann_recall_shape_and_subset(spark, sf_dir):
+    """x94: n_true == k for every query, recall in [0, 1], and the ANN
+    tier's pairs are a SUBSET of the label-mismatch universe with dense
+    ranks — plus recall == 1.0 when every list is probed (consistency
+    with the full-probe equality pin)."""
+    from data_pipeline_foundations_spark.operators.similarity import (
+        hard_negative_ann_recall, hard_negatives_ann,
+    )
+    from data_pipeline_foundations_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = hard_negative_ann_recall(emb).toPandas()
+    assert (out["n_true"] == 5).all()
+    assert out["recall"].between(0.0, 1.0).all()
+    ann = (hard_negatives_ann(emb).toPandas()
+           .sort_values(["query_id", "rank"]))
+    assert (ann["negative_label"] != ann["query_label"]).all()
+    for _, grp in ann.groupby("query_id"):
+        assert grp["rank"].tolist() == list(range(1, len(grp) + 1))
+    full = hard_negative_ann_recall(emb, nprobe=16).toPandas()
+    assert (full["recall"] == 1.0).all()
+
+
 def test_hard_negatives_zero_norm_dropped_both_forms(spark):
     """r13 (ADVICE): zero-norm vectors make cosine NaN, and the two
     engines' NaN orders disagree (numpy lexsort ranks NaN last, the JVM

@@ -350,6 +350,40 @@ def test_two_tier_decon_equals_exact_path(spark, sf_dir):
     assert len(two) > 0 and two.equals(exact)
 
 
+def test_two_tier_bitset_autosize_and_any_size_identity(spark, sf_dir):
+    """r13 (ADVICE): the two-tier bitset is sized from the benchmark's
+    distinct-shingle count — bloom_bits_for picks next_pow2(8n) clamped
+    to [2^14, 2^24] — and the composition's output is IDENTICAL at any
+    bitset size (the no-false-negatives + exact-verify identity), so a
+    deliberately saturated 2^14 filter and a roomy 2^20 one must both
+    reproduce the auto-sized result row-for-row."""
+    from data_pipeline_foundations_spark.operators.dedup import (
+        decontaminate_two_tier,
+    )
+    from data_pipeline_foundations_spark.operators.sketches import (
+        BLOOM_B, bloom_bits_for,
+    )
+    from data_pipeline_foundations_spark.tables import load
+    from pyspark.sql import functions as F
+
+    assert bloom_bits_for(1) == BLOOM_B                 # floor
+    assert bloom_bits_for(10_000) == 1 << 17            # 8n = 80k -> 2^17
+    assert bloom_bits_for(1 << 30) == 1 << 24           # cap
+    assert bloom_bits_for(4_000) >= 8 * 4_000           # capacity bound
+
+    docs = load(spark, sf_dir, "documents")
+    pred = F.col("doc_id") % 17 == 0
+    key = ["doc_id"]
+    auto = (decontaminate_two_tier(docs, pred)
+            .toPandas().sort_values(key).reset_index(drop=True))
+    small = (decontaminate_two_tier(docs, pred, bloom_bits=1 << 14)
+             .toPandas().sort_values(key).reset_index(drop=True))
+    roomy = (decontaminate_two_tier(docs, pred, bloom_bits=1 << 20)
+             .toPandas().sort_values(key).reset_index(drop=True))
+    assert len(auto) > 0
+    assert auto.equals(small) and auto.equals(roomy)
+
+
 def test_bloom_families_and_fused_probe_agree(spark):
     """The two Bloom probe shapes decide IDENTICALLY per key within one
     hash family: bloom_hits (explode + K broadcast semi-joins — the
@@ -381,6 +415,28 @@ def test_bloom_families_and_fused_probe_agree(spark):
             .collect())
         assert via_joins == via_hof
         assert set(r.s for r in members.collect()) <= set(via_joins)
+
+
+def test_bloom_pack_keys_bit_identical_to_spark_build(spark):
+    """r13: the driver-side numpy packer (one collect, no distinct-
+    positions job) produces the EXACT words the Spark
+    bloom_build→bloom_bitset_words path does, for default and sized
+    bitsets — the pin behind decontaminate_two_tier's one-job model
+    collect."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_foundations_spark.operators.sketches import (
+        BLOOM_B, bloom_bitset_words, bloom_build, bloom_pack_keys,
+        bloom_positions_hashed_for,
+    )
+
+    keys = [(i * 7919 % 104729) for i in range(500)] + [0, 1, (1 << 60) - 1]
+    kdf = spark.createDataFrame([(k,) for k in keys], "s long")
+    for bits in (BLOOM_B, 1 << 17):
+        fam = bloom_positions_hashed_for(bits)
+        spark_words = bloom_bitset_words(
+            bloom_build(kdf, "s", positions=fam), bits=bits)
+        assert bloom_pack_keys(keys, bits) == spark_words
 
 
 def test_repeated_window_dedup_differential(spark):
