@@ -54,3 +54,25 @@ def fast_long(col: Column | str, seed: int | None = None) -> Column:
 
 
 HASHERS = {"md5": md5_long, "xx": fast_long}
+
+
+def md5_long_sql(tok_expr: str, seed: int | None = None) -> str:
+    """Spark-SQL string twin of :func:`md5_long` — for operators that
+    assemble their expression tree as ONE ``F.expr`` parse instead of a
+    Py4J call per node (r13 opt: each Py4J round trip is ~1 ms of
+    driver time at plan-build, paid per query invocation; a parsed
+    string of any size is one round trip). Produces the identical
+    analyzed expression."""
+    s = tok_expr if seed is None else f"concat('{seed}|', {tok_expr})"
+    return (f"CAST(conv(substring(md5({s}), 1, {HEX_DIGITS}), 16, 10)"
+            f" AS BIGINT)")
+
+
+def fast_long_sql(tok_expr: str, seed: int | None = None) -> str:
+    """Spark-SQL string twin of :func:`fast_long` (same rationale as
+    :func:`md5_long_sql`)."""
+    args = tok_expr if seed is None else f"'{seed}|', {tok_expr}"
+    return f"(xxhash64({args}) & {(1 << 60) - 1})"
+
+
+HASHERS_SQL = {"md5": md5_long_sql, "xx": fast_long_sql}

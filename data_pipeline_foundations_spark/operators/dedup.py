@@ -32,7 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import HASHERS, md5_long, oracle_md5_long
+from ..functions.hashing import (HASHERS, HASHERS_SQL, md5_long,
+                                 oracle_md5_long)
 from ..functions.text import tokens
 from ..tables import scale_out
 from .caching import tracked_persist
@@ -87,21 +88,24 @@ def with_shingle_hashes(df: DataFrame, text_col: str, n: int = 3,
     Stage 1 computes the token-hash array once ( _th ); stage 2 folds a
     rolling polynomial over it with zip_with — shifted slices of _th are
     column references, so tokenization/hashing never re-runs per shingle.
+
+    The whole tree is assembled as ONE ``F.expr`` parse (r13 opt): the
+    lambda-per-HOF Python form cost ~12 Py4J lambda registrations
+    (~0.17 s of driver time) per call, paid by every shingle-family
+    query on every invocation; parsing the identical SQL is one round
+    trip (~10 ms). Same analyzed expressions, same plan.
     """
-    h = HASHERS[hasher]
-    th = F.transform(F.split(F.col(text_col), " "),
-                     lambda t: h(t) % HASH_P)
-    d = df.withColumn("_th", th)
-    acc: Column = F.col("_th")
+    h = HASHERS_SQL[hasher]
+    th = f"transform(split({text_col}, ' '), t -> {h('t')} % {HASH_P})"
+    d = df.withColumn("_th", F.expr(th))
+    acc = "_th"
     for j in range(1, n):
-        acc = F.zip_with(
-            acc,
-            F.slice(F.col("_th"), j + 1, F.size(F.col("_th"))),
-            lambda x, y: (x * F.lit(SHINGLE_C) + y) % F.lit(HASH_P),
-        )
+        acc = (f"zip_with({acc}, slice(_th, {j + 1}, size(_th)), "
+               f"(x, y) -> (x * {SHINGLE_C} + y) % {HASH_P})")
     # zip_with pads the shorter side with null → the last n-1 positions
     # are null; drop them to get exactly T-n+1 shingles.
-    return d.withColumn(out, F.filter(acc, lambda x: x.isNotNull())).drop("_th")
+    return (d.withColumn(out, F.expr(f"filter({acc}, x -> x IS NOT NULL)"))
+            .drop("_th"))
 
 
 def oracle_shingle_hashes(sql_col: str, n: int = 3) -> tuple[str, str]:
@@ -781,6 +785,17 @@ def decontaminate_two_tier(docs: DataFrame, bench_pred: Column, *,
                                  hasher=hasher) \
         .select(id_col, bench_pred.alias("_is_bench"),
                 F.array_distinct("_sh").alias("sh"))
+    # The benchmark side shingles WITHOUT scale_out (r13 opt, guide §2.4):
+    # the slice is eval-suite-sized, and the round-robin repartition the
+    # corpus side needs would make this small job pay a full exchange
+    # plus a cores-wide stage (measured: the model-collect job carries
+    # the repartition's 32-task shuffle for a ~6% slice of the corpus).
+    # The benchmark predicate pushes to the scan either way; the corpus
+    # side below keeps its scale_out.
+    bench_marked = with_shingle_hashes(docs, text_col, n, out="_sh",
+                                       hasher=hasher) \
+        .select(id_col, bench_pred.alias("_is_bench"),
+                F.array_distinct("_sh").alias("sh"))
     # PERSISTED lazily (r13): the benchmark shingle set feeds TWO
     # sequential consumers — the model collect below and the exact
     # verify join — and without the persist each re-runs the full
@@ -790,7 +805,7 @@ def decontaminate_two_tier(docs: DataFrame, bench_pred: Column, *,
     # table is BENCHMARK-sized (an eval suite, not the corpus), so the
     # cache is bounded by the small side at any scale.
     bench_s = tracked_persist(
-        marked.filter(F.col("_is_bench"))
+        bench_marked.filter(F.col("_is_bench"))
         .select(F.explode_outer("sh").alias("s"))
         .filter(F.col("s").isNotNull()).distinct(), eager=False)
     # ONE model-collect job: the distinct benchmark keys come to the

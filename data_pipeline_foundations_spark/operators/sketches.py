@@ -442,6 +442,18 @@ def bloom_bitset_words(bloom: DataFrame, *, bits: int = BLOOM_B) -> list[int]:
     return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
 
+def _words_literal(words: list[int]):
+    """``array<long>`` literal column for a packed bitset, built by
+    PARSING one SQL string instead of ``F.lit(list)`` (r13 opt, guide
+    §1/§4: measure the driver too): Py4J's list conversion makes
+    ``F.lit`` cost ~1 ms per element — 1.7-5 s measured for the 2048
+    words of an auto-sized 2^17-bit bloom, paid at PLAN BUILD time on
+    every query invocation — while one ``F.expr("array(...L)")`` parse
+    of the same values is ~7 ms at any size. Same Literal node in the
+    plan either way."""
+    return F.expr("array(" + ",".join(f"{int(w)}L" for w in words) + ")")
+
+
 def bloom_filter_array(arr, words: list[int],
                        positions=bloom_positions_hashed):
     """Scan-local Bloom survivors of an ``array<long>`` key column: keeps
@@ -467,7 +479,7 @@ def bloom_filter_array(arr, words: list[int],
     auto-sized cap (2^24 bits = 262144 words) an element-wise Py4J
     expression tree would dwarf the plan while a single literal stays
     one serialized constant."""
-    bw = F.lit(words).cast("array<long>")
+    bw = _words_literal(words)
 
     def probe(s):
         cond = None
@@ -517,7 +529,7 @@ def bloom_filter_col(col, words: list[int],
     O(bits) (the words literal), never O(keys) like the position-table
     semi joins. ``positions`` must be the same (possibly sized) family
     the words were packed with."""
-    bw = F.lit(words).cast("array<long>")
+    bw = _words_literal(words)
     cond = None
     for k in range(BLOOM_K):
         pos = positions(col, k)
@@ -747,6 +759,15 @@ def kmv_jaccard(sketch: DataFrame, *, k: int = KMV_K) -> DataFrame:
     terminal division (the cross-engine float contract).
 
     Returns (stratum_a, stratum_b, k_eff, n_both, jaccard_est).
+
+    NOT persisted despite four references to ``sketch`` (r13 opt
+    adjudication): the estimator's plan text inlines the sketch
+    pipeline into every reference, but AQE's runtime stage reuse
+    collapses the identical canonical exchanges — a build+exec
+    interleaved A/B at sf0.1 read no-persist 2.00-2.17 s vs
+    eager-persist 2.27-2.45 s (the persist's materialization job and
+    cache write cost more than the reuse saves at any input size,
+    since the sketch is KB-scale by contract).
     """
     from pyspark.sql import Window as W
 

@@ -2739,6 +2739,14 @@ def x85_lsh_recall(spark, sf_dir):
                         - F.col("shared")).cast("double")
                      >= F.lit(_RECALL_TAU))
              .select("anchor_id", "partner_id"))
+    # NOT persisted (r13 opt adjudication): the symmetric union below
+    # references `pairs` twice, but a full build+exec interleaved A/B
+    # read no-persist 2.49-2.68 s vs eager-persist 3.00-3.38 s at sf0.1
+    # — AQE's runtime stage reuse already collapses the duplicated x03
+    # subplan (identical canonical exchanges), so the persist only adds
+    # a materialization job and cache write. (A first A/B that timed
+    # only the post-build action read the opposite; the corrected
+    # methodology times spec.fn + action exactly as bench.py does.)
     pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
     cand = (pairs.select(F.col("doc_a").alias("anchor_id"),
                          F.col("doc_b").alias("partner_id"))

@@ -1248,16 +1248,23 @@ def x90_kmv_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces the ESTIMATE bit-for-bit while pytest pins it against
     the exact Jaccard within the error bound.
 
-    Built SHARDED on the registered path (x78's discipline): even/odd
-    doc_id halves sketched independently via the SAME factored pipeline
-    the streaming twin runs per micro-batch (streaming/kmv_maintain.py
-    batch_source_sketch), kmv_merge'd — exercising the mergeable
-    contract (shard/day/engine sketches combine associatively) exactly
-    as a 100 TB incremental ingest maintains it."""
-    from ..operators.sketches import kmv_jaccard, kmv_merge
+    Built in ONE pass on the registered path (r13 opt, guide §2.4): the
+    r12 form sketched even/odd doc_id halves separately and kmv_merge'd
+    them — two full corpus scans and a doubled three-phase sketch
+    pipeline (~6 extra exchanges) purely to DEMONSTRATE the mergeable
+    contract inside the registered query. The demonstration lives where
+    it belongs — tests/test_text_quality.py pins merge-of-halves ==
+    whole-corpus build (exact set equality via the pigeonhole argument)
+    and tests/test_streaming.py pins the micro-batch-maintained store
+    against these very rows — so the registered plan is the efficient
+    batch build via the SAME factored pipeline the stream twin runs
+    (streaming/kmv_maintain.py batch_source_sketch). Output is
+    byte-identical by the lossless-merge property; measured 3.12 → ~1.8-2.0 s
+    at sf0.1 (bench sweep + interleaved A/B; kmv_jaccard's four
+    references to the sketch are collapsed by AQE stage reuse — the
+    persist variant was measured and rejected, see operators/sketches.py) (plans/r13/x90_kmv_source_similarity_*.txt)."""
+    from ..operators.sketches import kmv_jaccard
     from ..streaming.kmv_maintain import batch_source_sketch
 
     docs = scale_out(load(spark, sf_dir, "documents"))
-    even = batch_source_sketch(docs.filter(F.col("doc_id") % 2 == 0))
-    odd = batch_source_sketch(docs.filter(F.col("doc_id") % 2 == 1))
-    return kmv_jaccard(kmv_merge(even, odd))
+    return kmv_jaccard(batch_source_sketch(docs))

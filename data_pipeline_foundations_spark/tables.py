@@ -35,9 +35,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     convert to a microsecond timestamp here — integer-div truncation, the
     same conversion DuckDB applies when scanning ns parquet, so the two
     engines see identical values.
+
+    The resolved DataFrame (a lazy logical plan, NOT data) is memoized per
+    (session, sf_dir, table): ``spark.read.parquet`` eagerly lists the
+    directory and reads the footer schema on the driver — measured
+    70-100 ms per call — and every registered query used to re-pay that
+    for every table it touches, on every invocation (r13 guide §6: a
+    catalog-backed table resolves its file index once per session; this is
+    the bare-path equivalent). Every execution still scans the parquet
+    files from disk — nothing row-shaped is cached, so bench/oracle runs
+    keep computing from the inputs.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    cache: dict = getattr(spark, "_graft_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._graft_table_cache = cache
+    key = (sf_dir, name)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
     if name == "events":
         # Set at runtime, not only in the session factory: the driver hands
         # us ITS OWN SparkSession, which won't have the factory configs.
@@ -45,6 +63,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    cache[key] = df
     return df
 
 
