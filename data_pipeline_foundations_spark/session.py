@@ -55,6 +55,14 @@ def get_spark(app_name: str = "data_pipeline_foundations_spark",
         # default; read as long nanos and convert at load (tables.load).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # Deployment-parameterised overrides (r13): production values for
+    # scale-dependent knobs (shuffle partitions, advisory sizes, memory)
+    # belong in the environment, not hard-coded for either local mode or
+    # any one cluster. Format: "k=v;k2=v2".
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_CONF",
+                                          "").split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
