@@ -1248,23 +1248,31 @@ def x90_kmv_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces the ESTIMATE bit-for-bit while pytest pins it against
     the exact Jaccard within the error bound.
 
-    Built in ONE pass on the registered path (r13 opt, guide §2.4): the
-    r12 form sketched even/odd doc_id halves separately and kmv_merge'd
-    them — two full corpus scans and a doubled three-phase sketch
-    pipeline (~6 extra exchanges) purely to DEMONSTRATE the mergeable
-    contract inside the registered query. The demonstration lives where
-    it belongs — tests/test_text_quality.py pins merge-of-halves ==
-    whole-corpus build (exact set equality via the pigeonhole argument)
-    and tests/test_streaming.py pins the micro-batch-maintained store
-    against these very rows — so the registered plan is the efficient
-    batch build via the SAME factored pipeline the stream twin runs
-    (streaming/kmv_maintain.py batch_source_sketch). Output is
-    byte-identical by the lossless-merge property; measured 3.12 → ~1.8-2.0 s
-    at sf0.1 (bench sweep + interleaved A/B; kmv_jaccard's four
-    references to the sketch are collapsed by AQE stage reuse — the
-    persist variant was measured and rejected, see operators/sketches.py) (plans/r13/x90_kmv_source_similarity_*.txt)."""
-    from ..operators.sketches import kmv_jaccard
+    Built SHARDED on the registered path (x78's discipline): even/odd
+    doc_id halves sketched independently via the SAME factored pipeline
+    the streaming twin runs per micro-batch (streaming/kmv_maintain.py
+    batch_source_sketch), kmv_merge'd — exercising the mergeable
+    contract (shard/day/engine sketches combine associatively) exactly
+    as a 100 TB incremental ingest maintains it.
+
+    r13 adjudication — the single-build variant was tried and REVERTED
+    on decade evidence: one whole-corpus build reads ~1 s faster at
+    sf0.1 (1.78 vs 2.80, fewer stages), but at 5M docs TWO interleaved
+    A/B probes read sharded 101-110 s vs single-build 123-125 s
+    steady-state. Mechanism: each shard's phase-1 collect_list groups
+    hold HALF the per-task state, and the two independent shard
+    pipelines overlap their stages through each other's stragglers —
+    the same reasons the _KMV_SPLIT residue fan-out exists
+    (operators/sketches.py). The bench-scale saving does not survive
+    the scale the operator is for, so the sharded plan stays
+    registered (plans/r13/x90_kmv_source_similarity_*.txt).
+    (kmv_jaccard's four sketch references are collapsed by AQE stage
+    reuse; its eager-persist variant was also measured and rejected —
+    see operators/sketches.py.)"""
+    from ..operators.sketches import kmv_jaccard, kmv_merge
     from ..streaming.kmv_maintain import batch_source_sketch
 
     docs = scale_out(load(spark, sf_dir, "documents"))
-    return kmv_jaccard(batch_source_sketch(docs))
+    even = batch_source_sketch(docs.filter(F.col("doc_id") % 2 == 0))
+    odd = batch_source_sketch(docs.filter(F.col("doc_id") % 2 == 1))
+    return kmv_jaccard(kmv_merge(even, odd))
