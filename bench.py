@@ -258,13 +258,22 @@ def main() -> None:
         "path_mixed_ratios": sorted(PATH_MIXED),
         "sf": sf,
     }))
-    # Minimal headline line, printed LAST (VERDICT r8 #1): the compact
-    # line above itself outgrew the driver's 2,000-char tail window once
-    # `stable` reached 44 entries (BENCH_r08 recorded "parsed": null and
-    # the round's headline was lost). This line is bounded ~120 chars
-    # regardless of registry size, so the tail ALWAYS ends with the
-    # parseable headline.
-    print(json.dumps({
+    # Final line, printed LAST (VERDICT r8 #1, revised r14 per VERDICT
+    # r13 "What's wrong" #1): the driver parses the LAST stdout line and
+    # its tail-capture window is 2,000 chars, so the full per-query dict
+    # (line 1, ~4.8 KB at 156 queries) never reached PERF's per-query
+    # comparison (PERF_r13: per_query {}, bench_ok false). The final
+    # line therefore now carries a COMPACT per-query dict that fits the
+    # window: keys are each query's unique registry prefix (the token
+    # before the first "_", e.g. "x03" for x03_dedup_minhash_lsh — full
+    # names stay, unrenamed, in line 1's `queries`), values are the
+    # min over ALL timed runs of that query (sweep min-of-2 merged with
+    # the stable re-probes — bench.py's own header says round-over-round
+    # deltas should be read off `stable` where it exists), 2 decimals.
+    # Size guard: if the registry ever grows the line past the window,
+    # fall back to the old ~120-char headline so the tail ALWAYS ends
+    # with a parseable line carrying the round's headline value.
+    headline = {
         "metric": "total_runtime_all_registered_queries",
         "value": total,
         "unit": "sec",
@@ -274,7 +283,17 @@ def main() -> None:
         "floor_bucket": len(floor_names),
         "floor_spark_sec": floor_spark,
         "sf": sf,
-    }))
+    }
+    short = {n: n.split("_")[0] for n in timings}
+    compact = {short[n]: round(min(timings[n], stable.get(n, timings[n])), 2)
+               for n in timings}
+    final = dict(headline)
+    if len(compact) == len(timings):  # prefix collision => keep headline
+        final["queries"] = compact
+    line = json.dumps(final, separators=(",", ":"))
+    if len(line) > 1995:  # line + newline must fit the window whole
+        line = json.dumps(headline, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
