@@ -96,7 +96,13 @@ def with_shingle_hashes(df: DataFrame, text_col: str, n: int = 3,
     trip (~10 ms). Same analyzed expressions, same plan.
     """
     h = HASHERS_SQL[hasher]
-    th = f"transform(split({text_col}, ' '), t -> {h('t')} % {HASH_P})"
+    # Backtick-quote the identifier (r14, ADVICE r13): the column name is
+    # interpolated into a SQL string, so names needing quoting (spaces,
+    # dots, reserved words) — which the old F.col form handled — must be
+    # escaped, and the quoting also closes the injection point for
+    # caller-controlled names.
+    q = "`" + text_col.replace("`", "``") + "`"
+    th = f"transform(split({q}, ' '), t -> {h('t')} % {HASH_P})"
     d = df.withColumn("_th", F.expr(th))
     acc = "_th"
     for j in range(1, n):
@@ -781,10 +787,19 @@ def decontaminate_two_tier(docs: DataFrame, bench_pred: Column, *,
     design wants."""
     from .sketches import (bloom_bits_for, bloom_pack_keys,
                            bloom_positions_hashed_for)
-    marked = with_shingle_hashes(scale_out(docs), text_col, n, out="_sh",
-                                 hasher=hasher) \
-        .select(id_col, bench_pred.alias("_is_bench"),
-                F.array_distinct("_sh").alias("sh"))
+    # ONE shared shingle+select helper for both trees (r14, ADVICE r13:
+    # the two copies differed only in the scale_out wrapper, and a future
+    # edit to one select list would silently desynchronize the
+    # bench/corpus split). ``bench_pred`` must be DETERMINISTIC — it
+    # classifies rows in both trees independently, so a nondeterministic
+    # predicate would split rows inconsistently between them.
+    def _shingled(src: DataFrame) -> DataFrame:
+        return (with_shingle_hashes(src, text_col, n, out="_sh",
+                                    hasher=hasher)
+                .select(id_col, bench_pred.alias("_is_bench"),
+                        F.array_distinct("_sh").alias("sh")))
+
+    marked = _shingled(scale_out(docs))
     # The benchmark side shingles WITHOUT scale_out (r13 opt, guide §2.4):
     # the slice is eval-suite-sized, and the round-robin repartition the
     # corpus side needs would make this small job pay a full exchange
@@ -792,10 +807,7 @@ def decontaminate_two_tier(docs: DataFrame, bench_pred: Column, *,
     # the repartition's 32-task shuffle for a ~6% slice of the corpus).
     # The benchmark predicate pushes to the scan either way; the corpus
     # side below keeps its scale_out.
-    bench_marked = with_shingle_hashes(docs, text_col, n, out="_sh",
-                                       hasher=hasher) \
-        .select(id_col, bench_pred.alias("_is_bench"),
-                F.array_distinct("_sh").alias("sh"))
+    bench_marked = _shingled(docs)
     # PERSISTED lazily (r13): the benchmark shingle set feeds TWO
     # sequential consumers — the model collect below and the exact
     # verify join — and without the persist each re-runs the full

@@ -665,6 +665,25 @@ def _ivf_quantizer(emb: DataFrame, id_col: str, vec_col: str,
     return base, cents
 
 
+def _collect_no_aqe(df: DataFrame) -> list:
+    """Collect a KB-sized model/artifact table as ONE Spark job.
+
+    Under AQE every exchange of the plan is materialized as its own
+    scheduler round trip (~5 jobs measured for a <100 KB model union);
+    these collects feed driver-side model assembly where the adaptive
+    re-planning has nothing to optimize, so AQE is toggled off around
+    the action. Shared by the IVF/PQ artifact builds and the Lloyd
+    training iterations (r14: the per-iteration collects previously ran
+    under AQE and paid the multi-job dispatch per refinement pass)."""
+    conf = df.sparkSession.conf
+    aqe0 = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return [r.asDict() for r in df.collect()]
+    finally:
+        conf.set("spark.sql.adaptive.enabled", aqe0)
+
+
 def _ivf_model_rows(emb: DataFrame, id_col: str, vec_col: str,
                     k_clusters: int, seed: int, dim: int,
                     n_queries: int = 0,
@@ -729,13 +748,7 @@ def _ivf_model_rows(emb: DataFrame, id_col: str, vec_col: str,
                           idot("sv", "sv").alias("n2"),
                           F.col("sv").alias("vec")))
         model = cent_part.union(q_part)
-    conf = emb.sparkSession.conf
-    aqe0 = conf.get("spark.sql.adaptive.enabled", "true")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        rows = [r.asDict() for r in model.collect()]
-    finally:
-        conf.set("spark.sql.adaptive.enabled", aqe0)
+    rows = _collect_no_aqe(model)
     cents_rows = []
     for r in rows:
         if r["kind"] != 0:
@@ -1142,13 +1155,7 @@ def _pq_artifacts(emb: DataFrame, id_col: str, vec_col: str, block: int,
                       F.lit(0).cast("long").alias("n2"),
                       F.col("sv").alias("vec")))
     model = pq_part.union(q_part)
-    conf = emb.sparkSession.conf
-    aqe0 = conf.get("spark.sql.adaptive.enabled", "true")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        rows = [r.asDict() for r in model.collect()]
-    finally:
-        conf.set("spark.sql.adaptive.enabled", aqe0)
+    rows = _collect_no_aqe(model)
     pq_rows = [{"s": r["s"], "cid": r["cid"], "cvec": r["vec"]}
                for r in rows if r["kind"] == 1]
     qrows = sorted(({id_col: r["cid"], "sv": list(r["vec"])}
@@ -1448,13 +1455,7 @@ def _ivfpq_artifacts(emb: DataFrame, id_col: str, vec_col: str, dim: int,
                           idot("sv", "sv").alias("n2"),
                           F.col("sv").alias("vec")))
         model = model.union(q_part)
-    conf = emb.sparkSession.conf
-    aqe0 = conf.get("spark.sql.adaptive.enabled", "true")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        rows = [r.asDict() for r in model.collect()]
-    finally:
-        conf.set("spark.sql.adaptive.enabled", aqe0)
+    rows = _collect_no_aqe(model)
     ivf_rows = []
     for r in rows:
         if r["kind"] != 0:
@@ -2027,9 +2028,11 @@ def train_ivf_centroids(emb: DataFrame, *, id_col: str = "vec_id",
         asg = (emb.select(F.col(vec_col).alias("_v"))
                .withColumn("cid",
                            ivf_assign_udf(cents_rows, EMB_SCALE)(F.col("_v"))))
-        rows = (asg.groupBy("cid")
-                .agg(F.count(F.lit(1)).alias("cnt"), sum_arr)
-                .collect())
+        # ONE job per refinement pass (r14): the k×(dim+1)-long aggregate
+        # is a KB-scale artifact; under AQE each pass paid the multi-job
+        # stage-materialization dispatch (see _collect_no_aqe).
+        rows = _collect_no_aqe(asg.groupBy("cid")
+                               .agg(F.count(F.lit(1)).alias("cnt"), sum_arr))
         cents_rows = []
         for r in sorted(rows, key=lambda r: r["cid"]):
             cnt = float(r["cnt"])

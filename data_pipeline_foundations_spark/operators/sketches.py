@@ -450,7 +450,15 @@ def _words_literal(words: list[int]):
     words of an auto-sized 2^17-bit bloom, paid at PLAN BUILD time on
     every query invocation — while one ``F.expr("array(...L)")`` parse
     of the same values is ~7 ms at any size. Same Literal node in the
-    plan either way."""
+    plan either way.
+
+    Empty ``words`` (reachable only via a caller-supplied
+    ``bloom_bits < 64``) needs an explicit cast: a bare ``array()``
+    types as ``array<void>`` and breaks the element_at/bit_get probes
+    at analysis, where the old ``F.lit([]).cast('array<long>')`` form
+    stayed typed (r14, ADVICE r13)."""
+    if not words:
+        return F.expr("array()").cast("array<long>")
     return F.expr("array(" + ",".join(f"{int(w)}L" for w in words) + ")")
 
 

@@ -622,7 +622,7 @@ def query_topk_udf(cand_df, qvecs: dict, k: int, extra_col: str = None):
     out_cols = ["query_id", "neighbor_id", "rank", "cosine"] + (
         [extra_col] if extra_col else [])
 
-    def per_query(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def per_query(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(key[0])
         qv, qn2 = qnp[qid]
         n = len(pdf)

@@ -43,6 +43,24 @@ def _bucket(remaining: Column, amount: Column, tax: Column, rnd) -> tuple[Column
     return amount_paid, tax_paid, remaining_after
 
 
+def _bucket_sql(remaining: str, amount: str, tax: str,
+                rnd) -> tuple[str, str, str]:
+    """SQL-string twin of :func:`_bucket` — same expression tree, built
+    as text for the one-parse ``selectExpr`` form (r14; ``rnd`` maps an
+    expression string to its rounded string). Every interpolated
+    subexpression is parenthesized so operator precedence can never
+    reshape the tree relative to the Column form."""
+    full = f"({remaining}) >= (({amount}) + ({tax}))"
+    part_amount = rnd(f"({remaining}) / 1.16D")
+    amount_paid = f"CASE WHEN {full} THEN {amount} ELSE {part_amount} END"
+    tax_paid = (f"CASE WHEN {full} THEN {tax} "
+                f"ELSE {rnd(f'({remaining}) - ({part_amount})')} END")
+    remaining_after = (f"CASE WHEN {full} "
+                       f"THEN ({remaining}) - (({amount}) + ({tax})) "
+                       f"ELSE 0.0D END")
+    return amount_paid, tax_paid, remaining_after
+
+
 def waterfall_columns(df: DataFrame, *, principal: str = "principal",
                       fee: str = "fee", late_fee: str = "late_fee",
                       amount_paid: str = "amount_paid",
@@ -51,28 +69,42 @@ def waterfall_columns(df: DataFrame, *, principal: str = "principal",
 
     Expects 2-dp double columns. ``half_even=True`` reproduces Python
     ``round`` (the reference UDF) exactly; default half-up matches DuckDB.
+
+    The expression web is assembled as SQL strings and parsed by ONE
+    ``selectExpr`` call (r14 opt, the r13 shingle-tree template): the
+    Column-by-Column form paid one Py4J round trip per node — ~150 per
+    invocation across the eight deep output trees — while this form is
+    one round trip with JVM-side parsing. Catalyst-canonical equality
+    with the Column form (both rounding modes) is pinned by
+    tests/test_r14_optimizations.py.
     """
-    rnd = (lambda x: F.bround(x, 2)) if half_even else round2
-    p, f_, lf = F.col(principal), F.col(fee), F.col(late_fee)
-    tax_on_fee = rnd(f_ * 0.16)
-    tax_on_late = rnd(lf * 0.16)
-    total_due = p + f_ + tax_on_fee + lf + tax_on_late
-    alloc = F.least(F.col(amount_paid), total_due)
+    if half_even:
+        def rnd(e: str) -> str:
+            return f"bround({e}, 2)"
+    else:
+        def rnd(e: str) -> str:  # functions.money.round2 as a SQL string
+            return (f"(cast(floor(({e}) * 100.0D + 0.5D) as bigint)"
+                    " / 100.0D)")
+    p, f_, lf = f"`{principal}`", f"`{fee}`", f"`{late_fee}`"
+    tax_on_fee = rnd(f"({f_}) * 0.16D")
+    tax_on_late = rnd(f"({lf}) * 0.16D")
+    total_due = f"({p}) + ({f_}) + ({tax_on_fee}) + ({lf}) + ({tax_on_late})"
+    alloc = f"least(`{amount_paid}`, {total_due})"
 
-    lf_paid, lf_tax_paid, rem1 = _bucket(alloc, lf, tax_on_late, rnd)
-    fee_paid, fee_tax_paid, rem2 = _bucket(rem1, f_, tax_on_fee, rnd)
-    principal_paid = F.least(rem2, p)
+    lf_paid, lf_tax_paid, rem1 = _bucket_sql(alloc, lf, tax_on_late, rnd)
+    fee_paid, fee_tax_paid, rem2 = _bucket_sql(rem1, f_, tax_on_fee, rnd)
+    principal_paid = f"least({rem2}, {p})"
 
-    return df.select(
+    return df.selectExpr(
         "*",
-        tax_on_fee.alias("tax_on_fee"),
-        tax_on_late.alias("tax_on_late_fee"),
-        rnd(total_due).alias("total_due"),
-        lf_paid.alias("late_fee_paid"),
-        lf_tax_paid.alias("tax_on_late_fee_paid"),
-        fee_paid.alias("fee_paid"),
-        fee_tax_paid.alias("tax_on_fee_paid"),
-        rnd(principal_paid).alias("principal_paid"),
+        f"{tax_on_fee} AS tax_on_fee",
+        f"{tax_on_late} AS tax_on_late_fee",
+        f"{rnd(total_due)} AS total_due",
+        f"{lf_paid} AS late_fee_paid",
+        f"{lf_tax_paid} AS tax_on_late_fee_paid",
+        f"{fee_paid} AS fee_paid",
+        f"{fee_tax_paid} AS tax_on_fee_paid",
+        f"{rnd(principal_paid)} AS principal_paid",
     )
 
 

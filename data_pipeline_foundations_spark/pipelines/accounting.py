@@ -23,8 +23,6 @@ import datetime as _dt
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.money import round2
-
 DETAIL_COLUMNS = [
     "UserId", "UserLoanId", "IssueMonth", "IssueMonthCDMX", "IssueDate",
     "IssueDateCDMX", "DueDate", "DueDateMonth", "LoanStatus", "LoanNumber",
@@ -52,22 +50,38 @@ def _last_day_prev_month(as_of: _dt.datetime) -> _dt.date:
     return as_of.date().replace(day=1) - _dt.timedelta(days=1)
 
 
+_R2 = "(cast(floor(({e}) * 100.0D + 0.5D) as bigint) / 100.0D)"
+
+
+def _r2s(e: str) -> str:
+    """functions.money.round2 as a SQL string (r14 one-parse form)."""
+    return _R2.format(e=e)
+
+
 def accounting_detail(fact_loan: DataFrame) -> DataFrame:
-    """The repayment detail projection (:36-104)."""
-    paid, due = F.col("TotalAmountPaid"), F.col("TotalAmountDue")
-    over = paid > due
+    """The repayment detail projection (:36-104).
+
+    Built as ONE ``selectExpr`` parse instead of per-node Column calls
+    (r14 opt; Catalyst-canonical equality with the Column form pinned by
+    tests/test_r14_optimizations.py)."""
+    over = "TotalAmountPaid > TotalAmountDue"
     d = (fact_loan
-         .filter(F.col("LoanStatus") != 6)
-         .withColumns({
-             "UnderpaidFlag": (paid < due) & (F.col("LoanStatus") == 2),
-             "OverpaidAmount": F.when(over, round2(paid - due)).otherwise(0.0),
-             "ApportionedAmountPaid": F.when(over, round2(due)).otherwise(round2(paid)),
-             "IssueMonth": F.date_trunc("month", "IssueDate"),
-             "IssueMonthCDMX": F.date_trunc("month", "IssueDateCDMX"),
-             "SettledAtMonth": F.date_trunc("month", "SettledAt"),
-             "SettledAtMonthCDMX": F.date_trunc("month", "SettledAtCDMX"),
-             "DueDateMonth": F.date_trunc("month", "DueDate"),
-         }))
+         .filter("LoanStatus != 6")
+         .selectExpr(
+             "*",
+             "((TotalAmountPaid < TotalAmountDue) AND (LoanStatus = 2))"
+             " AS UnderpaidFlag",
+             f"CASE WHEN {over} THEN "
+             f"{_r2s('TotalAmountPaid - TotalAmountDue')} "
+             "ELSE 0.0D END AS OverpaidAmount",
+             f"CASE WHEN {over} THEN {_r2s('TotalAmountDue')} "
+             f"ELSE {_r2s('TotalAmountPaid')} END AS ApportionedAmountPaid",
+             "date_trunc('month', IssueDate) AS IssueMonth",
+             "date_trunc('month', IssueDateCDMX) AS IssueMonthCDMX",
+             "date_trunc('month', SettledAt) AS SettledAtMonth",
+             "date_trunc('month', SettledAtCDMX) AS SettledAtMonthCDMX",
+             "date_trunc('month', DueDate) AS DueDateMonth",
+         ))
     return d.select(*DETAIL_COLUMNS)
 
 
@@ -105,25 +119,27 @@ def accounting_summary(detail: DataFrame, *, as_of: _dt.datetime,
     detail is the expensive side, and a multi-report job should fan N
     reports out of ONE exchange per distinct grouping key (VERDICT r9
     #1)."""
-    from ..functions.money import cents
-    cutoff = F.lit(_last_day_prev_month(as_of).isoformat()).cast("timestamp")
-    aggs = [round2(F.sum(c)).alias(c) for c in ACCOUNTING_SUM_COLS]
+    cutoff = _last_day_prev_month(as_of).isoformat()
+    aggs = [F.expr(f"{_r2s(f'sum({c})')}").alias(c)
+            for c in ACCOUNTING_SUM_COLS]
     if era is not None:
         # exact-cents sums, cast to double only at the final division —
         # the same arithmetic as the standalone era aggregate
-        aggs += [F.sum(cents("Fee")).alias("_era_fee_cents"),
-                 F.sum(cents("PrincipalAmount")).alias("_era_prin_cents")]
+        cents_s = "cast(floor({c} * 100.0D + 0.5D) as bigint)"
+        aggs += [F.expr(f"sum({cents_s.format(c='Fee')})")
+                 .alias("_era_fee_cents"),
+                 F.expr(f"sum({cents_s.format(c='PrincipalAmount')})")
+                 .alias("_era_prin_cents")]
     out = (detail
            .groupBy("IssueMonthCDMX")
            .agg(*aggs)
-           .filter(F.col("IssueMonthCDMX") < cutoff))
+           .filter(f"IssueMonthCDMX < CAST('{cutoff}' AS TIMESTAMP)"))
     if era is not None:
-        out = (out.withColumn(
-                   "era_fee_ratio",
-                   F.when(F.col("IssueMonthCDMX")
-                          >= F.lit(era).cast("timestamp"),
-                          F.col("_era_fee_cents").cast("double")
-                          / F.col("_era_prin_cents").cast("double")))
+        out = (out.selectExpr(
+                   "*",
+                   f"CASE WHEN IssueMonthCDMX >= CAST('{era}' AS TIMESTAMP)"
+                   " THEN CAST(_era_fee_cents AS DOUBLE)"
+                   " / CAST(_era_prin_cents AS DOUBLE) END AS era_fee_ratio")
                .drop("_era_fee_cents", "_era_prin_cents"))
     return out.orderBy("IssueMonthCDMX")
 
@@ -132,10 +148,11 @@ def settled_summary(detail: DataFrame, *, as_of: _dt.datetime) -> DataFrame:
     """A6 (:120-127): money sums by CDMX settlement month. The explicit
     isNotNull reproduces pandas' silent NaN-group drop. Sum-then-round,
     matching the reference (see accounting_summary)."""
-    cutoff = F.lit(_last_day_prev_month(as_of).isoformat()).cast("timestamp")
+    cutoff = _last_day_prev_month(as_of).isoformat()
     return (detail
-            .filter(F.col("SettledAtMonthCDMX").isNotNull())
+            .filter("SettledAtMonthCDMX IS NOT NULL")
             .groupBy("SettledAtMonthCDMX")
-            .agg(*[round2(F.sum(c)).alias(c) for c in SETTLED_SUM_COLS])
-            .filter(F.col("SettledAtMonthCDMX") <= cutoff)
+            .agg(*[F.expr(f"{_r2s(f'sum({c})')}").alias(c)
+                   for c in SETTLED_SUM_COLS])
+            .filter(f"SettledAtMonthCDMX <= CAST('{cutoff}' AS TIMESTAMP)")
             .orderBy("SettledAtMonthCDMX"))

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.money import round2, sum_money_expr
+from ..functions.money import round2
 from ..operators.calendar import calendar_dim, oracle_calendar_sql
 from ..operators.waterfall import oracle_waterfall_sql, waterfall_columns
 from ..registry import query
@@ -33,20 +33,26 @@ def u01_waterfall_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    # One-parse string form (r14; sameResult pin vs the Column form in
+    # tests/test_r14_optimizations.py), matching waterfall_columns' own
+    # selectExpr conversion.
     paid = (
         li.groupBy("l_orderkey")
-        .agg(sum_money_expr(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .agg(F.expr("sum(cast(floor((l_extendedprice * (1 - l_discount))"
+                    " * 100.0D + 0.5D) as bigint)) / 100.0D")
              .alias("amount_paid"))
     )
+    r2 = ("(cast(floor(({e}) * 100.0D + 0.5D) as bigint) / 100.0D)"
+          .format)
     base = (
         o.join(paid, o.o_orderkey == paid.l_orderkey, "left")
-        .select(
-            F.col("o_orderkey").alias("loan_id"),
-            round2(F.col("o_totalprice") * 0.70).alias("principal"),
-            round2(F.col("o_totalprice") * 0.20).alias("fee"),
-            F.when(F.col("o_orderstatus") == "F",
-                   round2(F.col("o_totalprice") * 0.05)).otherwise(0.0).alias("late_fee"),
-            F.coalesce(F.col("amount_paid"), F.lit(0.0)).alias("amount_paid"),
+        .selectExpr(
+            "o_orderkey AS loan_id",
+            f"{r2(e='o_totalprice * 0.7D')} AS principal",
+            f"{r2(e='o_totalprice * 0.2D')} AS fee",
+            "CASE WHEN o_orderstatus = 'F' THEN "
+            f"{r2(e='o_totalprice * 0.05D')} ELSE 0.0D END AS late_fee",
+            "coalesce(amount_paid, 0.0D) AS amount_paid",
         )
     )
     return waterfall_columns(base)
@@ -256,115 +262,132 @@ def settlement_pipeline(o: DataFrame, li: DataFrame, *,
     join sides hash-partitioned on the custkey SUBSET of the join keys —
     exactly the single-bucket-key / multi-key-join layout).
     """
-    from ..functions.money import scaled_long
-    amt = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    amt_cents = scaled_long(amt, 100.0)
+    # The whole money-expression web is built from SQL STRINGS parsed by
+    # selectExpr/F.expr (r14 opt, VERDICT r13 next #1; the r13
+    # shingle-tree template): the Column-by-Column form paid one Py4J
+    # round trip (~1 ms) per expression node — several hundred per
+    # invocation, ~0.4-0.6 s of driver time on every pl01/pl02 call —
+    # while a selectExpr stage is ONE round trip and the parse happens
+    # JVM-side. Catalyst-canonical equality with the old Column form is
+    # pinned by tests/test_r14_optimizations.py (sameResult over the
+    # optimized plans, both cust_in_li shapes and the accounting-cols
+    # surface).
+    amt_cents = ("cast(floor((l_extendedprice * (1 - l_discount)) * 100.0D"
+                 " + 0.5D) as bigint)")
 
-    def chan_sum(flag: str) -> F.Column:
-        return (F.sum(F.when(F.col("l_returnflag") == flag, amt_cents))
-                / F.lit(100.0))
+    def chan_sum(flag: str) -> str:
+        return (f"sum(CASE WHEN l_returnflag = '{flag}' THEN {amt_cents} "
+                f"END) / 100.0D")
 
-    def chan_last(flag: str) -> F.Column:
-        return F.max(F.when(F.col("l_returnflag") == flag, F.col("l_shipdate")))
+    def chan_last(flag: str) -> str:
+        return f"max(CASE WHEN l_returnflag = '{flag}' THEN l_shipdate END)"
 
     grp = ["l_custkey", "l_orderkey"] if cust_in_li else ["l_orderkey"]
     aggs = (li.groupBy(*grp).agg(
-        chan_sum("A").alias("paid_a"), chan_last("A").alias("last_paid_a"),
-        chan_sum("N").alias("paid_n"), chan_last("N").alias("last_paid_n"),
-        chan_sum("R").alias("paid_r"), chan_last("R").alias("last_paid_r"),
-        (F.sum(F.when(F.col("l_returnflag") == "R",
-                      F.when(F.col("l_linestatus") == "O", amt_cents)
-                      .otherwise(F.lit(0).cast("long"))))
-         / F.lit(100.0)).alias("disputed"),
+        F.expr(chan_sum("A")).alias("paid_a"),
+        F.expr(chan_last("A")).alias("last_paid_a"),
+        F.expr(chan_sum("N")).alias("paid_n"),
+        F.expr(chan_last("N")).alias("last_paid_n"),
+        F.expr(chan_sum("R")).alias("paid_r"),
+        F.expr(chan_last("R")).alias("last_paid_r"),
+        F.expr("sum(CASE WHEN l_returnflag = 'R' THEN "
+               f"CASE WHEN l_linestatus = 'O' THEN {amt_cents} "
+               "ELSE cast(0 as bigint) END END) / 100.0D").alias("disputed"),
     ))
+
+    def r2(e: str) -> str:  # functions.money.round2 as a SQL string
+        return f"(cast(floor(({e}) * 100.0D + 0.5D) as bigint) / 100.0D)"
 
     cond = (o.o_orderkey == aggs.l_orderkey)
     if cust_in_li:
         cond = cond & (o.o_custkey == aggs.l_custkey)
     j = (o.join(aggs, cond, "left")
-         .select(
-             F.col("o_orderkey").alias("loan_id"),
-             F.col("o_custkey").alias("customer_id"),
+         .selectExpr(
+             "o_orderkey AS loan_id",
+             "o_custkey AS customer_id",
              "o_orderstatus", "o_orderdate",
-             F.coalesce("paid_a", F.lit(0.0)).alias("paid_a"),
-             F.coalesce("paid_n", F.lit(0.0)).alias("paid_n"),
-             F.coalesce("paid_r", F.lit(0.0)).alias("paid_r"),
-             F.coalesce("disputed", F.lit(0.0)).alias("disputed"),
-             F.greatest("last_paid_a", "last_paid_n", "last_paid_r").alias("last_paid_at"),
-             round2(F.col("o_totalprice") * 0.70).alias("principal"),
-             round2(F.col("o_totalprice") * 0.20).alias("fee"),
-             F.when(F.col("o_orderstatus") == "F",
-                    round2(F.col("o_totalprice") * 0.05)).otherwise(0.0).alias("late_fee"),
+             "coalesce(paid_a, 0.0D) AS paid_a",
+             "coalesce(paid_n, 0.0D) AS paid_n",
+             "coalesce(paid_r, 0.0D) AS paid_r",
+             "coalesce(disputed, 0.0D) AS disputed",
+             "greatest(last_paid_a, last_paid_n, last_paid_r)"
+             " AS last_paid_at",
+             f"{r2('o_totalprice * 0.7D')} AS principal",
+             f"{r2('o_totalprice * 0.2D')} AS fee",
+             "CASE WHEN o_orderstatus = 'F' THEN "
+             f"{r2('o_totalprice * 0.05D')} ELSE 0.0D END AS late_fee",
          ))
 
-    tax_on_fee = round2(F.col("fee") * 0.16)
-    tax_on_late = round2(F.col("late_fee") * 0.16)
-    total_paid = round2(F.col("paid_a") + F.col("paid_n") + F.col("paid_r") - F.col("disputed"))
-    j = j.withColumns({
-        "tax_on_fee": tax_on_fee,
-        "tax_on_late_fee": tax_on_late,
-        "total_paid": total_paid,
-    })
-    total_due = (F.col("principal") + F.col("fee") + F.col("tax_on_fee")
-                 + F.col("late_fee") + F.col("tax_on_late_fee"))
-    j = j.withColumns({
-        "total_due": total_due,
+    j = j.selectExpr(
+        "*",
+        f"{r2('fee * 0.16D')} AS tax_on_fee",
+        f"{r2('late_fee * 0.16D')} AS tax_on_late_fee",
+        f"{r2('paid_a + paid_n + paid_r - disputed')} AS total_paid",
+    )
+    # total_due is inlined in amount_paid (the Column form referenced the
+    # expression tree, not the sibling output column)
+    td = "principal + fee + tax_on_fee + late_fee + tax_on_late_fee"
+    j = j.selectExpr(
+        "*",
+        f"{td} AS total_due",
         # repaid-loan forgiveness: settle tiny shortfalls on fulfilled loans
-        "amount_paid": F.when(
-            (F.col("o_orderstatus") == "F")
-            & ((total_due - F.col("total_paid")) >= 0.0)
-            & ((total_due - F.col("total_paid")) <= 1.0),
-            total_due).otherwise(F.col("total_paid")),
-    })
-    alloc = F.least(F.col("amount_paid"), F.col("total_due"))
-    j = j.withColumn("to_allocate", alloc)
-    lf_due = F.col("late_fee") + F.col("tax_on_late_fee")
-    j = j.withColumns({
-        "late_fee_paid": F.when(F.col("to_allocate") >= lf_due, F.col("late_fee"))
-                          .otherwise(round2(F.col("to_allocate") / 1.16)),
-        "rem1": F.when(F.col("to_allocate") >= lf_due,
-                       F.col("to_allocate") - lf_due).otherwise(F.lit(0.0)),
-    })
-    fee_due = F.col("fee") + F.col("tax_on_fee")
-    j = j.withColumns({
-        "fee_paid": F.when(F.col("rem1") >= fee_due, F.col("fee"))
-                     .otherwise(round2(F.col("rem1") / 1.16)),
-        "rem2": F.when(F.col("rem1") >= fee_due,
-                       F.col("rem1") - fee_due).otherwise(F.lit(0.0)),
-    })
-    j = j.withColumn("principal_paid", round2(F.least(F.col("rem2"), F.col("principal"))))
-    j = j.withColumn("settled_at",
-                     F.when(F.col("principal_paid") >= F.col("principal"),
-                            F.col("last_paid_at")))
+        "CASE WHEN (o_orderstatus = 'F') AND "
+        f"(({td}) - total_paid >= 0.0D) AND "
+        f"(({td}) - total_paid <= 1.0D) "
+        f"THEN {td} ELSE total_paid END AS amount_paid",
+    )
+    j = j.selectExpr("*", "least(amount_paid, total_due) AS to_allocate")
+    lf_due = "late_fee + tax_on_late_fee"
+    j = j.selectExpr(
+        "*",
+        f"CASE WHEN to_allocate >= {lf_due} THEN late_fee "
+        f"ELSE {r2('to_allocate / 1.16D')} END AS late_fee_paid",
+        f"CASE WHEN to_allocate >= {lf_due} "
+        f"THEN to_allocate - ({lf_due}) ELSE 0.0D END AS rem1",
+    )
+    fee_due = "fee + tax_on_fee"
+    j = j.selectExpr(
+        "*",
+        f"CASE WHEN rem1 >= {fee_due} THEN fee "
+        f"ELSE {r2('rem1 / 1.16D')} END AS fee_paid",
+        f"CASE WHEN rem1 >= {fee_due} "
+        f"THEN rem1 - ({fee_due}) ELSE 0.0D END AS rem2",
+    )
+    j = j.selectExpr(
+        "*", f"{r2('least(rem2, principal)')} AS principal_paid")
+    j = j.selectExpr(
+        "*",
+        "CASE WHEN principal_paid >= principal THEN last_paid_at END"
+        " AS settled_at")
 
-    from pyspark.sql import Window as W
-    w = W.partitionBy("customer_id").orderBy("o_orderdate", "loan_id")
-    ln = F.row_number().over(w)
-    due_date = F.to_date(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
-    end_date = F.when(F.col("settled_at").isNotNull(), F.to_date("settled_at")) \
-                .otherwise(F.to_date(F.lit(_PL01_AS_OF)))
+    ln = ("row_number() OVER (PARTITION BY customer_id"
+          " ORDER BY o_orderdate, loan_id)")
+    due_date = "to_date(o_orderdate + INTERVAL 30 DAYS)"
+    end_date = ("CASE WHEN settled_at IS NOT NULL THEN to_date(settled_at)"
+                f" ELSE to_date('{_PL01_AS_OF}') END")
     cols = [
         "loan_id", "customer_id",
-        F.when(F.col("o_orderstatus") == "F", "Fulfilled")
-         .when(F.col("o_orderstatus") == "O", "Open")
-         .when(F.col("o_orderstatus") == "P", "Pending")
-         .otherwise("Unknown").alias("status"),
-        ln.cast("int").alias("loan_number"),
-        F.when(ln == 1, "First").otherwise("Repeat").alias("cohort"),
+        "CASE WHEN o_orderstatus = 'F' THEN 'Fulfilled' "
+        "WHEN o_orderstatus = 'O' THEN 'Open' "
+        "WHEN o_orderstatus = 'P' THEN 'Pending' "
+        "ELSE 'Unknown' END AS status",
+        f"CAST({ln} AS INT) AS loan_number",
+        f"CASE WHEN {ln} = 1 THEN 'First' ELSE 'Repeat' END AS cohort",
         "principal", "fee", "late_fee",
-        round2(F.col("total_due")).alias("total_due"),
+        f"{r2('total_due')} AS total_due",
         "total_paid", "late_fee_paid", "fee_paid", "principal_paid",
         "last_paid_at", "settled_at",
-        F.col("settled_at").isNotNull().alias("is_settled"),
-        F.greatest(F.datediff(end_date, due_date), F.lit(0)).cast("long").alias("days_late"),
+        "(settled_at IS NOT NULL) AS is_settled",
+        f"CAST(greatest(datediff({end_date}, {due_date}), 0) AS BIGINT)"
+        " AS days_late",
     ]
     if with_accounting_cols:
         cols += [
-            F.col("o_orderdate").alias("issue_date"),
+            "o_orderdate AS issue_date",
             "tax_on_fee", "tax_on_late_fee",
-            F.col("disputed").alias("dispute_amount"),
+            "disputed AS dispute_amount",
         ]
-    return j.select(*cols)
+    return j.selectExpr(*cols)
 
 
 # ---------------------------------------------------------------------------
@@ -521,48 +544,49 @@ def pl02_accounting_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
     end)."""
     import datetime as _dt
 
-    from ..functions.datetime_ops import to_cdmx
-    from ..functions.money import cents
     from ..pipelines.accounting import (
-        accounting_detail, accounting_summary, settled_summary,
+        _r2s, accounting_detail, accounting_summary, settled_summary,
     )
 
     fact = settlement_pipeline(load(spark, sf_dir, "orders"),
                                load(spark, sf_dir, "lineitem"),
                                with_accounting_cols=True)
-    status_code = (F.when(F.col("status") == "Fulfilled", 2)
-                   .when(F.col("status") == "Open", 1)
-                   .otherwise(6))
-    policy = (F.col("loan_id") % 3).cast("int")
-    mapped = fact.select(
-        F.col("customer_id").alias("UserId"),
-        F.col("loan_id").alias("UserLoanId"),
-        F.col("issue_date").alias("IssueDate"),
-        to_cdmx("issue_date").alias("IssueDateCDMX"),
-        (F.col("issue_date") + F.expr("INTERVAL 30 DAYS")).alias("DueDate"),
-        status_code.alias("LoanStatus"),
-        F.col("loan_number").alias("LoanNumber"),
-        (F.col("days_late") > 0).cast("int").alias("IsLate"),
-        F.col("principal").alias("PrincipalAmount"),
-        F.col("fee").alias("Fee"),
-        F.col("tax_on_fee").alias("TaxOnFee"),
-        F.col("late_fee").alias("LateFee"),
-        F.col("tax_on_late_fee").alias("TaxOnLateFee"),
-        F.col("total_due").alias("TotalAmountDue"),
-        F.col("late_fee_paid").alias("LateFeePaid"),
-        round2(F.col("late_fee_paid") * 0.16).alias("TaxOnLateFeePaid"),
-        F.col("fee_paid").alias("FeePaid"),
-        round2(F.col("fee_paid") * 0.16).alias("TaxOnFeePaid"),
-        F.col("principal_paid").alias("PrincipalPaid"),
-        F.col("total_paid").alias("TotalAmountPaid"),
-        policy.alias("JitOfferPolicy"),
-        F.when(policy == 0, "Standard").when(policy == 1, "Jit")
-         .otherwise("Promo").alias("JitOfferPolicyName"),
-        F.col("last_paid_at").alias("LastPaidDate"),
-        to_cdmx("last_paid_at").alias("LastPaidDateCDMX"),
-        F.col("settled_at").alias("SettledAt"),
-        to_cdmx("settled_at").alias("SettledAtCDMX"),
-        F.col("dispute_amount").alias("DisputeAmount"),
+    # One-parse selectExpr form (r14, VERDICT r13 next #1) — sameResult
+    # pin vs the Column form in tests/test_r14_optimizations.py.
+    cdmx = "from_utc_timestamp({c}, 'America/Mexico_City')"
+    r2 = _r2s
+    policy = "CAST(loan_id % 3 AS INT)"
+    mapped = fact.selectExpr(
+        "customer_id AS UserId",
+        "loan_id AS UserLoanId",
+        "issue_date AS IssueDate",
+        f"{cdmx.format(c='issue_date')} AS IssueDateCDMX",
+        "(issue_date + INTERVAL 30 DAYS) AS DueDate",
+        "CASE WHEN status = 'Fulfilled' THEN 2 WHEN status = 'Open' THEN 1"
+        " ELSE 6 END AS LoanStatus",
+        "loan_number AS LoanNumber",
+        "CAST(days_late > 0 AS INT) AS IsLate",
+        "principal AS PrincipalAmount",
+        "fee AS Fee",
+        "tax_on_fee AS TaxOnFee",
+        "late_fee AS LateFee",
+        "tax_on_late_fee AS TaxOnLateFee",
+        "total_due AS TotalAmountDue",
+        "late_fee_paid AS LateFeePaid",
+        f"{r2('late_fee_paid * 0.16D')} AS TaxOnLateFeePaid",
+        "fee_paid AS FeePaid",
+        f"{r2('fee_paid * 0.16D')} AS TaxOnFeePaid",
+        "principal_paid AS PrincipalPaid",
+        "total_paid AS TotalAmountPaid",
+        f"{policy} AS JitOfferPolicy",
+        f"CASE WHEN {policy} = 0 THEN 'Standard' "
+        f"WHEN {policy} = 1 THEN 'Jit' ELSE 'Promo' END"
+        " AS JitOfferPolicyName",
+        "last_paid_at AS LastPaidDate",
+        f"{cdmx.format(c='last_paid_at')} AS LastPaidDateCDMX",
+        "settled_at AS SettledAt",
+        f"{cdmx.format(c='settled_at')} AS SettledAtCDMX",
+        "dispute_amount AS DisputeAmount",
     )
     # The detail feeds TWO consumers (issue-month summary with the era
     # ratio FUSED into the same groupBy — VERDICT r9 #1: era and acc
@@ -581,38 +605,39 @@ def pl02_accounting_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
     setl = settled_summary(detail, as_of=as_of)
 
     o = load(spark, sf_dir, "orders")
-    ref = (o.filter(F.col("o_orderstatus") == "F")
-           .groupBy(F.date_trunc("month", to_cdmx("o_orderdate"))
+    ref = (o.filter("o_orderstatus = 'F'")
+           .groupBy(F.expr(f"date_trunc('month', "
+                           f"{cdmx.format(c='o_orderdate')})")
                     .alias("ref_month"))
-           .agg(F.count(F.lit(1)).alias("n_ref"),
-                (F.sum(cents("o_totalprice")) / F.lit(100.0))
-                .alias("ref_amt")))
+           .agg(F.expr("count(1)").alias("n_ref"),
+                F.expr("sum(cast(floor(o_totalprice * 100.0D + 0.5D)"
+                       " as bigint)) / 100.0D").alias("ref_amt")))
 
-    dnull = F.lit(None).cast("double")
+    dnull = "CAST(NULL AS DOUBLE)"
     money_cols = ["PrincipalAmount", "Fee", "TaxOnFee", "LateFee",
                   "TaxOnLateFee", "TotalAmountDue", "PrincipalPaid",
                   "FeePaid", "TaxOnFeePaid", "LateFeePaid",
                   "TaxOnLateFeePaid", "ApportionedAmountPaid"]
     acc_out = (acc
                .join(ref, acc.IssueMonthCDMX == ref.ref_month, "left")
-               .select(
-                   F.lit("accounting").alias("report"),
-                   F.col("IssueMonthCDMX").alias("month"),
+               .selectExpr(
+                   "'accounting' AS report",
+                   "IssueMonthCDMX AS month",
                    *money_cols,
-                   dnull.alias("DisputeAmount"),
-                   F.coalesce("n_ref", F.lit(0)).alias("n_referral_payouts"),
-                   F.coalesce("ref_amt", F.lit(0.0)).alias("referral_amount"),
+                   f"{dnull} AS DisputeAmount",
+                   "coalesce(n_ref, 0) AS n_referral_payouts",
+                   "coalesce(ref_amt, 0.0D) AS referral_amount",
                    "era_fee_ratio",
                ))
-    set_out = setl.select(
-        F.lit("settled").alias("report"),
-        F.col("SettledAtMonthCDMX").alias("month"),
-        *[dnull.alias(c) for c in money_cols[:6]],
+    set_out = setl.selectExpr(
+        "'settled' AS report",
+        "SettledAtMonthCDMX AS month",
+        *[f"{dnull} AS {c}" for c in money_cols[:6]],
         *money_cols[6:12],
         "DisputeAmount",
-        F.lit(None).cast("long").alias("n_referral_payouts"),
-        dnull.alias("referral_amount"),
-        dnull.alias("era_fee_ratio"),
+        "CAST(NULL AS BIGINT) AS n_referral_payouts",
+        f"{dnull} AS referral_amount",
+        f"{dnull} AS era_fee_ratio",
     )
     return acc_out.unionByName(set_out)
 

@@ -58,10 +58,16 @@ def get_spark(app_name: str = "data_pipeline_foundations_spark",
     # Deployment-parameterised overrides (r13): production values for
     # scale-dependent knobs (shuffle partitions, advisory sizes, memory)
     # belong in the environment, not hard-coded for either local mode or
-    # any one cluster. Format: "k=v;k2=v2".
+    # any one cluster. Format: "k=v;k2=v2". Note ';' cannot appear in a
+    # value. A segment without '=' is a config typo — raise instead of
+    # silently setting a key to the empty string (r14, ADVICE r13).
     for kv in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_CONF",
                                           "").split(";")):
-        k, _, v = kv.partition("=")
+        k, sep, v = kv.partition("=")
+        if not sep or not k.strip():
+            raise ValueError(
+                f"SPARK_GRAFT_EXTRA_CONF segment {kv!r} is not 'key=value'"
+                " (';' separates segments and cannot appear in values)")
         builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
