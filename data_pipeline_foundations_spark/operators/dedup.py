@@ -318,10 +318,15 @@ def with_simhash(df: DataFrame, text_col: str, bits: int = SIMHASH_BITS,
     hash is 60-bit), so only min(bits, 60) counters are computed — the
     64-bit signature costs the same aggregate as a 60-bit one.
     """
-    h = HASHERS[hasher]
+    h = HASHERS_SQL[hasher]
     eff = min(bits, SIMHASH_HASH_BITS)
+    # ONE F.expr parse for the token-hash stage (r14, the shingle-tree
+    # template): the lambda-HOF form cost a Py4J lambda registration per
+    # call; identifier quoted like with_shingle_hashes. sameResult pin
+    # vs the lambda form in tests/test_r14_optimizations.py.
+    q = "`" + text_col.replace("`", "``") + "`"
     d = df.withColumn(
-        "_hs", F.transform(F.split(F.col(text_col), " "), lambda t: h(t)))
+        "_hs", F.expr(f"transform(split({q}, ' '), t -> {h('t')})"))
     d = d.withColumn("_cnt", F.expr(
         f"aggregate(_hs, array_repeat(CAST(0 AS BIGINT), {eff}), "
         f"(acc, h) -> transform(acc, (c, i) -> c + (shiftright(h, i) & CAST(1 AS BIGINT))))"
@@ -397,43 +402,47 @@ def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     sig = tracked_persist(with_simhash(scale_out(docs), text_col, bits, out="sh",
                                        hasher=hasher)
                           .select(id_col, "sh"))
-    keys = [F.shiftright(F.col("sh"), j * band_bits).bitwiseAND(F.lit(mask))
-            for j in range(nbands)]
-    band_structs = _simhash_band_structs(keys, mask, band_combo, nbands)
-    bands_df = (sig.select(id_col, "sh", F.explode(F.array(*band_structs)).alias("b"))
-                .select(id_col, "sh", "b.band_id", "b.band_key"))
+    qid = "`" + id_col.replace("`", "``") + "`"
+    arr = _simhash_band_structs_sql(band_bits, mask, band_combo, nbands)
+    bands_df = (sig.selectExpr(qid, "sh", f"explode({arr}) AS b")
+                .selectExpr(qid, "sh", "b.band_id", "b.band_key"))
     x, y = bands_df.alias("x"), bands_df.alias("y")
     return (
         x.join(y, ["band_id", "band_key"])
-        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .select(F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b"),
-                F.bit_count(F.col("x.sh").bitwiseXOR(F.col("y.sh"))).alias("hamming"))
+        .filter(f"x.{qid} < y.{qid}")
+        .selectExpr(f"x.{qid} AS doc_a", f"y.{qid} AS doc_b",
+                    "bit_count(x.sh ^ y.sh) AS hamming")
         # hamming filter BEFORE distinct: the filter is a cheap map-side
         # row predicate, distinct is a full shuffle — dropping far pairs
         # first means only the (rare) near-dup candidates get shuffled.
-        .filter(F.col("hamming") <= max_hamming)
+        .filter(f"hamming <= {max_hamming}")
         .distinct()
     )
 
 
-def _simhash_band_structs(keys, mask: int, band_combo: int,
-                          nbands: int) -> list:
-    """The (band_id, band_key) struct list shared by the bucket-join and
-    sorted-table forms — single bands or combo-concatenated keys."""
+def _simhash_band_structs_sql(band_bits: int, mask: int, band_combo: int,
+                              nbands: int) -> str:
+    """The (band_id, band_key) struct ARRAY shared by the bucket-join and
+    sorted-table forms — single bands or combo-concatenated keys — as one
+    SQL string over the ``sh`` signature column (r14 one-parse form; the
+    Column list cost ~10 Py4J round trips per struct × C(nbands, combo)
+    structs per invocation). sameResult pin vs the Column form in
+    tests/test_r14_optimizations.py."""
     from itertools import combinations
 
+    keys = [f"(shiftright(sh, {j * band_bits}) & {mask})"
+            for j in range(nbands)]
     if band_combo == 1:
-        return [F.struct(F.lit(j).alias("band_id"),
-                         keys[j].alias("band_key"))
-                for j in range(nbands)]
-    out = []
-    for c, idxs in enumerate(combinations(range(nbands), band_combo)):
-        key = keys[idxs[0]]
-        for i in idxs[1:]:
-            key = key * F.lit(mask + 1) + keys[i]
-        out.append(F.struct(F.lit(c).alias("band_id"),
-                            key.alias("band_key")))
-    return out
+        structs = [f"struct({j} AS band_id, {keys[j]} AS band_key)"
+                   for j in range(nbands)]
+    else:
+        structs = []
+        for c, idxs in enumerate(combinations(range(nbands), band_combo)):
+            key = keys[idxs[0]]
+            for i in idxs[1:]:
+                key = f"({key} * {mask + 1} + {keys[i]})"
+            structs.append(f"struct({c} AS band_id, {key} AS band_key)")
+    return "array(" + ", ".join(structs) + ")"
 
 
 def simhash_pairs_sorted(docs: DataFrame, *, id_col: str = "doc_id",
@@ -472,13 +481,11 @@ def simhash_pairs_sorted(docs: DataFrame, *, id_col: str = "doc_id",
             f"{nbands} bands (needs nbands >= max_hamming + combo)")
     sig = (with_simhash(scale_out(docs), text_col, bits, out="sh",
                         hasher=hasher).select(id_col, "sh"))
-    keys = [F.shiftright(F.col("sh"), j * band_bits).bitwiseAND(F.lit(mask))
-            for j in range(nbands)]
-    band_structs = _simhash_band_structs(keys, mask, band_combo, nbands)
-    bands_df = (sig.select(id_col, "sh",
-                           F.explode(F.array(*band_structs)).alias("b"))
-                .select(F.col(id_col).alias("i"), "sh",
-                        "b.band_id", "b.band_key"))
+    qid = "`" + id_col.replace("`", "``") + "`"
+    arr = _simhash_band_structs_sql(band_bits, mask, band_combo, nbands)
+    bands_df = (sig.selectExpr(qid, "sh", f"explode({arr}) AS b")
+                .selectExpr(f"{qid} AS i", "sh",
+                            "b.band_id", "b.band_key"))
     runs = (bands_df.groupBy("band_id", "band_key")
             .agg(F.sort_array(F.collect_list(F.struct("i", "sh")))
                  .alias("g"))

@@ -460,3 +460,105 @@ def test_pl02_selectexpr_same_plan(spark, sf_dir, monkeypatch):
     new = all_queries()["pl02_accounting_reports"].fn(spark, sf_dir)
     old = _old_pl02_frame(spark, sf_dir)
     _same(new, old, "pl02 body drift")
+
+
+# ---------------------------------------------------------------------------
+# simhash family (x04/x05) — pre-r14 Column forms
+# ---------------------------------------------------------------------------
+def _old_with_simhash(df, text_col, bits=64, out="simhash", hasher="md5"):
+    """The r13 lambda-HOF token-hash stage, verbatim."""
+    from data_pipeline_foundations_spark.functions.hashing import HASHERS
+    from data_pipeline_foundations_spark.operators.dedup import (
+        SIMHASH_HASH_BITS,
+    )
+
+    h = HASHERS[hasher]
+    eff = min(bits, SIMHASH_HASH_BITS)
+    d = df.withColumn(
+        "_hs", F.transform(F.split(F.col(text_col), " "), lambda t: h(t)))
+    d = d.withColumn("_cnt", F.expr(
+        f"aggregate(_hs, array_repeat(CAST(0 AS BIGINT), {eff}), "
+        f"(acc, h) -> transform(acc, (c, i) -> c + (shiftright(h, i) & CAST(1 AS BIGINT))))"
+    ))
+    return d.withColumn(out, F.coalesce(F.expr(
+        "aggregate(transform(_cnt, (c, b) -> IF(2 * c > size(_hs), "
+        "shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))), "
+        "CAST(0 AS BIGINT), (x, y) -> x + y)"
+    ), F.lit(0).cast("long"))).drop("_hs", "_cnt")
+
+
+def _old_simhash_band_structs(keys, mask, band_combo, nbands):
+    """The r13 Column struct list, verbatim."""
+    from itertools import combinations
+
+    if band_combo == 1:
+        return [F.struct(F.lit(j).alias("band_id"),
+                         keys[j].alias("band_key"))
+                for j in range(nbands)]
+    out = []
+    for c, idxs in enumerate(combinations(range(nbands), band_combo)):
+        key = keys[idxs[0]]
+        for i in idxs[1:]:
+            key = key * F.lit(mask + 1) + keys[i]
+        out.append(F.struct(F.lit(c).alias("band_id"),
+                            key.alias("band_key")))
+    return out
+
+
+def _old_simhash_pairs(docs, *, id_col="doc_id", text_col="text", bits=64,
+                       band_bits=8, max_hamming=6, band_combo=None,
+                       hasher="md5"):
+    """The r13 construction, verbatim (persist via the live
+    tracked_persist symbol, so the pin's monkeypatch covers both
+    sides)."""
+    from data_pipeline_foundations_spark.operators import caching
+    from data_pipeline_foundations_spark.operators.dedup import scale_out
+
+    nbands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    if band_combo is None:
+        band_combo = 2 if nbands >= max_hamming + 2 else 1
+    sig = caching.tracked_persist(
+        _old_with_simhash(scale_out(docs), text_col, bits, out="sh",
+                          hasher=hasher).select(id_col, "sh"))
+    keys = [F.shiftright(F.col("sh"), j * band_bits).bitwiseAND(F.lit(mask))
+            for j in range(nbands)]
+    band_structs = _old_simhash_band_structs(keys, mask, band_combo, nbands)
+    bands_df = (sig.select(id_col, "sh",
+                           F.explode(F.array(*band_structs)).alias("b"))
+                .select(id_col, "sh", "b.band_id", "b.band_key"))
+    x, y = bands_df.alias("x"), bands_df.alias("y")
+    return (
+        x.join(y, ["band_id", "band_key"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("doc_a"),
+                F.col(f"y.{id_col}").alias("doc_b"),
+                F.bit_count(F.col("x.sh").bitwiseXOR(F.col("y.sh")))
+                .alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def test_simhash_selectexpr_same_plan(spark, sf_dir, monkeypatch):
+    """with_simhash (both hashers) and simhash_pairs (combo 1 and 2):
+    new one-parse forms == old Column forms."""
+    from data_pipeline_foundations_spark.operators import caching
+    from data_pipeline_foundations_spark.operators.dedup import (
+        simhash_pairs, with_simhash,
+    )
+    from data_pipeline_foundations_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    for hasher in ("md5", "xx"):
+        _same(with_simhash(docs, "text", hasher=hasher)
+              .select("doc_id", "simhash"),
+              _old_with_simhash(docs, "text", hasher=hasher)
+              .select("doc_id", "simhash"),
+              f"with_simhash drift (hasher={hasher})")
+    monkeypatch.setattr(caching, "tracked_persist",
+                        lambda df, eager=True: df)
+    for combo in (1, 2):
+        _same(simhash_pairs(docs, band_combo=combo),
+              _old_simhash_pairs(docs, band_combo=combo),
+              f"simhash_pairs drift (band_combo={combo})")
